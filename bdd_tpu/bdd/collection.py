@@ -1,0 +1,532 @@
+"""Flat multi-BDD collection.
+
+The central host-side BDD representation: every BDD is a contiguous slice of three
+parallel arrays (variable, lo child, hi child) in topological order, root first.
+Terminals are the sentinels ``TOP``/``BOT`` (mirroring the reference's two-sentinel
+scheme, include/bdd_solver/bdd_cuda_base.h:53-55). This replaces the reference's
+``bdd_collection`` instruction vectors (include/bdd_collection/bdd_collection.h:122-288)
+with a design tailored to feeding the hop-major TPU arrays.
+
+A BDD here is ordered w.r.t. *its own* variable sequence (one variable per depth
+level). For BDDs built from constraints this coincides with ascending global
+variable index; chunks produced by :meth:`split_qbdd` interleave auxiliary
+variables and are ordered by level only — the dual decomposition couples
+variables across BDDs purely by primal index, so no global order is required.
+
+Supported operations (reference parity in parens):
+  - add_bdd / evaluate / variables / nr_solutions   (bdd_collection.h:150-220)
+  - make_qbdd: quasi-reduced form — every support variable appears on every
+    root-to-TOP path (bdd_collection.cpp:1670-1812). Arcs into BOT are *not*
+    chained: BOT paths carry +inf cost, so no per-layer cost accounting is needed.
+  - bdd_and: melding/conjunction by product construction (bdd_collection.h:495-600)
+  - reduce: canonical ROBDD reduction (bdd_collection.cpp:1063-1200)
+  - rebase: variable renumbering; negate; fixed_variables
+  - split_qbdd: chunk a long QBDD into depth-bounded pieces coupled by one-hot
+    auxiliary variables (bdd_collection.cpp:507-780)
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+TOP = -1
+BOT = -2
+
+
+def is_terminal(idx: int) -> bool:
+    return idx < 0
+
+
+class BddCollection:
+    """A set of BDDs over a shared variable universe, stored flat."""
+
+    def __init__(self) -> None:
+        self.var: List[int] = []
+        self.lo: List[int] = []
+        self.hi: List[int] = []
+        self.delim: List[int] = [0]  # per-BDD offsets into the node arrays
+
+    # ------------------------------------------------------------------ basics
+    def nr_bdds(self) -> int:
+        return len(self.delim) - 1
+
+    def nr_bdd_nodes(self, bdd_nr: Optional[int] = None) -> int:
+        if bdd_nr is None:
+            return len(self.var)
+        return self.delim[bdd_nr + 1] - self.delim[bdd_nr]
+
+    def root(self, bdd_nr: int) -> int:
+        return self.delim[bdd_nr]
+
+    def node_range(self, bdd_nr: int) -> Tuple[int, int]:
+        return self.delim[bdd_nr], self.delim[bdd_nr + 1]
+
+    def add_bdd(self, nodes: Sequence[Tuple[int, int, int]]) -> int:
+        """Append a BDD given as local (var, lo, hi) triples, root at index 0,
+        children referenced by local index (> parent index) or TOP/BOT."""
+        base = len(self.var)
+        for i, (v, lo, hi) in enumerate(nodes):
+            assert v >= 0
+            for c in (lo, hi):
+                assert is_terminal(c) or (i < c < len(nodes)), (
+                    f"node {i}: child {c} not topological"
+                )
+            self.var.append(v)
+            self.lo.append(lo + base if lo >= 0 else lo)
+            self.hi.append(hi + base if hi >= 0 else hi)
+        self.delim.append(len(self.var))
+        return self.nr_bdds() - 1
+
+    def append_collection(self, other: "BddCollection") -> None:
+        base = len(self.var)
+        self.var.extend(other.var)
+        self.lo.extend(c + base if c >= 0 else c for c in other.lo)
+        self.hi.extend(c + base if c >= 0 else c for c in other.hi)
+        self.delim.extend(d + base for d in other.delim[1:])
+
+    def local_nodes(self, bdd_nr: int) -> List[Tuple[int, int, int]]:
+        """Return (var, lo, hi) triples with bdd-local child indices."""
+        s, e = self.node_range(bdd_nr)
+        out = []
+        for i in range(s, e):
+            lo, hi = self.lo[i], self.hi[i]
+            out.append(
+                (self.var[i], lo - s if lo >= 0 else lo, hi - s if hi >= 0 else hi)
+            )
+        return out
+
+    def variables(self, bdd_nr: int) -> List[int]:
+        """Support variables in ascending global index. This is the path order
+        for BDDs ordered w.r.t. the global variable order (all constraint-built
+        BDDs); chunks from :meth:`split_qbdd` need :meth:`level_variables`."""
+        s, e = self.node_range(bdd_nr)
+        return sorted(set(self.var[s:e]))
+
+    def level_variables(self, bdd_nr: int) -> List[int]:
+        """Support variables in *path order* (one variable per depth level).
+        Requires quasi-reduced form (every path visits every level)."""
+        levels = self.node_levels(bdd_nr)
+        s, _ = self.node_range(bdd_nr)
+        by_level: Dict[int, int] = {}
+        for i, lvl in enumerate(levels):
+            v = self.var[s + i]
+            if lvl in by_level:
+                assert by_level[lvl] == v, "nodes at equal depth with distinct vars"
+            else:
+                by_level[lvl] = v
+        return [by_level[l] for l in range(len(by_level))]
+
+    def node_levels(self, bdd_nr: int) -> List[int]:
+        """Depth (hop distance from root) of every node, local order.
+
+        For an ordered (Q)BDD this equals the index of the node's variable in
+        the BDD's variable sequence."""
+        s, e = self.node_range(bdd_nr)
+        level = [0] * (e - s)
+        for i in range(s, e):
+            for c in (self.lo[i], self.hi[i]):
+                if not is_terminal(c):
+                    level[c - s] = max(level[c - s], level[i - s] + 1)
+        return level
+
+    def min_max_variables(self, bdd_nr: int) -> Tuple[int, int]:
+        s, e = self.node_range(bdd_nr)
+        vs = self.var[s:e]
+        return min(vs), max(vs)
+
+    def nr_variables(self) -> int:
+        return max(self.var) + 1 if self.var else 0
+
+    # -------------------------------------------------------------- evaluation
+    def evaluate(self, bdd_nr: int, assignment: Sequence[int]) -> bool:
+        n = self.root(bdd_nr)
+        while not is_terminal(n):
+            n = self.hi[n] if assignment[self.var[n]] else self.lo[n]
+        return n == TOP
+
+    def nr_solutions(self, bdd_nr: int) -> int:
+        """Count accepting assignments over the BDD's support variables.
+        Requires an ordered BDD (each variable at one level; skips allowed)."""
+        support = self.variables(bdd_nr)
+        pos = {v: i for i, v in enumerate(support)}
+        d = len(support)
+        memo: Dict[int, int] = {}
+
+        def count(n: int, depth: int) -> int:
+            if n == TOP:
+                return 2 ** (d - depth)
+            if n == BOT:
+                return 0
+            npos = pos[self.var[n]]
+            scale = 2 ** (npos - depth)
+            if n not in memo:
+                memo[n] = count(self.lo[n], npos + 1) + count(self.hi[n], npos + 1)
+            return scale * memo[n]
+
+        return count(self.root(bdd_nr), 0)
+
+    def solutions(self, bdd_nr: int) -> List[Dict[int, int]]:
+        """Enumerate accepting assignments over the support (tests only)."""
+        support = self.variables(bdd_nr)
+        out = []
+        width = max(support) + 1
+        for bits in range(2 ** len(support)):
+            full = [0] * width
+            assignment = {}
+            for i, v in enumerate(support):
+                assignment[v] = (bits >> i) & 1
+                full[v] = assignment[v]
+            if self.evaluate(bdd_nr, full):
+                out.append(assignment)
+        return out
+
+    def fixed_variables(self, bdd_nr: int) -> Tuple[List[int], List[int]]:
+        """Variables forced to 0 / 1 in every accepting assignment."""
+        support = self.variables(bdd_nr)
+        can_be = {v: [False, False] for v in support}
+        for sol in self.solutions(bdd_nr):
+            for v, val in sol.items():
+                can_be[v][val] = True
+        zeros = [v for v in support if not can_be[v][1]]
+        ones = [v for v in support if not can_be[v][0]]
+        return zeros, ones
+
+    # -------------------------------------------------------------------- qbdd
+    def is_qbdd(self, bdd_nr: int) -> bool:
+        """True iff every root-to-TOP arc advances exactly one level and TOP is
+        only reached from the last level."""
+        levels = self.node_levels(bdd_nr)
+        d = max(levels) + 1 if levels else 0
+        s, e = self.node_range(bdd_nr)
+        for i in range(s, e):
+            li = levels[i - s]
+            for c in (self.lo[i], self.hi[i]):
+                if c == BOT:
+                    continue
+                if c == TOP:
+                    if li != d - 1:
+                        return False
+                elif levels[c - s] != li + 1:
+                    return False
+        return True
+
+    def make_qbdd(self, bdd_nr: int, out: Optional["BddCollection"] = None) -> int:
+        """Append the quasi-reduced form of ``bdd_nr`` to ``out`` (default: self).
+
+        Every arc skipping support variables — including arcs into TOP before the
+        last support variable — is routed through shared don't-care chain nodes so
+        that every root-to-TOP path tests every support variable exactly once.
+        Arcs into BOT stay direct (+inf paths need no cost accounting).
+        (ref semantics: bdd_collection.cpp:1670-1812)
+        """
+        if out is None:
+            out = self
+        support = self.variables(bdd_nr)
+        pos = {v: i for i, v in enumerate(support)}
+        d = len(support)
+        local = self.local_nodes(bdd_nr)
+        nodes: List[Tuple[int, int, int]] = [(v, lo, hi) for (v, lo, hi) in local]
+        chain_memo: Dict[Tuple[int, int], int] = {}
+
+        def target_pos(c_local: int) -> int:
+            return d if c_local == TOP else pos[nodes[c_local][0]]
+
+        def mkchain(p: int, c_local: int, tp: int) -> int:
+            """Don't-care chain covering support positions p..tp-1, then c."""
+            if p == tp:
+                return c_local
+            key = (p, c_local)
+            if key in chain_memo:
+                return chain_memo[key]
+            child = mkchain(p + 1, c_local, tp)
+            nodes.append((support[p], child, child))
+            chain_memo[key] = len(nodes) - 1
+            return chain_memo[key]
+
+        def route(p_from: int, c_local: int) -> int:
+            if c_local == BOT:
+                return BOT
+            return mkchain(p_from + 1, c_local, target_pos(c_local))
+
+        for i, (v, lo, hi) in enumerate(local):
+            p = pos[v]
+            nodes[i] = (v, route(p, lo), route(p, hi))
+
+        return out.add_bdd(_topo_sort(nodes, 0))
+
+    # --------------------------------------------------------------- reduction
+    def reduce(self, bdd_nr: int, out: Optional["BddCollection"] = None) -> int:
+        """Append the canonically reduced ROBDD of ``bdd_nr``."""
+        if out is None:
+            out = self
+        local = self.local_nodes(bdd_nr)
+        n = len(local)
+        red: Dict[int, int] = {}
+        cons: Dict[Tuple[int, int, int], int] = {}
+        new_nodes: List[Tuple[int, int, int]] = []
+
+        def resolve(c: int) -> int:
+            return c if is_terminal(c) else red[c]
+
+        for i in range(n - 1, -1, -1):
+            v, lo, hi = local[i]
+            lo_r, hi_r = resolve(lo), resolve(hi)
+            if lo_r == hi_r:
+                red[i] = lo_r
+                continue
+            key = (v, lo_r, hi_r)
+            if key not in cons:
+                new_nodes.append(key)
+                cons[key] = len(new_nodes) - 1
+            red[i] = cons[key]
+        root = red[0]
+        if is_terminal(root):
+            raise ValueError("BDD reduced to a terminal")
+        return out.add_bdd(_topo_sort(new_nodes, root))
+
+    # -------------------------------------------------------------------- and
+    def bdd_and(
+        self, bdd_nrs: Sequence[int], out: Optional["BddCollection"] = None
+    ) -> int:
+        """Conjunction (melding) of several BDDs via product construction over
+        the shared ascending-variable order. Returns the new BDD number.
+        (ref: bdd_collection.h:495-600 multi-way meld)"""
+        if out is None:
+            out = self
+        assert len(bdd_nrs) >= 1
+        if len(bdd_nrs) == 1:
+            return self.reduce(bdd_nrs[0], out)
+
+        memo: Dict[Tuple[int, ...], int] = {}
+        cons: Dict[Tuple[int, int, int], int] = {}
+        new_nodes: List[Tuple[int, int, int]] = []
+
+        # iterative product construction (avoids recursion limits)
+        def prod(state0: Tuple[int, ...]) -> int:
+            stack = [state0]
+            while stack:
+                state = stack[-1]
+                key = tuple(sorted(state))
+                if key in memo:
+                    stack.pop()
+                    continue
+                if any(n == BOT for n in state):
+                    memo[key] = BOT
+                    stack.pop()
+                    continue
+                live = [n for n in state if n != TOP]
+                if not live:
+                    memo[key] = TOP
+                    stack.pop()
+                    continue
+                v = min(self.var[n] for n in live)
+                lo_state = tuple(
+                    self.lo[n] if (n != TOP and self.var[n] == v) else n
+                    for n in state
+                )
+                hi_state = tuple(
+                    self.hi[n] if (n != TOP and self.var[n] == v) else n
+                    for n in state
+                )
+                lo_key = tuple(sorted(lo_state))
+                hi_key = tuple(sorted(hi_state))
+                missing = [
+                    s
+                    for s, k in ((lo_state, lo_key), (hi_state, hi_key))
+                    if k not in memo and not any(n == BOT for n in s)
+                ]
+                # pre-resolve trivial children
+                ready = True
+                for s, k in ((lo_state, lo_key), (hi_state, hi_key)):
+                    if k in memo:
+                        continue
+                    if any(n == BOT for n in s):
+                        memo[k] = BOT
+                    elif all(n == TOP for n in s):
+                        memo[k] = TOP
+                    else:
+                        stack.append(s)
+                        ready = False
+                if not ready:
+                    continue
+                lo_r, hi_r = memo[lo_key], memo[hi_key]
+                if lo_r == hi_r:
+                    memo[key] = lo_r
+                else:
+                    ckey = (v, lo_r, hi_r)
+                    if ckey not in cons:
+                        new_nodes.append(ckey)
+                        cons[ckey] = len(new_nodes) - 1
+                    memo[key] = cons[ckey]
+                stack.pop()
+            return memo[tuple(sorted(state0))]
+
+        root = prod(tuple(self.root(b) for b in bdd_nrs))
+        if root == BOT:
+            raise ValueError("bdd_and: conjunction is unsatisfiable")
+        if root == TOP:
+            raise ValueError("bdd_and: conjunction is trivially true")
+        return out.add_bdd(_topo_sort(new_nodes, root))
+
+    # ------------------------------------------------------------------ rebase
+    def rebase(self, bdd_nr: int, var_map: Dict[int, int]) -> None:
+        """Renumber variables of one BDD in place."""
+        s, e = self.node_range(bdd_nr)
+        for i in range(s, e):
+            self.var[i] = var_map[self.var[i]]
+
+    def negate(self, bdd_nr: int, out: Optional["BddCollection"] = None) -> int:
+        if out is None:
+            out = self
+        local = self.local_nodes(bdd_nr)
+        flipped = [
+            (
+                v,
+                (TOP if lo == BOT else BOT if lo == TOP else lo),
+                (TOP if hi == BOT else BOT if hi == TOP else hi),
+            )
+            for (v, lo, hi) in local
+        ]
+        return out.add_bdd(flipped)
+
+    # ------------------------------------------------------------- split_qbdd
+    def split_qbdd(
+        self,
+        bdd_nr: int,
+        chunk_size: int,
+        aux_var_start: int,
+        out: Optional["BddCollection"] = None,
+    ) -> Tuple[List[int], int]:
+        """Split a long QBDD into depth-<=~chunk_size chunks coupled by one-hot
+        auxiliary variables (ref semantics: bdd_collection.cpp:507-780).
+
+        At each cut the frontier nodes {n_0..n_{w-1}} opening the next chunk are
+        encoded by w fresh one-hot auxiliary variables: the head chunk appends a
+        one-hot tail forcing exactly the reached frontier node's aux variable to
+        1; the tail chunk starts with a dispatch block on the same variables.
+        Feasible joint assignments of both chunks therefore correspond exactly
+        to paths of the original BDD. Returns (new bdd numbers, next free aux
+        variable index).
+        """
+        if out is None:
+            out = self
+        assert self.is_qbdd(bdd_nr), "split_qbdd requires quasi-reduced input"
+        levels = self.node_levels(bdd_nr)
+        d = max(levels) + 1
+        if d <= chunk_size:
+            return [self.make_qbdd(bdd_nr, out)], aux_var_start
+
+        local = self.local_nodes(bdd_nr)
+        by_pos: List[List[int]] = [[] for _ in range(d)]
+        for i, lvl in enumerate(levels):
+            by_pos[lvl].append(i)
+
+        new_bdds: List[int] = []
+        next_aux = aux_var_start
+        cut_starts = list(range(0, d, chunk_size))
+        entry_aux: Optional[Dict[int, int]] = None  # frontier node -> aux var
+        for ci, p0 in enumerate(cut_starts):
+            p1 = min(p0 + chunk_size, d)
+            frontier_next = by_pos[p1] if p1 < d else []
+            exit_aux: Optional[Dict[int, int]] = None
+            if frontier_next:
+                exit_aux = {n: next_aux + k for k, n in enumerate(frontier_next)}
+                next_aux += len(frontier_next)
+
+            nodes: List[Tuple[int, int, int]] = []
+
+            def add(v: int, lo: int, hi: int) -> int:
+                nodes.append((v, lo, hi))
+                return len(nodes) - 1
+
+            node_map: Dict[int, int] = {}
+
+            # 1) exit blocks: one-hot tail per frontier node
+            if exit_aux is not None:
+                aux_vars = sorted(exit_aux.values())
+                for n in frontier_next:
+                    a_n = exit_aux[n]
+                    cur: int = TOP
+                    for a in reversed(aux_vars):
+                        if a == a_n:
+                            cur = add(a, BOT, cur)
+                        else:
+                            cur = add(a, cur, BOT)
+                    node_map[n] = cur
+
+            # 2) chunk nodes bottom-up
+            for p in range(p1 - 1, p0 - 1, -1):
+                for n in by_pos[p]:
+                    v, lo, hi = local[n]
+                    lo_m = lo if is_terminal(lo) else node_map[lo]
+                    hi_m = hi if is_terminal(hi) else node_map[hi]
+                    node_map[n] = add(v, lo_m, hi_m)
+
+            # 3) entry dispatch block (chunks after the first)
+            if entry_aux is None:
+                root_id = node_map[0]
+            else:
+                ent_vars = sorted(entry_aux.values())
+                aux_of = {a: n for n, a in entry_aux.items()}
+
+                def zeros_then(rest: List[int], target: int) -> int:
+                    cur = target
+                    for a in reversed(rest):
+                        cur = add(a, cur, BOT)
+                    return cur
+
+                cur = BOT
+                for k in range(len(ent_vars) - 1, -1, -1):
+                    a = ent_vars[k]
+                    hi_t = zeros_then(ent_vars[k + 1 :], node_map[aux_of[a]])
+                    cur = add(a, cur, hi_t)
+                root_id = cur
+            new_bdds.append(out.add_bdd(_topo_sort(nodes, root_id)))
+            entry_aux = exit_aux
+        return new_bdds, next_aux
+
+    def __repr__(self) -> str:
+        return f"BddCollection(nr_bdds={self.nr_bdds()}, nr_nodes={len(self.var)})"
+
+
+def _topo_sort(
+    nodes: Sequence[Tuple[int, int, int]], root: int
+) -> List[Tuple[int, int, int]]:
+    """Order nodes reachable from ``root`` by depth (root first, children after
+    parents). Children referenced by index into ``nodes`` or sentinels."""
+    assert not is_terminal(root)
+    depth: Dict[int, int] = {root: 0}
+    order_seen: List[int] = [root]
+    # longest-path depth via repeated relaxation over a DFS preorder is fragile;
+    # compute via topological structure: children always have larger local index
+    # is NOT guaranteed here, so do BFS + relax until fixpoint (DAG, small).
+    changed = True
+    while changed:
+        changed = False
+        frontier = list(depth.keys())
+        for n in frontier:
+            for c in (nodes[n][1], nodes[n][2]):
+                if is_terminal(c):
+                    continue
+                nd = depth[n] + 1
+                if depth.get(c, -1) < nd:
+                    if c not in depth:
+                        order_seen.append(c)
+                    depth[c] = nd
+                    changed = True
+    order = sorted(depth.keys(), key=lambda n: (depth[n], n))
+    assert order[0] == root or depth[order[0]] == 0
+    if order[0] != root:
+        order.remove(root)
+        order.insert(0, root)
+    new_id = {n: i for i, n in enumerate(order)}
+    out = []
+    for n in order:
+        v, lo, hi = nodes[n]
+        out.append(
+            (
+                v,
+                lo if is_terminal(lo) else new_id[lo],
+                hi if is_terminal(hi) else new_id[hi],
+            )
+        )
+    return out

@@ -1,0 +1,173 @@
+"""ILP → quasi-reduced BDD collection.
+
+Pipeline (ref semantics: src/bdd_conversion/bdd_preprocessor.cpp:123-423):
+  1. normalize constraints (sorted, merged monomials)
+  2. each linear constraint -> reduced OBDD (lineq DP); trivially-true
+     constraints are dropped, trivially-false ones raise InfeasibleError
+  3. coalesce sets are melded into one BDD via bdd_and
+  4. every BDD is made quasi-reduced (make_qbdd)
+  5. variables appearing in no constraint get a free single-variable BDD so
+     their objective cost is carried by exactly one subproblem
+  6. (optional) long BDDs are split into depth-bounded chunks with one-hot
+     auxiliary coupling variables (split_qbdd) — the TPU "sequence parallelism"
+     that bounds the hop-scan length (ref: bdd_preprocessor.cpp:374-415)
+
+Nonlinear constraints: each degree->=2 monomial m = prod x_v is replaced by a
+fresh product variable y_m plus the linking constraints
+    y_m <= x_v (for each v),   y_m >= sum x_v - (|m|-1)
+(Fortet linearization; the reference instead builds monomial BDDs directly,
+convert_pb_to_bdd.h:29-34 — same feasible set).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from bdd_tpu.bdd.collection import BddCollection
+from bdd_tpu.bdd.lineq import ALWAYS_FALSE, ALWAYS_TRUE, bdd_from_inequality
+from bdd_tpu.ilp.model import Constraint, ILPInput, Ineq
+
+
+class InfeasibleError(RuntimeError):
+    pass
+
+
+class BddPreprocessor:
+    def __init__(
+        self,
+        ilp: ILPInput,
+        split_chunk_size: Optional[int] = None,
+        add_free_variable_bdds: bool = True,
+    ) -> None:
+        self.ilp = ilp
+        self.collection = BddCollection()
+        self.ineq_to_bdd_nrs: List[List[int]] = []
+        self.nr_primal_variables = ilp.nr_variables()
+        self.nr_aux_variables = 0
+
+        ilp = self._linearize_nonlinear(ilp)
+        self.nr_primal_variables = ilp.nr_variables()
+        ilp.normalize()
+        if not ilp.preprocess():
+            raise InfeasibleError("trivially infeasible constraint")
+        self.ilp = ilp
+
+        raw = BddCollection()
+        raw_bdd_of_constraint: List[Optional[int]] = []
+        for c in ilp.constraints():
+            res = bdd_from_inequality(c, raw)
+            if res == ALWAYS_FALSE:
+                raise InfeasibleError(f"infeasible constraint {c.name or ''}")
+            raw_bdd_of_constraint.append(None if res == ALWAYS_TRUE else res)
+
+        # coalesce groups -> melded BDDs
+        in_group: Dict[int, int] = {}
+        for gi, group in enumerate(ilp.coalesce_sets_):
+            for ci in group:
+                in_group[ci] = gi
+        group_bdd: Dict[int, int] = {}
+        for gi, group in enumerate(ilp.coalesce_sets_):
+            members = [
+                raw_bdd_of_constraint[ci]
+                for ci in group
+                if raw_bdd_of_constraint[ci] is not None
+            ]
+            if members:
+                group_bdd[gi] = raw.bdd_and(members)
+
+        # qbdd + append in constraint order
+        emitted_groups: set = set()
+        for ci, b in enumerate(raw_bdd_of_constraint):
+            gi = in_group.get(ci)
+            if gi is None:
+                if b is None:
+                    self.ineq_to_bdd_nrs.append([])
+                else:
+                    self.ineq_to_bdd_nrs.append(
+                        [raw.make_qbdd(b, self.collection)]
+                    )
+            else:
+                if gi in emitted_groups or gi not in group_bdd:
+                    self.ineq_to_bdd_nrs.append([])
+                    continue
+                emitted_groups.add(gi)
+                self.ineq_to_bdd_nrs.append(
+                    [raw.make_qbdd(group_bdd[gi], self.collection)]
+                )
+
+        if add_free_variable_bdds:
+            covered = set(self.collection.var)
+            for v in range(self.nr_primal_variables):
+                if v not in covered and ilp.objective_coeff(v) != 0.0:
+                    self.collection.add_bdd([(v, -1, -1)])  # lo=hi=TOP
+
+        if split_chunk_size is not None:
+            self._split_long_bdds(split_chunk_size)
+
+    # ------------------------------------------------------------------ helpers
+    def _linearize_nonlinear(self, ilp: ILPInput) -> ILPInput:
+        if all(c.is_linear() for c in ilp.constraints()):
+            return ilp
+        out = ILPInput()
+        for name in ilp.var_names:
+            out.add_new_variable(name)
+        out.objective_ = list(ilp.objective_)
+        out.constant_ = ilp.constant_
+        out.coalesce_sets_ = [list(s) for s in ilp.coalesce_sets_]
+        prod_var: Dict[Tuple[int, ...], int] = {}
+        for c in ilp.constraints():
+            coeffs: List[int] = []
+            monos: List[Tuple[int, ...]] = []
+            for coeff, m in zip(c.coefficients, c.monomials):
+                if len(m) == 1:
+                    coeffs.append(coeff)
+                    monos.append(tuple(m))
+                    continue
+                key = tuple(sorted(set(m)))
+                if len(key) == 1:  # x*x = x
+                    coeffs.append(coeff)
+                    monos.append(key)
+                    continue
+                y = prod_var.get(key)
+                if y is None:
+                    y = out.add_new_variable("prod_" + "_".join(map(str, key)))
+                    prod_var[key] = y
+                    for v in key:
+                        out.add_linear_constraint([1, -1], [y, v], Ineq.LEQ, 0)
+                    out.add_linear_constraint(
+                        [1] + [-1] * len(key),
+                        [y] + list(key),
+                        Ineq.GEQ,
+                        -(len(key) - 1),
+                    )
+                coeffs.append(coeff)
+                monos.append((y,))
+            out.add_constraint(coeffs, monos, c.ineq, c.rhs, c.name)
+        return out
+
+    def _split_long_bdds(self, chunk_size: int) -> None:
+        assert chunk_size >= 2
+        new = BddCollection()
+        aux = self.nr_primal_variables
+        remap: Dict[int, List[int]] = {}
+        for b in range(self.collection.nr_bdds()):
+            levels = self.collection.node_levels(b)
+            depth = (max(levels) + 1) if levels else 0
+            if depth <= chunk_size:
+                # copy verbatim
+                remap[b] = [new.add_bdd(self.collection.local_nodes(b))]
+            else:
+                nrs, aux = self.collection.split_qbdd(b, chunk_size, aux, new)
+                remap[b] = nrs
+        self.nr_aux_variables = aux - self.nr_primal_variables
+        self.collection = new
+        self.ineq_to_bdd_nrs = [
+            [nb for ob in lst for nb in remap[ob]] for lst in self.ineq_to_bdd_nrs
+        ]
+
+    def total_nr_variables(self) -> int:
+        return self.nr_primal_variables + self.nr_aux_variables
+
+    def objective_vector(self) -> List[float]:
+        """Objective over primal + auxiliary (0-cost) variables."""
+        obj = self.ilp.objective()
+        return obj + [0.0] * self.nr_aux_variables

@@ -1,0 +1,221 @@
+"""BDD construction tests: lineq DP, collection ops, qbdd, and, split.
+
+Oracle: exhaustive evaluation against the constraint itself
+(ref: test/test_random_inequality_to_bdd.cpp, test/bdd/test_bdd_collection*.cpp).
+"""
+import random
+
+import pytest
+
+from bdd_tpu.bdd import BddCollection, BddPreprocessor, TOP, BOT, bdd_from_inequality
+from bdd_tpu.bdd.lineq import ALWAYS_FALSE, ALWAYS_TRUE
+from bdd_tpu.bdd.preprocessor import InfeasibleError
+from bdd_tpu.ilp.model import Constraint, Ineq
+from bdd_tpu.ilp import parse_lp_string
+from tests import fixtures
+
+
+def check_bdd_matches_constraint(col, bdd_nr, constraint, nr_vars):
+    for bits in range(2 ** nr_vars):
+        x = [(bits >> i) & 1 for i in range(nr_vars)]
+        assert col.evaluate(bdd_nr, x) == constraint.evaluate(x), (
+            f"mismatch at {x} for {constraint}"
+        )
+
+
+def test_simplex_bdd():
+    c = Constraint([1, 1, 1], [(0,), (1,), (2,)], Ineq.EQ, 1)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    check_bdd_matches_constraint(col, b, c, 3)
+    assert col.nr_solutions(b) == 3
+    # simplex over n vars has 2n-1 nodes when reduced
+    assert col.nr_bdd_nodes(b) == 5
+
+
+def test_cardinality_bdd():
+    c = Constraint([1] * 5, [(v,) for v in range(5)], Ineq.EQ, 2)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    check_bdd_matches_constraint(col, b, c, 5)
+    assert col.nr_solutions(b) == 10
+
+
+def test_at_most_geq_negative_coeffs():
+    rng = random.Random(42)
+    for trial in range(60):
+        n = rng.randint(1, 6)
+        c = fixtures.random_inequality(rng, n)
+        col = BddCollection()
+        b = bdd_from_inequality(c, col)
+        sols = fixtures.brute_force_constraint_solutions(c, n)
+        if b == ALWAYS_FALSE:
+            assert len(sols) == 0
+        elif b == ALWAYS_TRUE:
+            assert len(sols) == 2 ** n
+        else:
+            check_bdd_matches_constraint(col, b, c, n)
+
+
+def test_gcd_reduction():
+    c = Constraint([2, 4, 6], [(0,), (1,), (2,)], Ineq.LEQ, 7)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    check_bdd_matches_constraint(col, b, c, 3)
+    # equality with non-divisible rhs is infeasible
+    c2 = Constraint([2, 4], [(0,), (1,)], Ineq.EQ, 3)
+    col2 = BddCollection()
+    assert bdd_from_inequality(c2, col2) == ALWAYS_FALSE
+
+
+def test_qbdd_paths_cover_all_support():
+    # x0 + 2 x2 <= 2 over vars {0, 2}; then qbdd over support
+    c = Constraint([1, 3, 2], [(0,), (1,), (2,)], Ineq.LEQ, 3)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    q = col.make_qbdd(b)
+    assert col.is_qbdd(q)
+    check_bdd_matches_constraint(col, q, c, 3)
+    assert col.nr_solutions(q) == col.nr_solutions(b)
+
+
+def test_qbdd_random():
+    rng = random.Random(7)
+    for trial in range(40):
+        n = rng.randint(2, 6)
+        c = fixtures.random_inequality(rng, n)
+        col = BddCollection()
+        b = bdd_from_inequality(c, col)
+        if isinstance(b, str):
+            continue
+        q = col.make_qbdd(b)
+        assert col.is_qbdd(q)
+        check_bdd_matches_constraint(col, q, c, n)
+
+
+def test_bdd_and():
+    c1 = Constraint([1, 1, 1], [(0,), (1,), (2,)], Ineq.EQ, 1)
+    c2 = Constraint([1, 1], [(0,), (1,)], Ineq.LEQ, 1)
+    c3 = Constraint([1, -1], [(1,), (2,)], Ineq.EQ, 0)
+    col = BddCollection()
+    b1 = bdd_from_inequality(c1, col)
+    b2 = bdd_from_inequality(c2, col)
+    b3 = bdd_from_inequality(c3, col)
+    m = col.bdd_and([b1, b2, b3])
+    for bits in range(8):
+        x = [(bits >> i) & 1 for i in range(3)]
+        expected = c1.evaluate(x) and c2.evaluate(x) and c3.evaluate(x)
+        assert col.evaluate(m, x) == expected
+
+
+def test_reduce_canonical():
+    # build a qbdd (redundant chains) and reduce back
+    c = Constraint([1, 1, 1, 1], [(v,) for v in range(4)], Ineq.LEQ, 2)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    q = col.make_qbdd(b)
+    r = col.reduce(q)
+    assert col.nr_bdd_nodes(r) == col.nr_bdd_nodes(b)
+    check_bdd_matches_constraint(col, r, c, 4)
+
+
+def test_negate():
+    c = Constraint([1, 1], [(0,), (1,)], Ineq.LEQ, 1)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    nb = col.negate(b)
+    for bits in range(4):
+        x = [(bits >> i) & 1 for i in range(2)]
+        assert col.evaluate(nb, x) == (not c.evaluate(x))
+
+
+def test_fixed_variables():
+    # x0 = 1 forced, x1 free
+    c = Constraint([2, 1], [(0,), (1,)], Ineq.GEQ, 2)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    zeros, ones = col.fixed_variables(b)
+    assert zeros == []
+    assert ones == [0]
+
+
+def test_split_qbdd_preserves_solutions():
+    rng = random.Random(3)
+    for trial in range(20):
+        n = rng.randint(5, 8)
+        c = fixtures.random_inequality(rng, n)
+        col = BddCollection()
+        b = bdd_from_inequality(c, col)
+        if isinstance(b, str):
+            continue
+        q = col.make_qbdd(b)
+        support = col.variables(q)
+        chunks, next_aux = col.split_qbdd(q, 3, 100)
+        if len(chunks) == 1:
+            continue
+        # joint solutions of all chunks, projected to original support, must
+        # equal the original BDD's solutions (aux vars uniquely determined).
+        orig = set()
+        for sol in col.solutions(q):
+            orig.add(tuple(sol[v] for v in support))
+        # enumerate joint assignments over support + aux
+        aux_vars = sorted(
+            set(v for ch in chunks for v in col.variables(ch)) - set(support)
+        )
+        joint = set()
+        width = max([100] + aux_vars + support) + 1
+        all_vars = support + aux_vars
+        for bits in range(2 ** len(all_vars)):
+            full = [0] * width
+            for i, v in enumerate(all_vars):
+                full[v] = (bits >> i) & 1
+            if all(col.evaluate(ch, full) for ch in chunks):
+                joint.add(tuple(full[v] for v in support))
+        assert joint == orig
+
+
+def test_preprocessor_short_chain():
+    ilp = parse_lp_string(fixtures.SHORT_MRF_CHAIN)
+    pre = BddPreprocessor(ilp)
+    assert pre.collection.nr_bdds() == 7
+    for b in range(pre.collection.nr_bdds()):
+        assert pre.collection.is_qbdd(b)
+
+
+def test_preprocessor_infeasible():
+    ilp = parse_lp_string(
+        """Minimize
+x
+Subject To
+x + x >= 3
+End"""
+    )
+    with pytest.raises(InfeasibleError):
+        BddPreprocessor(ilp)
+
+
+def test_preprocessor_free_variable_bdd():
+    ilp = parse_lp_string(
+        """Minimize
+x + 2 y
+Subject To
+x <= 1
+y >= 0
+End"""
+    )
+    pre = BddPreprocessor(ilp)
+    # both constraints trivially true -> dropped; x,y get free BDDs
+    assert pre.collection.nr_bdds() == 2
+
+
+def test_preprocessor_nonlinear():
+    ilp = parse_lp_string(
+        """Minimize
+x + y
+Subject To
+x*y + x <= 1
+End"""
+    )
+    pre = BddPreprocessor(ilp)
+    assert pre.nr_primal_variables == 3  # x, y, prod
+    assert pre.collection.nr_bdds() >= 3
