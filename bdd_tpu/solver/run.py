@@ -1,0 +1,80 @@
+"""Dual-ascent termination loop (ref: include/run_solver_util.h:10-78).
+
+Works with any solver exposing ``iteration()`` and ``lower_bound()`` (the duck
+interface shared by RefSolver and JaxSolver). To avoid host<->device ping-pong
+on TPU, solvers may expose ``iteration_block(n)`` running n iterations inside
+one compiled scan; the loop then checks termination once per block.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+from bdd_tpu.utils.logging import bdd_log
+
+
+def run_solver(
+    s,
+    max_iter: int = 1000,
+    tolerance: float = 1e-9,
+    improvement_slope: float = 1e-6,
+    time_limit: float = 3600.0,
+    verbose: bool = True,
+    block_size: int = 1,
+) -> float:
+    """Iterate until max_iter / time limit / relative tolerance / improvement
+    slope vs first-iteration gain / infeasibility (lb = inf).
+
+    Exact criteria of run_solver_util.h:37-74:
+      - |lb_cur - lb_prev| < |tolerance * lb_prev|
+      - |lb_cur - lb_prev| < improvement_slope * |lb_initial - lb_first_iter|
+    Returns the final lower bound."""
+    assert 0.0 <= improvement_slope < 1.0
+    start = time.monotonic()
+    lb_initial = s.lower_bound()
+    lb_first_iter = None
+    lb_post = lb_initial
+    if verbose:
+        bdd_log(f"[bdd solver] initial lower bound = {lb_initial:.6f}")
+    it = 0
+    while it < max_iter:
+        n = min(block_size, max_iter - it)
+        if n > 1 and hasattr(s, "iteration_block"):
+            s.iteration_block(n)
+        else:
+            n = 1
+            s.iteration()
+        it += n
+        lb_prev = lb_post
+        lb_post = s.lower_bound()
+        if lb_first_iter is None:
+            lb_first_iter = lb_post
+        elapsed = time.monotonic() - start
+        if verbose:
+            bdd_log(
+                f"[bdd solver] iteration {it}, lower bound = {lb_post:.6f}, "
+                f"time = {elapsed:.3f} s"
+            )
+        if elapsed > time_limit:
+            if verbose:
+                bdd_log("[bdd solver] Time limit reached.")
+            break
+        if math.isinf(lb_post):
+            if verbose:
+                bdd_log("[bdd solver] problem infeasible")
+            break
+        if abs(lb_prev - lb_post) < abs(tolerance * lb_prev) * n:
+            if verbose:
+                bdd_log(f"[bdd solver] Relative progress less than tolerance ({tolerance})")
+            break
+        if abs(lb_prev - lb_post) < improvement_slope * abs(lb_initial - lb_first_iter) * n:
+            if verbose:
+                bdd_log(
+                    f"[bdd solver] improvement smaller than {100 * improvement_slope}% "
+                    "of initial improvement"
+                )
+            break
+    if verbose:
+        bdd_log(f"[bdd solver] final lower bound = {lb_post:.6f}")
+    return lb_post

@@ -1,0 +1,59 @@
+"""End-to-end pipeline tests: parse -> BDDs -> dual solve -> rounding.
+
+(ref analogue: test/bdd_solver_regression_test.cpp on fixture scale)
+"""
+import math
+
+import pytest
+
+from bdd_tpu.api import BddSolver
+from tests import fixtures
+
+
+@pytest.mark.parametrize("solver_name", ["ref mma", "jax mma"])
+@pytest.mark.parametrize(
+    "lp",
+    [fixtures.SHORT_MRF_CHAIN, fixtures.MATCHING_3x3, fixtures.COVERING],
+)
+def test_end_to_end(lp, solver_name):
+    s = BddSolver(
+        {
+            "relaxation solver": solver_name,
+            "variable order": "bfs",
+            "termination criteria": {"maximum iterations": 300},
+        }
+    )
+    s.read_ilp(lp_string=lp)
+    result = s.solve(verbose=False)
+    opt, _ = fixtures.brute_force_ilp_optimum(s.ilp)
+    assert result["status"] == "solved"
+    assert result["lower_bound"] <= opt + 1e-4
+    assert "solution" in result, "rounding failed"
+    assert result["objective"] == pytest.approx(opt, abs=1e-6)
+
+
+def test_end_to_end_infeasible():
+    s = BddSolver({"relaxation solver": "ref mma"})
+    s.read_ilp(lp_string=fixtures.INFEASIBLE)
+    result = s.solve(verbose=False)
+    assert result["status"] == "infeasible"
+
+
+def test_variable_reordering_invariance():
+    """Same converged lb for permuted variables
+    (ref: test_variable_reordering_invariance.cpp)."""
+    lbs = []
+    for order in ("input", "bfs", "cuthill", "minimum degree"):
+        s = BddSolver(
+            {
+                "relaxation solver": "ref mma",
+                "variable order": order,
+                "termination criteria": {"maximum iterations": 300},
+            }
+        )
+        s.read_ilp(lp_string=fixtures.MATCHING_3x3)
+        s.process_ilp()
+        s.transform_to_bdds()
+        s.construct_solver()
+        lbs.append(s.solve_dual(verbose=False))
+    assert max(lbs) - min(lbs) < 1e-4
