@@ -278,11 +278,16 @@ def _hop_cost_update(
 
 
 def forward_iteration(
-    geom: DenseGeom, state: SolverState, omega
+    geom: DenseGeom, state: SolverState, omega, delta=None
 ) -> Tuple[SolverState, jnp.ndarray]:
-    """Forward half-sweep: returns (new state [cft unchanged], cfr [H, W])."""
+    """Forward half-sweep: returns (new state [cft unchanged], cfr [H, W]).
+
+    ``delta``: optional precomputed per-variable (delta_lo, delta_hi) [V+1]
+    pair — the multi-chip path passes the psum-reduced global deltas here
+    (generalizing the hybrid CPU/GPU consensus exchange,
+    bdd_multi_parallel_mma_base.cu:268-455)."""
     W, L = geom.W, geom.L
-    dlo, dhi = compute_delta(geom, state.def_mm)
+    dlo, dhi = compute_delta(geom, state.def_mm) if delta is None else delta
     cft_next = jnp.concatenate(
         [state.cft[1:], jnp.full((1, W), INF, dtype=state.lo.dtype)], axis=0
     )
@@ -345,11 +350,11 @@ def forward_iteration(
 
 
 def backward_iteration(
-    geom: DenseGeom, state: SolverState, omega, cfr: jnp.ndarray
+    geom: DenseGeom, state: SolverState, omega, cfr: jnp.ndarray, delta=None
 ) -> SolverState:
     """Backward half-sweep: returns new state with refreshed cft."""
     W, L = geom.W, geom.L
-    dlo, dhi = compute_delta(geom, state.def_mm)
+    dlo, dhi = compute_delta(geom, state.def_mm) if delta is None else delta
     omega_arr = jnp.broadcast_to(
         jnp.asarray(omega, dtype=state.lo.dtype), state.lo.shape
     )
@@ -444,3 +449,100 @@ def lower_bound_with_deferred(geom: DenseGeom, state: SolverState) -> jnp.ndarra
 def lower_bound(geom: DenseGeom, state: SolverState) -> jnp.ndarray:
     cft = backward_run(geom, state.lo, state.hi)
     return lower_bound_from_cft(geom, cft)
+
+
+# --------------------------------------------------- solutions & dual algebra
+@jax.jit
+def bdds_solution(geom: DenseGeom, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """Per-layer 0/1 argmin-path choice of every BDD, [H, L] int8 (garbage at
+    invalid layers). TPU formulation of bdds_solution_cuda
+    (bdd_cuda_base.cu:1104-1233): every hop advances all BDDs' path pointers
+    in parallel; dead/pad slots park at index W."""
+    W, L = geom.W, geom.L
+    cft = backward_run(geom, lo, hi)
+    cft_next = jnp.concatenate([cft[1:], jnp.full((1, W), INF, dtype=lo.dtype)], 0)
+
+    active0 = jnp.where(
+        geom.node_valid[0],
+        jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0).squeeze(-1),
+        W,
+    )
+
+    def pad1(row, fill):
+        return jnp.concatenate([row, jnp.array([fill], row.dtype)])
+
+    def step(active, xs):
+        (llocal, lo_k, lo_n, hi_k, hi_n, lo_row, hi_row, cft_next_row) = xs
+        llocal_a = pad1(llocal, L)[active]
+        lo_k_a = pad1(lo_k, ARC_BOT)[active]
+        hi_k_a = pad1(hi_k, ARC_BOT)[active]
+        lo_n_a = pad1(lo_n, W)[active]
+        hi_n_a = pad1(hi_n, W)[active]
+        c_lo = jnp.concatenate([lo_row, jnp.zeros(1, lo_row.dtype)])[llocal_a]
+        c_hi = jnp.concatenate([hi_row, jnp.zeros(1, hi_row.dtype)])[llocal_a]
+        cftp = jnp.concatenate([cft_next_row, jnp.zeros(1, cft_next_row.dtype)])
+        t_lo = jnp.where(
+            lo_k_a == ARC_TOP, 0.0, jnp.where(lo_k_a == ARC_BOT, INF, cftp[lo_n_a])
+        )
+        t_hi = jnp.where(
+            hi_k_a == ARC_TOP, 0.0, jnp.where(hi_k_a == ARC_BOT, INF, cftp[hi_n_a])
+        )
+        take_hi = (c_hi + t_hi) <= (c_lo + t_lo)
+        sol_row = (
+            jnp.zeros((L + 1,), dtype=jnp.int8)
+            .at[llocal_a]
+            .set(take_hi.astype(jnp.int8))[:L]
+        )
+        nxt = jnp.where(take_hi, hi_n_a, lo_n_a)
+        nxt = jnp.where(
+            jnp.where(take_hi, hi_k_a, lo_k_a) == ARC_INTERNAL, nxt, W
+        )
+        return nxt, sol_row
+
+    xs = (
+        geom.layer_local,
+        geom.lo_kind,
+        geom.lo_next,
+        geom.hi_kind,
+        geom.hi_next,
+        lo,
+        hi,
+        cft_next,
+    )
+    _, sol = jax.lax.scan(step, active0, xs)
+    return sol
+
+
+@jax.jit
+def net_solver_costs(geom: DenseGeom, state: SolverState) -> jnp.ndarray:
+    """Per-layer net cost x = (hi - lo) including the deferred delta share
+    (ref: bdd_parallel_mma_base.cpp:1285-1327). [H, L], 0 at invalid layers."""
+    dlo, dhi = compute_delta(geom, state.def_mm)
+    net = (
+        state.hi
+        - state.lo
+        + geom.alpha * (dhi[geom.layer_var] - dlo[geom.layer_var])
+    )
+    return jnp.where(geom.layer_valid, net, 0.0)
+
+
+@jax.jit
+def make_dual_feasible(geom: DenseGeom, g: jnp.ndarray) -> jnp.ndarray:
+    """Zero-sum projection per primal variable: g -= mean over the variable's
+    layers (ref: bdd_parallel_mma_base.cpp:1349-1369)."""
+    g = jnp.where(geom.layer_valid, g, 0.0)
+    sums = jax.ops.segment_sum(
+        g.ravel(), geom.layer_var.ravel(), num_segments=geom.V + 1
+    )
+    proj = g - geom.alpha * sums[geom.layer_var]
+    return jnp.where(geom.layer_valid, proj, 0.0)
+
+
+@jax.jit
+def gradient_step(
+    geom: DenseGeom, state: SolverState, g: jnp.ndarray, step_size
+) -> SolverState:
+    """hi_cost += step * g (ref: bdd_parallel_mma_base.cpp:1371-1396)."""
+    hi = state.hi + jnp.where(geom.layer_valid, step_size * g, 0.0)
+    cft = backward_run(geom, state.lo, hi)
+    return state._replace(hi=hi, cft=cft)
