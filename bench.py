@@ -32,7 +32,9 @@ def main() -> int:
     from bdd_tpu.utils.problems import grid_mrf
 
     rows, cols, labels = 12, 12, 4
-    n_iters = 200
+    block = 50
+    n_blocks = 4
+    n_iters = block * n_blocks
     t0 = time.time()
     ilp = grid_mrf(rows, cols, labels, seed=0)
     ilp.reorder_bfs()
@@ -53,18 +55,27 @@ def main() -> int:
     geom = js.geom_from_dense(dense, dtype=jnp.float32)
     state = js.init_state(geom, dense, pre.objective_vector(), dtype=jnp.float32)
 
-    # warm-up / compile
+    def sync(s):
+        # the axon remote backend is lazy: block_until_ready returns before
+        # execution; pulling a scalar to host forces the queue to drain
+        return float(s.lo[0, 0])
+
+    # warm-up / compile (same block size as the timed loop -> one executable)
     t0 = time.time()
-    warm = js.iterations(geom, state, 5, 0.5)
-    jax.block_until_ready(warm)
+    warm = js.iterations(geom, state, block, 0.5)
+    sync(warm)
     print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    out = js.iterations(geom, warm, n_iters, 0.5)
-    jax.block_until_ready(out)
+    out = warm
+    for _ in range(n_blocks):
+        out = js.iterations(geom, out, block, 0.5)
+    sync(out)
     tpu_time = time.time() - t0
     tpu_ips = n_iters / tpu_time
+    t0 = time.time()
     lb = float(js.lower_bound_with_deferred(geom, out))
+    print(f"# lb compile+eval: {time.time() - t0:.1f}s", file=sys.stderr)
     print(
         f"# tpu: {n_iters} iters in {tpu_time:.2f}s = {tpu_ips:.1f} it/s, lb={lb:.4f}",
         file=sys.stderr,
