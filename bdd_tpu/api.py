@@ -32,7 +32,7 @@ DEFAULT_CONFIG = {
     "variable order": "input",  # input|bfs|minimum degree|cuthill
     "normalize constraints": True,
     "precision": "double",  # float|double
-    "relaxation solver": "jax mma",
+    "relaxation solver": "uniform mma",
     "split chunk size": None,  # cap BDD depth (sequence parallelism)
     "termination criteria": {
         "maximum iterations": 1000,
@@ -128,17 +128,29 @@ class BddSolver:
             self.solver = RefSolver(
                 self.flat, obj, dtype=np.float64 if double else np.float32
             )
-        elif name in ("cuda parallel mma", "jax mma", "mma", "lbfgs parallel mma",
-                      "lbfgs cuda parallel mma", "lbfgs jax mma", "subgradient"):
+        elif name in ("cuda parallel mma", "jax mma", "mma", "uniform mma",
+                      "lbfgs parallel mma", "lbfgs cuda parallel mma",
+                      "lbfgs jax mma", "subgradient", "dense mma"):
             import jax.numpy as jnp
 
             if double:
                 import jax
 
                 jax.config.update("jax_enable_x64", True)
-            base = JaxSolver(
-                self.flat, obj, dtype=jnp.float64 if double else jnp.float32
-            )
+            dt = jnp.float64 if double else jnp.float32
+            if name == "dense mma" or name.startswith("lbfgs") or name == "subgradient":
+                # outer loops need the dense backend's solution primitives
+                base = JaxSolver(self.flat, obj, dtype=dt)
+            else:
+                from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+                base = UniformSolver(
+                    self.pre.collection,
+                    self.pre.total_nr_variables(),
+                    obj,
+                    nr_primal_vars=self.pre.nr_primal_variables,
+                    dtype=dt,
+                )
             if name.startswith("lbfgs"):
                 from bdd_tpu.solver.lbfgs import LbfgsSolver
 

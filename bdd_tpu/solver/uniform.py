@@ -1,0 +1,532 @@
+"""Uniform-bucketed TPU backend — the performance compute path.
+
+Key observation (TPU-first redesign of the CUDA hop-sweep): in all benchmark
+families the per-(bdd, hop) layer width is tiny (simplex: 2, marginalization /
+cardinality: a handful), while the number of BDDs is huge. So instead of the
+reference's flat hop-major node array with atomic scatter
+(bdd_cuda_base.h:183-207), we give every BDD a FIXED power-of-two slot width P
+and batch BDDs of similar (width, depth) into buckets of dense tensors
+
+    costs [H, B]      (one layer per (hop, bdd))
+    nodes [H, P, B]   (slot-padded; root at slot 0)
+
+The hop relaxation then needs NO gather and NO scatter: child links are
+slot-local indices < P, and both the frontier update and the min-marginal
+reduction become one-hot-masked [P, P, B] elementwise min-reductions — pure
+VPU work on lane-aligned tensors. BDDs are independent within a half-sweep
+(coupling happens only through the per-variable delta between sweeps), so each
+bucket runs as its own ``lax.scan``.
+
+The delta consensus (segment-sum per primal variable + isotropic division) is
+the only irregular op left, executed once per half-sweep.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdd_tpu.bdd.collection import BOT, TOP, BddCollection
+
+INF = jnp.inf
+
+ARC_INTERNAL = 0
+ARC_TOP = 1
+ARC_BOT = 2
+
+
+def _pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BucketGeom(NamedTuple):
+    """Static geometry of one (width, depth) bucket. Shapes noted per leaf."""
+
+    node_valid: jnp.ndarray  # bool [H, P, B]
+    lo_kind: jnp.ndarray  # int32 [H, P, B]
+    lo_slot: jnp.ndarray  # int32 [H, P, B]
+    hi_kind: jnp.ndarray
+    hi_slot: jnp.ndarray
+    layer_valid: jnp.ndarray  # bool [H, B]
+    layer_var: jnp.ndarray  # int32 [H, B]  (pad -> V sentinel)
+    alpha: jnp.ndarray  # [H, B]
+
+    @property
+    def H(self) -> int:
+        return self.node_valid.shape[0]
+
+    @property
+    def P(self) -> int:
+        return self.node_valid.shape[1]
+
+    @property
+    def B(self) -> int:
+        return self.node_valid.shape[2]
+
+
+class UniformGeom(NamedTuple):
+    buckets: Tuple[BucketGeom, ...]
+    num_bdds_per_var: jnp.ndarray  # int32 [V]
+
+    @property
+    def V(self) -> int:
+        return self.num_bdds_per_var.shape[0]
+
+
+class UniformState(NamedTuple):
+    lo: Tuple[jnp.ndarray, ...]  # per bucket [H, B]
+    hi: Tuple[jnp.ndarray, ...]
+    def_mm: Tuple[jnp.ndarray, ...]
+    cft: Tuple[jnp.ndarray, ...]  # per bucket [H, P, B]
+
+
+class UniformHost(NamedTuple):
+    """Host-side bookkeeping for import/export."""
+
+    geom: UniformGeom
+    bdd_of_col: Tuple[np.ndarray, ...]  # per bucket [B] original bdd nr (-1 pad)
+    depths: Tuple[np.ndarray, ...]  # per bucket [B]
+    nr_vars: int
+    nr_primal_vars: int
+    nr_bdds: int
+
+
+def flatten_uniform(
+    collection: BddCollection,
+    nr_vars: int,
+    nr_primal_vars: Optional[int] = None,
+    dtype=jnp.float32,
+    lane_pad: int = 128,
+    counts_override: Optional[np.ndarray] = None,
+    keep_bdds: Optional[Sequence[int]] = None,
+) -> UniformHost:
+    """Build bucketed uniform arrays from a QBDD collection.
+
+    ``counts_override``: global per-variable BDD counts (multi-shard case).
+    ``keep_bdds``: subset of BDD numbers to include (sharding); default all.
+    """
+    if nr_primal_vars is None:
+        nr_primal_vars = nr_vars
+    bdd_nrs = list(keep_bdds) if keep_bdds is not None else list(range(collection.nr_bdds()))
+
+    # per-bdd structure
+    info = []  # (bucket_key, bdd_nr, levels, vars, slots)
+    for b in bdd_nrs:
+        levels = collection.node_levels(b)
+        depth = max(levels) + 1
+        lvars = collection.level_variables(b)
+        # slot assignment: nodes of (b, h) numbered in node order, root slot 0
+        counts: Dict[int, int] = {}
+        slots = []
+        for lvl in levels:
+            s = counts.get(lvl, 0)
+            slots.append(s)
+            counts[lvl] = s + 1
+        width = max(counts.values())
+        key = (_pow2(width), _pow2(depth))
+        info.append((key, b, levels, lvars, slots, depth))
+
+    buckets_members: Dict[Tuple[int, int], List] = {}
+    for item in info:
+        buckets_members.setdefault(item[0], []).append(item)
+
+    # global per-variable counts
+    if counts_override is not None:
+        counts_global = np.asarray(counts_override, dtype=np.int32)
+    else:
+        counts_global = np.zeros(nr_vars, dtype=np.int32)
+        for (_, b, levels, lvars, slots, depth) in info:
+            for v in lvars:
+                counts_global[v] += 1
+    counts_safe = np.maximum(counts_global, 1)
+
+    bucket_geoms: List[BucketGeom] = []
+    bdd_of_cols: List[np.ndarray] = []
+    depths_l: List[np.ndarray] = []
+    for key in sorted(buckets_members.keys()):
+        members = buckets_members[key]
+        P, H = key
+        nB = len(members)
+        pad = lane_pad if nB >= lane_pad else 8
+        B = _pad_to(nB, pad)
+        node_valid = np.zeros((H, P, B), dtype=bool)
+        lo_kind = np.full((H, P, B), ARC_BOT, dtype=np.int32)
+        lo_slot = np.zeros((H, P, B), dtype=np.int32)
+        hi_kind = np.full((H, P, B), ARC_BOT, dtype=np.int32)
+        hi_slot = np.zeros((H, P, B), dtype=np.int32)
+        layer_valid = np.zeros((H, B), dtype=bool)
+        layer_var = np.full((H, B), nr_vars, dtype=np.int32)
+        bdd_of_col = np.full(B, -1, dtype=np.int64)
+        depths = np.zeros(B, dtype=np.int32)
+        for col, (_, b, levels, lvars, slots, depth) in enumerate(members):
+            bdd_of_col[col] = b
+            depths[col] = depth
+            s0, _ = collection.node_range(b)
+            for h in range(depth):
+                layer_valid[h, col] = True
+                layer_var[h, col] = lvars[h]
+            for i_local, (lvl, slot) in enumerate(zip(levels, slots)):
+                node_valid[lvl, slot, col] = True
+                n_abs = s0 + i_local
+                for child, kind_arr, slot_arr in (
+                    (collection.lo[n_abs], lo_kind, lo_slot),
+                    (collection.hi[n_abs], hi_kind, hi_slot),
+                ):
+                    if child == TOP:
+                        kind_arr[lvl, slot, col] = ARC_TOP
+                    elif child == BOT:
+                        kind_arr[lvl, slot, col] = ARC_BOT
+                    else:
+                        kind_arr[lvl, slot, col] = ARC_INTERNAL
+                        slot_arr[lvl, slot, col] = slots[child - s0]
+        alpha = np.zeros((H, B))
+        m = layer_valid
+        alpha[m] = 1.0 / counts_safe[layer_var[m]]
+        bucket_geoms.append(
+            BucketGeom(
+                node_valid=jnp.asarray(node_valid),
+                lo_kind=jnp.asarray(lo_kind),
+                lo_slot=jnp.asarray(lo_slot),
+                hi_kind=jnp.asarray(hi_kind),
+                hi_slot=jnp.asarray(hi_slot),
+                layer_valid=jnp.asarray(layer_valid),
+                layer_var=jnp.asarray(layer_var),
+                alpha=jnp.asarray(alpha, dtype=dtype),
+            )
+        )
+        bdd_of_cols.append(bdd_of_col)
+        depths_l.append(depths)
+
+    geom = UniformGeom(
+        buckets=tuple(bucket_geoms),
+        num_bdds_per_var=jnp.asarray(counts_global, dtype=jnp.int32),
+    )
+    return UniformHost(
+        geom=geom,
+        bdd_of_col=tuple(bdd_of_cols),
+        depths=tuple(depths_l),
+        nr_vars=nr_vars,
+        nr_primal_vars=nr_primal_vars,
+        nr_bdds=len(bdd_nrs),
+    )
+
+
+def init_uniform_state(
+    host: UniformHost, objective, dtype=jnp.float32
+) -> UniformState:
+    obj = np.asarray(objective, dtype=np.float64)
+    counts = np.maximum(np.asarray(host.geom.num_bdds_per_var), 1)
+    lo_l, hi_l, mm_l, cft_l = [], [], [], []
+    for g in host.geom.buckets:
+        lvar = np.asarray(g.layer_var)
+        lvalid = np.asarray(g.layer_valid)
+        hi = np.zeros(lvar.shape)
+        hi[lvalid] = obj[lvar[lvalid]] / counts[lvar[lvalid]]
+        lo_l.append(jnp.zeros(lvar.shape, dtype=dtype))
+        hi_l.append(jnp.asarray(hi, dtype=dtype))
+        mm_l.append(jnp.zeros(lvar.shape, dtype=dtype))
+        cft_l.append(jnp.zeros(g.node_valid.shape, dtype=dtype))
+    state = UniformState(tuple(lo_l), tuple(hi_l), tuple(mm_l), tuple(cft_l))
+    cft = tuple(
+        bucket_backward_run(g, lo, hi)
+        for g, lo, hi in zip(host.geom.buckets, state.lo, state.hi)
+    )
+    return state._replace(cft=cft)
+
+
+# ------------------------------------------------------------ bucket kernels
+def _child_cft(kind, slot, cft_next, P):
+    """cft of the child along one arc type, [P, B]. Gather over the slot axis
+    via a one-hot mask (slot values < P, unrolled by XLA)."""
+    # onehot[k, p, b] = (slot[p, b] == k)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
+    onehot = slot[None, :, :] == iota  # [P(k), P(p), B]
+    gathered = jnp.sum(
+        jnp.where(onehot, cft_next[:, None, :], 0.0), axis=0
+    )  # [P(p), B]
+    return jnp.where(
+        kind == ARC_TOP, 0.0, jnp.where(kind == ARC_BOT, INF, gathered)
+    )
+
+
+def _relax_next(vals, kind, slot, valid, P):
+    """Frontier relaxation: next_cfr[k, b] = min over source slots p with an
+    internal arc into k (scatter-min as masked min-reduction)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
+    mask = (slot[None] == iota) & (kind[None] == ARC_INTERNAL) & valid[None]
+    return jnp.min(jnp.where(mask, vals[None], INF), axis=1)  # [P(k), B]
+
+
+def _hop_cost_update(lo_row, hi_row, m0, m1, omega_row, alpha_row, din_lo, din_hi, lvalid):
+    """Same contract as jax_solver._hop_cost_update, on [B] rows."""
+    fin0 = jnp.isfinite(m0)
+    fin1 = jnp.isfinite(m1)
+    both = fin0 & fin1
+    diff = jnp.where(both, m1 - m0, 0.0)
+    diff = jnp.where(jnp.isnan(diff), 0.0, diff)
+    mm_rm = omega_row * diff
+    new_lo = jnp.where(fin0, lo_row - jnp.maximum(-mm_rm, 0.0), INF) + alpha_row * din_lo
+    new_hi = jnp.where(fin1, hi_row - jnp.maximum(mm_rm, 0.0), INF) + alpha_row * din_hi
+    def_mm = jnp.where(both, mm_rm, jnp.where(fin1, -INF, INF))
+    return (
+        jnp.where(lvalid, new_lo, 0.0),
+        jnp.where(lvalid, new_hi, 0.0),
+        jnp.where(lvalid, def_mm, 0.0),
+    )
+
+
+def bucket_backward_run(g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    P = g.P
+
+    def step(cft_next, xs):
+        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row) = xs
+        t_lo = _child_cft(lo_k, lo_s, cft_next, P)
+        t_hi = _child_cft(hi_k, hi_s, cft_next, P)
+        cft_row = jnp.where(
+            nvalid, jnp.minimum(lo_row[None] + t_lo, hi_row[None] + t_hi), INF
+        )
+        return cft_row, cft_row
+
+    xs = (g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot, lo, hi)
+    init = jnp.full((P, g.B), INF, dtype=lo.dtype)
+    _, cft = jax.lax.scan(step, init, xs, reverse=True)
+    return cft
+
+
+def bucket_forward_run(g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    P = g.P
+    cfr0 = jnp.where(g.node_valid[0], 0.0, INF).astype(lo.dtype)
+
+    def step(cfr_row, xs):
+        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row) = xs
+        nxt = jnp.minimum(
+            _relax_next(cfr_row + lo_row[None], lo_k, lo_s, nvalid, P),
+            _relax_next(cfr_row + hi_row[None], hi_k, hi_s, nvalid, P),
+        )
+        return nxt, cfr_row
+
+    xs = (g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot, lo, hi)
+    _, cfr = jax.lax.scan(step, cfr0, xs)
+    return cfr
+
+
+def bucket_min_marginals(
+    g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    P = g.P
+    cfr = bucket_forward_run(g, lo, hi)
+    cft = bucket_backward_run(g, lo, hi)
+    cft_next = jnp.concatenate(
+        [cft[1:], jnp.full((1, P, g.B), INF, dtype=lo.dtype)], axis=0
+    )
+
+    def per_hop(cfr_row, cft_next_row, nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row):
+        t_lo = _child_cft(lo_k, lo_s, cft_next_row, P)
+        t_hi = _child_cft(hi_k, hi_s, cft_next_row, P)
+        lo_path = jnp.where(nvalid, cfr_row + lo_row[None] + t_lo, INF)
+        hi_path = jnp.where(nvalid, cfr_row + hi_row[None] + t_hi, INF)
+        return jnp.min(lo_path, axis=0), jnp.min(hi_path, axis=0)
+
+    return jax.vmap(per_hop)(
+        cfr,
+        cft_next,
+        g.node_valid,
+        g.lo_kind,
+        g.lo_slot,
+        g.hi_kind,
+        g.hi_slot,
+        lo,
+        hi,
+    )
+
+
+def bucket_forward_iteration(
+    g: BucketGeom,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    cft: jnp.ndarray,
+    omega,
+    din_lo: jnp.ndarray,
+    din_hi: jnp.ndarray,
+):
+    """One forward half-sweep of a bucket. din_*: [H, B] pre-gathered deltas."""
+    P = g.P
+    cft_next = jnp.concatenate(
+        [cft[1:], jnp.full((1, P, g.B), INF, dtype=lo.dtype)], axis=0
+    )
+    cfr0 = jnp.where(g.node_valid[0], 0.0, INF).astype(lo.dtype)
+    omega_arr = jnp.broadcast_to(jnp.asarray(omega, dtype=lo.dtype), lo.shape)
+
+    def step(cfr_row, xs):
+        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row, om, al, dlo, dhi, lval, cftn) = xs
+        t_lo = _child_cft(lo_k, lo_s, cftn, P)
+        t_hi = _child_cft(hi_k, hi_s, cftn, P)
+        lo_path = jnp.where(nvalid, cfr_row + lo_row[None] + t_lo, INF)
+        hi_path = jnp.where(nvalid, cfr_row + hi_row[None] + t_hi, INF)
+        m0 = jnp.min(lo_path, axis=0)
+        m1 = jnp.min(hi_path, axis=0)
+        new_lo, new_hi, mm = _hop_cost_update(lo_row, hi_row, m0, m1, om, al, dlo, dhi, lval)
+        nxt = jnp.minimum(
+            _relax_next(cfr_row + new_lo[None], lo_k, lo_s, nvalid, P),
+            _relax_next(cfr_row + new_hi[None], hi_k, hi_s, nvalid, P),
+        )
+        return nxt, (new_lo, new_hi, mm, cfr_row)
+
+    xs = (
+        g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot,
+        lo, hi, omega_arr, g.alpha, din_lo, din_hi, g.layer_valid, cft_next,
+    )
+    _, (new_lo, new_hi, new_mm, cfr) = jax.lax.scan(step, cfr0, xs)
+    return new_lo, new_hi, new_mm, cfr
+
+
+def bucket_backward_iteration(
+    g: BucketGeom,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    cfr: jnp.ndarray,
+    omega,
+    din_lo: jnp.ndarray,
+    din_hi: jnp.ndarray,
+):
+    P = g.P
+    omega_arr = jnp.broadcast_to(jnp.asarray(omega, dtype=lo.dtype), lo.shape)
+
+    def step(cft_next, xs):
+        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row, om, al, dlo, dhi, lval, cfr_row) = xs
+        t_lo = _child_cft(lo_k, lo_s, cft_next, P)
+        t_hi = _child_cft(hi_k, hi_s, cft_next, P)
+        lo_path = jnp.where(nvalid, cfr_row + lo_row[None] + t_lo, INF)
+        hi_path = jnp.where(nvalid, cfr_row + hi_row[None] + t_hi, INF)
+        m0 = jnp.min(lo_path, axis=0)
+        m1 = jnp.min(hi_path, axis=0)
+        new_lo, new_hi, mm = _hop_cost_update(lo_row, hi_row, m0, m1, om, al, dlo, dhi, lval)
+        cft_row = jnp.where(
+            nvalid, jnp.minimum(new_lo[None] + t_lo, new_hi[None] + t_hi), INF
+        )
+        return cft_row, (new_lo, new_hi, mm, cft_row)
+
+    xs = (
+        g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot,
+        lo, hi, omega_arr, g.alpha, din_lo, din_hi, g.layer_valid, cfr,
+    )
+    init = jnp.full((P, g.B), INF, dtype=lo.dtype)
+    _, (new_lo, new_hi, new_mm, cft) = jax.lax.scan(step, init, xs, reverse=True)
+    return new_lo, new_hi, new_mm, cft
+
+
+# --------------------------------------------------------------- global ops
+def compute_delta(
+    geom: UniformGeom, def_mm: Tuple[jnp.ndarray, ...]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    V = geom.V
+    dlo = jnp.zeros((V + 1,), dtype=def_mm[0].dtype)
+    dhi = jnp.zeros((V + 1,), dtype=def_mm[0].dtype)
+    for g, mm in zip(geom.buckets, def_mm):
+        ids = g.layer_var.ravel()
+        dlo = dlo + jax.ops.segment_sum(
+            jnp.maximum(-mm.ravel(), 0.0), ids, num_segments=V + 1
+        )
+        dhi = dhi + jax.ops.segment_sum(
+            jnp.maximum(mm.ravel(), 0.0), ids, num_segments=V + 1
+        )
+    return dlo.at[V].set(0.0), dhi.at[V].set(0.0)
+
+
+def iteration(
+    geom: UniformGeom, state: UniformState, omega=0.5, delta_reduce=None
+) -> UniformState:
+    """One full dual MMA iteration over all buckets.
+
+    ``delta_reduce``: optional callable applied to the (dlo, dhi) pair before
+    use — the sharded path passes a psum here."""
+    dlo, dhi = compute_delta(geom, state.def_mm)
+    if delta_reduce is not None:
+        dlo, dhi = delta_reduce(dlo, dhi)
+    new_lo, new_hi, new_mm, cfrs = [], [], [], []
+    for g, lo, hi, cft in zip(geom.buckets, state.lo, state.hi, state.cft):
+        nl, nh, mm, cfr = bucket_forward_iteration(
+            g, lo, hi, cft, omega, dlo[g.layer_var], dhi[g.layer_var]
+        )
+        new_lo.append(nl)
+        new_hi.append(nh)
+        new_mm.append(mm)
+        cfrs.append(cfr)
+    state = UniformState(tuple(new_lo), tuple(new_hi), tuple(new_mm), state.cft)
+
+    dlo, dhi = compute_delta(geom, state.def_mm)
+    if delta_reduce is not None:
+        dlo, dhi = delta_reduce(dlo, dhi)
+    new_lo, new_hi, new_mm, cfts = [], [], [], []
+    for g, lo, hi, cfr in zip(geom.buckets, state.lo, state.hi, cfrs):
+        nl, nh, mm, cft = bucket_backward_iteration(
+            g, lo, hi, cfr, omega, dlo[g.layer_var], dhi[g.layer_var]
+        )
+        new_lo.append(nl)
+        new_hi.append(nh)
+        new_mm.append(mm)
+        cfts.append(cft)
+    return UniformState(tuple(new_lo), tuple(new_hi), tuple(new_mm), tuple(cfts))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def iterations(geom: UniformGeom, state: UniformState, n: int, omega=0.5) -> UniformState:
+    def body(s, _):
+        return iteration(geom, s, omega), ()
+
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state
+
+
+def lower_bound_from_cft(geom: UniformGeom, cft: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    lb = jnp.asarray(0.0, dtype=cft[0].dtype)
+    for g, c in zip(geom.buckets, cft):
+        root = c[0, 0, :]  # root slot 0, hop 0
+        lb = lb + jnp.sum(jnp.where(g.layer_valid[0], root, 0.0))
+    return lb
+
+
+def distribute_delta(geom: UniformGeom, state: UniformState, delta_reduce=None) -> UniformState:
+    dlo, dhi = compute_delta(geom, state.def_mm)
+    if delta_reduce is not None:
+        dlo, dhi = delta_reduce(dlo, dhi)
+    lo_l, hi_l, mm_l, cft_l = [], [], [], []
+    for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
+        nl = lo + g.alpha * dlo[g.layer_var]
+        nh = hi + g.alpha * dhi[g.layer_var]
+        nl = jnp.where(g.layer_valid, nl, 0.0)
+        nh = jnp.where(g.layer_valid, nh, 0.0)
+        lo_l.append(nl)
+        hi_l.append(nh)
+        mm_l.append(jnp.zeros_like(lo))
+        cft_l.append(bucket_backward_run(g, nl, nh))
+    return UniformState(tuple(lo_l), tuple(hi_l), tuple(mm_l), tuple(cft_l))
+
+
+@jax.jit
+def lower_bound_with_deferred(geom: UniformGeom, state: UniformState) -> jnp.ndarray:
+    s = distribute_delta(geom, state)
+    return lower_bound_from_cft(geom, s.cft)
+
+
+@jax.jit
+def lower_bound(geom: UniformGeom, state: UniformState) -> jnp.ndarray:
+    return lower_bound_from_cft(geom, state.cft)
+
+
+@jax.jit
+def min_marginals_all(geom: UniformGeom, state: UniformState):
+    return tuple(
+        bucket_min_marginals(g, lo, hi)
+        for g, lo, hi in zip(geom.buckets, state.lo, state.hi)
+    )

@@ -1,0 +1,111 @@
+"""UniformSolver — object wrapper for the bucketed uniform TPU backend.
+
+Duck-compatible with RefSolver / JaxSolver (run loop, rounding, outer loops).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdd_tpu.bdd.collection import BddCollection
+from bdd_tpu.solver import uniform as uf
+
+INF = np.inf
+
+
+class UniformLayerView:
+    """The layer-indexed view the rounding decoder needs (a stand-in for
+    FlatBdds over the concatenated per-bucket [H*B] layer arrays)."""
+
+    def __init__(self, host: uf.UniformHost) -> None:
+        self.host = host
+        self.nr_vars = host.nr_vars
+        self.nr_primal_vars = host.nr_primal_vars
+        self.layer_var = np.concatenate(
+            [np.asarray(g.layer_var).ravel() for g in host.geom.buckets]
+        )
+        self._valid = np.concatenate(
+            [np.asarray(g.layer_valid).ravel() for g in host.geom.buckets]
+        )
+        self.num_bdds_per_var = np.asarray(host.geom.num_bdds_per_var)
+
+    def valid_layer_mask(self) -> np.ndarray:
+        return self._valid
+
+
+class UniformSolver:
+    default_block_size = 25
+
+    def __init__(
+        self,
+        collection: BddCollection,
+        nr_vars: int,
+        objective,
+        nr_primal_vars: Optional[int] = None,
+        dtype=jnp.float32,
+        omega: float = 0.5,
+    ) -> None:
+        self.host = uf.flatten_uniform(collection, nr_vars, nr_primal_vars, dtype=dtype)
+        self.geom = self.host.geom
+        self.state = uf.init_uniform_state(self.host, objective, dtype=dtype)
+        self.omega = omega
+        self.dtype = dtype
+        self.f = UniformLayerView(self.host)
+
+    # ------------------------------------------------------------------- dual
+    def iteration(self) -> None:
+        self.state = uf.iterations(self.geom, self.state, 1, self.omega)
+
+    def iteration_block(self, n: int) -> None:
+        self.state = uf.iterations(self.geom, self.state, n, self.omega)
+
+    def lower_bound(self) -> float:
+        return float(uf.lower_bound(self.geom, self.state))
+
+    def lower_bound_with_deferred(self) -> float:
+        return float(uf.lower_bound_with_deferred(self.geom, self.state))
+
+    def lower_bound_per_bdd(self) -> np.ndarray:
+        out = np.zeros(self.host.nr_bdds)
+        for g, cft, cols in zip(
+            self.geom.buckets, self.state.cft, self.host.bdd_of_col
+        ):
+            root = np.asarray(cft[0, 0, :])
+            for col, b in enumerate(cols):
+                if b >= 0:
+                    out[b] = root[col]
+        return out
+
+    # -------------------------------------------------------------- marginals
+    def min_marginals(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Concatenated per-bucket [H*B] min marginals (UniformLayerView
+        indexing); +inf at invalid layers."""
+        mm = uf.min_marginals_all(self.geom, self.state)
+        m0 = np.concatenate([np.asarray(a).ravel() for (a, b) in mm])
+        m1 = np.concatenate([np.asarray(b).ravel() for (a, b) in mm])
+        return m0, m1
+
+    # ------------------------------------------------------------------ costs
+    def distribute_delta(self) -> None:
+        self.state = uf.distribute_delta(self.geom, self.state)
+
+    def update_costs(self, lo_per_var, hi_per_var) -> None:
+        lo_u = jnp.asarray(
+            np.append(np.asarray(lo_per_var, np.float64), 0.0), dtype=self.dtype
+        )
+        hi_u = jnp.asarray(
+            np.append(np.asarray(hi_per_var, np.float64), 0.0), dtype=self.dtype
+        )
+        lo_l, hi_l, cft_l = [], [], []
+        for g, lo, hi in zip(self.geom.buckets, self.state.lo, self.state.hi):
+            nl = jnp.where(g.layer_valid, lo + g.alpha * lo_u[g.layer_var], 0.0)
+            nh = jnp.where(g.layer_valid, hi + g.alpha * hi_u[g.layer_var], 0.0)
+            lo_l.append(nl)
+            hi_l.append(nh)
+            cft_l.append(uf.bucket_backward_run(g, nl, nh))
+        self.state = uf.UniformState(
+            tuple(lo_l), tuple(hi_l), self.state.def_mm, tuple(cft_l)
+        )

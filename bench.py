@@ -26,6 +26,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from bdd_tpu.bdd.preprocessor import BddPreprocessor
+    from bdd_tpu.solver import uniform as js_uf
     from bdd_tpu.solver import jax_solver as js
     from bdd_tpu.solver.flatten import densify, flatten_collection
     from bdd_tpu.solver.ref_solver import RefSolver
@@ -52,29 +53,32 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    geom = js.geom_from_dense(dense, dtype=jnp.float32)
-    state = js.init_state(geom, dense, pre.objective_vector(), dtype=jnp.float32)
+    host = js_uf.flatten_uniform(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    geom = host.geom
+    state = js_uf.init_uniform_state(host, pre.objective_vector())
 
     def sync(s):
         # the axon remote backend is lazy: block_until_ready returns before
         # execution; pulling a scalar to host forces the queue to drain
-        return float(s.lo[0, 0])
+        return float(s.lo[0][0, 0])
 
     # warm-up / compile (same block size as the timed loop -> one executable)
     t0 = time.time()
-    warm = js.iterations(geom, state, block, 0.5)
+    warm = js_uf.iterations(geom, state, block, 0.5)
     sync(warm)
     print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     out = warm
     for _ in range(n_blocks):
-        out = js.iterations(geom, out, block, 0.5)
+        out = js_uf.iterations(geom, out, block, 0.5)
     sync(out)
     tpu_time = time.time() - t0
     tpu_ips = n_iters / tpu_time
     t0 = time.time()
-    lb = float(js.lower_bound_with_deferred(geom, out))
+    lb = float(js_uf.lower_bound_with_deferred(geom, out))
     print(f"# lb compile+eval: {time.time() - t0:.1f}s", file=sys.stderr)
     print(
         f"# tpu: {n_iters} iters in {tpu_time:.2f}s = {tpu_ips:.1f} it/s, lb={lb:.4f}",

@@ -1,0 +1,124 @@
+"""Uniform bucketed backend vs numpy oracle parity + convergence."""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from bdd_tpu.bdd import BddPreprocessor
+from bdd_tpu.ilp import parse_lp_string
+from bdd_tpu.solver import RefSolver, flatten_collection
+from bdd_tpu.solver import uniform as uf
+from bdd_tpu.solver.uniform_wrapper import UniformSolver
+from bdd_tpu.solver.rounding import incremental_mm_rounding
+from bdd_tpu.utils.problems import grid_mrf
+from tests import fixtures
+
+FIXTURE_LPS = [
+    fixtures.SHORT_MRF_CHAIN,
+    fixtures.TWO_SIMPLEX,
+    fixtures.COVERING,
+    fixtures.MATCHING_3x3,
+]
+
+
+def build(lp=None, ilp=None):
+    if ilp is None:
+        ilp = parse_lp_string(lp)
+    pre = BddPreprocessor(ilp)
+    s = UniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float64,
+    )
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    return ilp, pre, s, ref
+
+
+@pytest.mark.parametrize("lp", FIXTURE_LPS)
+def test_initial_lower_bound_parity(lp):
+    ilp, pre, s, ref = build(lp)
+    assert s.lower_bound() == pytest.approx(ref.lower_bound(), abs=1e-9)
+
+
+@pytest.mark.parametrize("lp", FIXTURE_LPS)
+def test_iteration_parity(lp):
+    ilp, pre, s, ref = build(lp)
+    for it in range(15):
+        s.iteration()
+        ref.iteration(0.5)
+        assert s.lower_bound_with_deferred() == pytest.approx(
+            ref.lower_bound_with_deferred(), abs=1e-8
+        ), f"iter {it}"
+
+
+@pytest.mark.parametrize("lp", FIXTURE_LPS)
+def test_min_marginals_parity(lp):
+    """Per-variable aggregated mm statistics must match the oracle (layer
+    indexing differs between backends, variable grouping is canonical)."""
+    ilp, pre, s, ref = build(lp)
+    for _ in range(3):
+        s.iteration()
+        ref.iteration(0.5)
+    s.distribute_delta()
+    ref.distribute_delta()
+    m0u, m1u = s.min_marginals()
+    m0r, m1r = ref.min_marginals()
+
+    def agg(view, m0, m1):
+        valid = view.valid_layer_mask()
+        v = view.layer_var[valid]
+        V = view.nr_vars if hasattr(view, "nr_vars") else view.nr_vars
+        lo_min = np.full(V, np.inf)
+        hi_min = np.full(V, np.inf)
+        lo_sum = np.zeros(V)
+        np.minimum.at(lo_min, v, m0[valid])
+        np.minimum.at(hi_min, v, m1[valid])
+        with np.errstate(invalid="ignore"):
+            d = np.where(np.isfinite(m1[valid] - m0[valid]), m1[valid] - m0[valid], 0)
+        np.add.at(lo_sum, v, d)
+        return lo_min, hi_min, lo_sum
+
+    a_u = agg(s.f, m0u, m1u)
+    a_r = agg(ref.f, m0r, m1r)
+    for x, y in zip(a_u, a_r):
+        fin = np.isfinite(x) & np.isfinite(y)
+        assert np.allclose(x[fin], y[fin], atol=1e-8)
+        assert np.array_equal(np.isfinite(x), np.isfinite(y))
+
+
+def test_uniform_convergence_and_rounding():
+    ilp, pre, s, ref = build(fixtures.MATCHING_3x3)
+    s.iteration_block(200)
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    assert s.lower_bound_with_deferred() == pytest.approx(opt, abs=1e-6)
+    sol = incremental_mm_rounding(s, verbose=False)
+    assert sol is not None
+    assert ilp.evaluate(list(sol[: ilp.nr_variables()])) == pytest.approx(opt)
+
+
+def test_uniform_grid_mrf_matches_ref():
+    ilp = grid_mrf(3, 3, 3, seed=2)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    _, pre, s, ref = build(ilp=ilp)
+    s.iteration_block(30)
+    for _ in range(30):
+        ref.iteration(0.5)
+    assert s.lower_bound_with_deferred() == pytest.approx(
+        ref.lower_bound_with_deferred(), abs=1e-7
+    )
+
+
+def test_uniform_infeasible():
+    ilp, pre, s, ref = build(fixtures.INFEASIBLE)
+    s.iteration_block(50)
+    assert s.lower_bound_with_deferred() == np.inf
