@@ -30,6 +30,7 @@ from bdd_tpu.utils.logging import bdd_log
 
 DEFAULT_CONFIG = {
     "variable order": "input",  # input|bfs|minimum degree|cuthill
+    "use native preprocessing": True,  # C++ host pipeline when applicable
     "normalize constraints": True,
     "precision": "double",  # float|double
     "relaxation solver": "uniform mma",
@@ -66,23 +67,35 @@ class BddSolver:
         config = _merge(DEFAULT_CONFIG, config or {})
         config = _merge(config, kwargs)
         self.config = config
-        self.ilp = None
+        self._ilp = None
         self.solver = None
         self.infeasible = False
+        self._lp_text = None
+
+    @property
+    def ilp(self):
+        if self._ilp is None and self._lp_text is not None:
+            self._ilp = parse_lp_string(self._lp_text)
+        return self._ilp
+
+    @ilp.setter
+    def ilp(self, value):
+        self._ilp = value
 
     # ------------------------------------------------------------------ input
     def read_ilp(self, ilp=None, path: Optional[str] = None, lp_string: Optional[str] = None):
         if ilp is not None:
-            self.ilp = ilp
+            self._ilp = ilp
         elif lp_string is not None:
-            self.ilp = parse_lp_string(lp_string)
+            self._lp_text = lp_string  # python parse deferred (native path)
         elif path is not None:
             if path.endswith(".opb"):
                 from bdd_tpu.ilp.opb_parser import parse_opb_file
 
-                self.ilp = parse_opb_file(path)
+                self._ilp = parse_opb_file(path)
             else:
-                self.ilp = parse_lp_file(path)
+                with open(path) as fh:
+                    self._lp_text = fh.read()
         else:
             path = self.config.get("input")
             if path is None:
@@ -194,8 +207,82 @@ class BddSolver:
             return None
         return sol[: self.ilp.nr_variables()]
 
+    def _try_native(self, verbose: bool) -> Optional[Dict]:
+        """Native C++ preprocessing fast path (parse + order + BDDs + uniform
+        buckets). Returns a result dict when fully handled natively, None to
+        fall back to the Python pipeline."""
+        cfg = self.config
+        if not cfg.get("use native preprocessing", True):
+            return None
+        if cfg["relaxation solver"] not in ("uniform mma", "cuda parallel mma",
+                                            "jax mma", "mma"):
+            return None
+        if self._lp_text is None:
+            return None
+        try:
+            from bdd_tpu.native import NativeHost, NativeUnsupported, available
+
+            if not available():
+                return None
+            order = cfg["variable order"]
+            nh = NativeHost(self._lp_text, order if order in ("input", "bfs", "cuthill") else "input")
+        except Exception:
+            return None
+        if nh.infeasible:
+            return {"status": "infeasible", "lower_bound": math.inf}
+        import jax.numpy as jnp
+
+        double = cfg["precision"] == "double"
+        if double:
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
+        dt = jnp.float64 if double else jnp.float32
+        from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+        solver = UniformSolver.__new__(UniformSolver)
+        solver.host = nh.make_uniform_host(dtype=dt)
+        solver.geom = solver.host.geom
+        from bdd_tpu.solver import uniform as uf
+        from bdd_tpu.solver.uniform_wrapper import UniformLayerView
+
+        solver.state = uf.init_uniform_state(solver.host, nh.objective(), dtype=dt)
+        solver.omega = 0.5
+        solver.dtype = dt
+        solver.f = UniformLayerView(solver.host)
+        self.solver = solver
+        self._native = nh
+        lb = self.solve_dual(verbose=verbose)
+        if self.infeasible:
+            return {"status": "infeasible", "lower_bound": math.inf}
+        lb = solver.lower_bound_with_deferred()
+        sol = None
+        p = cfg["perturbation rounding"]
+        sol = incremental_mm_rounding(
+            solver,
+            init_delta=p["initial perturbation"],
+            delta_growth_rate=p["perturbation growth rate"],
+            num_itr_lb=p["inner iterations"],
+            num_rounding_itr=p["outer iterations"],
+            verbose=verbose,
+        )
+        result = {"status": "solved", "lower_bound": float(lb) }
+        if sol is not None:
+            names = nh.var_names()
+            x = [int(v) for v in sol[: len(names)]]
+            result["solution"] = dict(zip(names, x))
+            result["objective"] = float(
+                np.dot(nh.objective(), np.asarray(x)) + nh.constant()
+            )
+        return result
+
     def solve(self, verbose: bool = True) -> Dict:
         """Full pipeline; returns result dict."""
+        if self._ilp is None and self._lp_text is None:
+            self.read_ilp()
+        native_result = self._try_native(verbose)
+        if native_result is not None:
+            return native_result
         if self.ilp is None:
             self.read_ilp()
         self.process_ilp()

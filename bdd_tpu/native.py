@@ -1,0 +1,282 @@
+"""ctypes bindings for the native host-preprocessing library (native/bdd_host.cpp).
+
+Builds on demand with g++ (no pybind11 in this environment). The native path
+covers the hot host pipeline — LP parse, orderings, lineq->BDD, qbdd, uniform
+bucket flattening. Unsupported features (nonlinear monomials, coalesce,
+OPB, split) raise NativeUnsupported so callers fall back to the Python path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_ROOT, "native", "bdd_host.cpp")
+_SO = os.path.join(_ROOT, "native", "build", "libbddhost.so")
+
+
+class NativeUnsupported(RuntimeError):
+    pass
+
+
+def _build_if_needed() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC],
+        check=True,
+    )
+    return _SO
+
+
+def load_library():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    lib = ctypes.CDLL(_build_if_needed())
+    lib.bh_create.restype = ctypes.c_void_p
+    lib.bh_destroy.argtypes = [ctypes.c_void_p]
+    lib.bh_error.argtypes = [ctypes.c_void_p]
+    lib.bh_error.restype = ctypes.c_char_p
+    lib.bh_parse_lp.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.bh_reorder.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bh_build.argtypes = [ctypes.c_void_p]
+    lib.bh_nr_vars.argtypes = [ctypes.c_void_p]
+    lib.bh_nr_bdds.argtypes = [ctypes.c_void_p]
+    lib.bh_nr_constraints.argtypes = [ctypes.c_void_p]
+    lib.bh_constant.argtypes = [ctypes.c_void_p]
+    lib.bh_constant.restype = ctypes.c_double
+    lib.bh_objective.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+    lib.bh_var_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bh_var_name.restype = ctypes.c_char_p
+    lib.bh_bucket_shape.argtypes = [ctypes.c_void_p, ctypes.c_int] + [
+        ctypes.POINTER(ctypes.c_int)
+    ] * 4
+    lib.bh_fill_bucket.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bh_collection_sizes.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.bh_fill_collection.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_int64)
+    ] * 4
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load_library()
+        return True
+    except Exception:
+        return False
+
+
+_ORDER_MODES = {"input": 0, "bfs": 1, "cuthill": 2}
+
+
+class NativeHost:
+    """One parsed+built instance. Raises NativeUnsupported on fallback cases."""
+
+    def __init__(self, lp_text: str, variable_order: str = "input") -> None:
+        lib = load_library()
+        self._lib = lib
+        self._ctx = lib.bh_create()
+        if lib.bh_parse_lp(self._ctx, lp_text.encode()) != 0:
+            err = lib.bh_error(self._ctx).decode()
+            self.close()
+            raise NativeUnsupported(f"native parse failed: {err}")
+        if variable_order not in _ORDER_MODES:
+            self.close()
+            raise NativeUnsupported(f"order {variable_order!r} not native")
+        lib.bh_reorder(self._ctx, _ORDER_MODES[variable_order])
+        r = lib.bh_build(self._ctx)
+        self._nr_buckets = max(r, 0)
+        if r == -1:
+            self.infeasible = True
+        elif r < 0:
+            err = lib.bh_error(self._ctx).decode()
+            self.close()
+            raise NativeUnsupported(f"native build failed: {err}")
+        else:
+            self.infeasible = False
+
+    def close(self) -> None:
+        if getattr(self, "_ctx", None):
+            self._lib.bh_destroy(self._ctx)
+            self._ctx = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------ meta
+    def nr_vars(self) -> int:
+        return self._lib.bh_nr_vars(self._ctx)
+
+    def nr_bdds(self) -> int:
+        return self._lib.bh_nr_bdds(self._ctx)
+
+    def constant(self) -> float:
+        return self._lib.bh_constant(self._ctx)
+
+    def objective(self) -> np.ndarray:
+        out = np.zeros(self.nr_vars(), dtype=np.float64)
+        self._lib.bh_objective(
+            self._ctx, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
+        return out
+
+    def var_names(self) -> List[str]:
+        return [
+            self._lib.bh_var_name(self._ctx, i).decode()
+            for i in range(self.nr_vars())
+        ]
+
+    # --------------------------------------------------------------- buckets
+    def nr_buckets(self) -> int:
+        return self._nr_buckets
+
+    def bucket_arrays(self, k: int):
+        lib = self._lib
+        H = ctypes.c_int()
+        P = ctypes.c_int()
+        B = ctypes.c_int()
+        nB = ctypes.c_int()
+        lib.bh_bucket_shape(
+            self._ctx, k, ctypes.byref(H), ctypes.byref(P), ctypes.byref(B), ctypes.byref(nB)
+        )
+        H, P, B, nB = H.value, P.value, B.value, nB.value
+        node_valid = np.zeros((H, P, B), dtype=np.int8)
+        lo_kind = np.zeros((H, P, B), dtype=np.int8)
+        lo_slot = np.zeros((H, P, B), dtype=np.int32)
+        hi_kind = np.zeros((H, P, B), dtype=np.int8)
+        hi_slot = np.zeros((H, P, B), dtype=np.int32)
+        layer_valid = np.zeros((H, B), dtype=np.int8)
+        layer_var = np.zeros((H, B), dtype=np.int32)
+        bdd_of_col = np.zeros(B, dtype=np.int64)
+        depths = np.zeros(B, dtype=np.int32)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        lib.bh_fill_bucket(
+            self._ctx,
+            k,
+            ptr(node_valid, ctypes.c_int8),
+            ptr(lo_kind, ctypes.c_int8),
+            ptr(lo_slot, ctypes.c_int32),
+            ptr(hi_kind, ctypes.c_int8),
+            ptr(hi_slot, ctypes.c_int32),
+            ptr(layer_valid, ctypes.c_int8),
+            ptr(layer_var, ctypes.c_int32),
+            ptr(bdd_of_col, ctypes.c_int64),
+            ptr(depths, ctypes.c_int32),
+        )
+        return dict(
+            H=H,
+            P=P,
+            B=B,
+            nB=nB,
+            node_valid=node_valid.astype(bool),
+            lo_kind=lo_kind,
+            lo_slot=lo_slot,
+            hi_kind=hi_kind,
+            hi_slot=hi_slot,
+            layer_valid=layer_valid.astype(bool),
+            layer_var=layer_var,
+            bdd_of_col=bdd_of_col,
+            depths=depths,
+        )
+
+    # ------------------------------------------------------------ collection
+    def collection(self):
+        """Export as a python BddCollection (tests / fallback interop)."""
+        from bdd_tpu.bdd.collection import BddCollection
+
+        lib = self._lib
+        nn = ctypes.c_int64()
+        nb = ctypes.c_int64()
+        lib.bh_collection_sizes(self._ctx, ctypes.byref(nn), ctypes.byref(nb))
+        var = np.zeros(nn.value, dtype=np.int64)
+        lo = np.zeros(nn.value, dtype=np.int64)
+        hi = np.zeros(nn.value, dtype=np.int64)
+        delim = np.zeros(nb.value + 1, dtype=np.int64)
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        lib.bh_fill_collection(self._ctx, ptr(var), ptr(lo), ptr(hi), ptr(delim))
+        col = BddCollection()
+        col.var = [int(v) for v in var]
+        col.lo = [int(v) for v in lo]
+        col.hi = [int(v) for v in hi]
+        col.delim = [int(v) for v in delim]
+        return col
+
+
+    def make_uniform_host(self, dtype=None):
+        """Assemble a solver-ready UniformHost from the native bucket arrays."""
+        import jax.numpy as jnp
+
+        from bdd_tpu.solver import uniform as uf
+
+        if dtype is None:
+            dtype = jnp.float32
+        V = self.nr_vars()
+        raw = [self.bucket_arrays(k) for k in range(self.nr_buckets())]
+        counts = np.zeros(V, dtype=np.int32)
+        for a in raw:
+            np.add.at(counts, a["layer_var"][a["layer_valid"]], 1)
+        counts_safe = np.maximum(counts, 1)
+        geoms = []
+        for a in raw:
+            alpha = np.zeros(a["layer_var"].shape)
+            m = a["layer_valid"]
+            alpha[m] = 1.0 / counts_safe[a["layer_var"][m]]
+            geoms.append(
+                uf.BucketGeom(
+                    node_valid=jnp.asarray(a["node_valid"]),
+                    lo_kind=jnp.asarray(a["lo_kind"], dtype=jnp.int32),
+                    lo_slot=jnp.asarray(a["lo_slot"], dtype=jnp.int32),
+                    hi_kind=jnp.asarray(a["hi_kind"], dtype=jnp.int32),
+                    hi_slot=jnp.asarray(a["hi_slot"], dtype=jnp.int32),
+                    layer_valid=jnp.asarray(a["layer_valid"]),
+                    layer_var=jnp.asarray(a["layer_var"], dtype=jnp.int32),
+                    alpha=jnp.asarray(alpha, dtype=dtype),
+                )
+            )
+        geom = uf.UniformGeom(
+            buckets=tuple(geoms),
+            num_bdds_per_var=jnp.asarray(counts, dtype=jnp.int32),
+        )
+        return uf.UniformHost(
+            geom=geom,
+            bdd_of_col=tuple(a["bdd_of_col"] for a in raw),
+            depths=tuple(a["depths"] for a in raw),
+            nr_vars=V,
+            nr_primal_vars=V,
+            nr_bdds=self.nr_bdds(),
+        )

@@ -1,0 +1,1005 @@
+// bdd_host — native host-side preprocessing for bdd_tpu.
+//
+// Covers the latency-sensitive CPU pipeline that the reference implements in
+// C++ (SURVEY.md §7 "keep in C++"): LP parsing (ref: src/ILP/ILP_parser.cpp),
+// the ILP model with variable orderings (ref: include/ILP/ILP_input.h),
+// inequality->BDD construction by layered DP with bottom-up state merging
+// (same canonical result as the interval dedup of src/bdd_conversion/
+// lineq_bdd.cpp), quasi-reduction (ref: bdd_collection make_qbdd) and the
+// uniform-bucket flattening feeding the TPU solver. Exposed as a C ABI for
+// ctypes (no pybind11 in this environment).
+//
+// Single translation unit by design: the whole pipeline shares one arena-ish
+// set of std containers, compiles in seconds, and keeps the ABI surface tiny.
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <functional>
+#include <map>
+#include <numeric>
+#include <queue>
+#include <stdexcept>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace bh {
+
+enum class Ineq : uint8_t { LEQ = 0, GEQ = 1, EQ = 2 };
+
+struct Constraint {
+    std::vector<int64_t> coeffs;
+    std::vector<int32_t> vars;  // degree-1 monomials only (native path)
+    Ineq ineq = Ineq::LEQ;
+    int64_t rhs = 0;
+    std::string name;
+};
+
+struct Ilp {
+    std::vector<std::string> var_names;
+    std::unordered_map<std::string, int32_t> var_index;
+    std::vector<double> objective;
+    double constant = 0.0;
+    std::vector<Constraint> constraints;
+
+    int32_t get_or_create(const std::string& name) {
+        auto it = var_index.find(name);
+        if (it != var_index.end()) return it->second;
+        int32_t idx = (int32_t)var_names.size();
+        var_names.push_back(name);
+        var_index.emplace(name, idx);
+        objective.push_back(0.0);
+        return idx;
+    }
+};
+
+// ------------------------------------------------------------------ parsing
+// Hand-rolled tokenizer for the reference LP dialect (Minimize / Subject To /
+// Bounds / Binaries / Coalesce / End, '\' comments, optional 'name:' prefixes,
+// multi-line constraints). Monomial products are rejected (python fallback).
+struct Parser {
+    const char* p;
+    const char* end;
+    std::string err;
+
+    explicit Parser(const std::string& s) : p(s.data()), end(s.data() + s.size()) {}
+
+    void skip_ws() {
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) p++;
+    }
+    void skip_ws_nl() {
+        for (;;) {
+            while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n')) p++;
+            if (p < end && *p == '\\') {  // comment to end of line
+                while (p < end && *p != '\n') p++;
+            } else
+                break;
+        }
+    }
+    bool at_eol() {
+        skip_ws();
+        return p >= end || *p == '\n';
+    }
+    static bool ident_char(char c) {
+        return std::isalnum((unsigned char)c) || strchr("_-/(){},#;[].'@", c) != nullptr;
+    }
+    bool read_ident(std::string& out) {
+        skip_ws();
+        if (p >= end || !std::isalpha((unsigned char)*p)) return false;
+        const char* s = p;
+        while (p < end && ident_char(*p)) p++;
+        out.assign(s, p - s);
+        return true;
+    }
+    bool peek_keyword(const char* kw) {
+        skip_ws();
+        size_t n = strlen(kw);
+        if ((size_t)(end - p) < n) return false;
+        for (size_t i = 0; i < n; ++i)
+            if (std::tolower((unsigned char)p[i]) != std::tolower((unsigned char)kw[i]))
+                return false;
+        // must end at identifier boundary
+        if ((size_t)(end - p) > n && ident_char(p[n]) ) return false;
+        return true;
+    }
+    bool eat_keyword(const char* kw) {
+        if (!peek_keyword(kw)) return false;
+        p += strlen(kw);
+        return true;
+    }
+    bool read_number(double& out) {
+        skip_ws();
+        char* q = nullptr;
+        double v = std::strtod(p, &q);
+        if (q == p) return false;
+        p = q;
+        out = v;
+        return true;
+    }
+};
+
+inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
+    Parser ps(text);
+    ps.skip_ws_nl();
+    if (!ps.eat_keyword("minimize") && !ps.eat_keyword("min")) {
+        err = "expected Minimize";
+        return false;
+    }
+    // objective terms until "Subject To"
+    ps.skip_ws_nl();
+    while (!ps.peek_keyword("subject to") && !ps.peek_keyword("st")) {
+        double sign = 1.0;
+        ps.skip_ws_nl();
+        if (ps.p < ps.end && (*ps.p == '+' || *ps.p == '-')) {
+            sign = (*ps.p == '-') ? -1.0 : 1.0;
+            ps.p++;
+        }
+        ps.skip_ws_nl();
+        double coeff = 1.0;
+        bool have_coeff = ps.read_number(coeff);
+        ps.skip_ws();
+        if (ps.p < ps.end && *ps.p == '*') ps.p++;
+        std::string var;
+        if (!ps.read_ident(var)) {
+            if (have_coeff) {  // trailing constant
+                ilp.constant += sign * coeff;
+                ps.skip_ws_nl();
+                continue;
+            }
+            err = "objective: expected variable";
+            return false;
+        }
+        ilp.objective[ilp.get_or_create(var)] += sign * coeff;
+        ps.skip_ws_nl();
+        if (ps.p >= ps.end) {
+            err = "expected Subject To";
+            return false;
+        }
+    }
+    if (!ps.eat_keyword("subject to")) ps.eat_keyword("st");
+
+    std::vector<int32_t> zero_fix, one_fix;
+
+    // constraints
+    for (;;) {
+        ps.skip_ws_nl();
+        if (ps.p >= ps.end) {
+            err = "unexpected EOF (missing End)";
+            return false;
+        }
+        if (ps.peek_keyword("end") || ps.peek_keyword("bounds") ||
+            ps.peek_keyword("binaries") || ps.peek_keyword("generals") ||
+            ps.peek_keyword("coalesce"))
+            break;
+        Constraint c;
+        // optional name: ident ':'
+        {
+            const char* save = ps.p;
+            std::string nm;
+            if (ps.read_ident(nm)) {
+                ps.skip_ws();
+                if (ps.p < ps.end && *ps.p == ':') {
+                    ps.p++;
+                    c.name = nm;
+                } else {
+                    ps.p = save;
+                }
+            }
+        }
+        // terms until inequality sign
+        int64_t side_constant = 0;
+        for (;;) {
+            ps.skip_ws_nl();
+            if (ps.p < ps.end && (*ps.p == '<' || *ps.p == '>' || *ps.p == '=')) break;
+            double sign = 1.0;
+            if (ps.p < ps.end && (*ps.p == '+' || *ps.p == '-')) {
+                sign = (*ps.p == '-') ? -1.0 : 1.0;
+                ps.p++;
+            }
+            ps.skip_ws_nl();
+            double coeff = 1.0;
+            bool have_coeff = ps.read_number(coeff);
+            ps.skip_ws();
+            if (ps.p < ps.end && *ps.p == '*') ps.p++;
+            std::string var;
+            if (!ps.read_ident(var)) {
+                if (have_coeff) {
+                    side_constant += (int64_t)std::llround(sign * coeff);
+                    continue;
+                }
+                err = "constraint: expected variable near '" +
+                      std::string(ps.p, std::min<size_t>(20, ps.end - ps.p)) + "'";
+                return false;
+            }
+            ps.skip_ws();
+            if (ps.p < ps.end && *ps.p == '*') {
+                err = "nonlinear monomial (python fallback required)";
+                return false;
+            }
+            double sc = sign * coeff;
+            if (sc != std::llround(sc)) {
+                err = "non-integral constraint coefficient";
+                return false;
+            }
+            c.coeffs.push_back((int64_t)std::llround(sc));
+            c.vars.push_back(ilp.get_or_create(var));
+        }
+        // inequality
+        if (ps.p < ps.end && *ps.p == '<') {
+            ps.p++;
+            if (ps.p < ps.end && *ps.p == '=') ps.p++;
+            c.ineq = Ineq::LEQ;
+        } else if (ps.p < ps.end && *ps.p == '>') {
+            ps.p++;
+            if (ps.p < ps.end && *ps.p == '=') ps.p++;
+            c.ineq = Ineq::GEQ;
+        } else {
+            ps.p++;
+            c.ineq = Ineq::EQ;
+        }
+        double rhs;
+        if (!ps.read_number(rhs)) {
+            err = "constraint: expected rhs";
+            return false;
+        }
+        if (rhs != std::llround(rhs)) {
+            err = "non-integral rhs";
+            return false;
+        }
+        c.rhs = (int64_t)std::llround(rhs) - side_constant;
+        ilp.constraints.push_back(std::move(c));
+    }
+
+    // trailing sections
+    for (;;) {
+        ps.skip_ws_nl();
+        if (ps.p >= ps.end) break;
+        if (ps.eat_keyword("end")) break;
+        if (ps.eat_keyword("bounds")) {
+            for (;;) {
+                ps.skip_ws_nl();
+                if (ps.peek_keyword("end") || ps.peek_keyword("binaries") ||
+                    ps.peek_keyword("generals") || ps.peek_keyword("coalesce") ||
+                    ps.p >= ps.end)
+                    break;
+                // forms: x = 0|1 ; x <= 0|1 ; 0|1 <= x [<= 0|1]
+                double num;
+                const char* save = ps.p;
+                if (ps.read_number(num)) {
+                    ps.skip_ws();
+                    if (ps.p + 1 < ps.end && ps.p[0] == '<' && ps.p[1] == '=') {
+                        ps.p += 2;
+                        std::string var;
+                        if (!ps.read_ident(var)) { err = "bounds: expected var"; return false; }
+                        int32_t v = ilp.get_or_create(var);
+                        if (num == 1) one_fix.push_back(v);
+                        ps.skip_ws();
+                        if (ps.p + 1 < ps.end && ps.p[0] == '<' && ps.p[1] == '=') {
+                            ps.p += 2;
+                            double ub;
+                            if (ps.read_number(ub) && ub == 0) zero_fix.push_back(v);
+                        }
+                        continue;
+                    }
+                    ps.p = save;
+                }
+                std::string var;
+                if (!ps.read_ident(var)) { err = "bounds: parse error"; return false; }
+                int32_t v = ilp.get_or_create(var);
+                ps.skip_ws();
+                if (ps.p < ps.end && *ps.p == '=') {
+                    ps.p++;
+                    double val;
+                    if (!ps.read_number(val)) { err = "bounds: expected value"; return false; }
+                    (val == 1 ? one_fix : zero_fix).push_back(v);
+                } else if (ps.p + 1 < ps.end && ps.p[0] == '<' && ps.p[1] == '=') {
+                    ps.p += 2;
+                    double ub;
+                    if (!ps.read_number(ub)) { err = "bounds: expected bound"; return false; }
+                    if (ub == 0) zero_fix.push_back(v);
+                } else {
+                    err = "bounds: parse error";
+                    return false;
+                }
+            }
+            continue;
+        }
+        if (ps.eat_keyword("binaries") || ps.eat_keyword("generals") ||
+            ps.eat_keyword("binary") || ps.eat_keyword("general")) {
+            std::string tmp;
+            for (;;) {
+                ps.skip_ws_nl();
+                if (ps.peek_keyword("end") || ps.peek_keyword("bounds") ||
+                    ps.peek_keyword("coalesce") || ps.p >= ps.end)
+                    break;
+                if (!ps.read_ident(tmp)) break;
+            }
+            continue;
+        }
+        if (ps.peek_keyword("coalesce")) {
+            err = "coalesce section (python fallback required)";
+            return false;
+        }
+        err = "unexpected content near '" +
+              std::string(ps.p, std::min<size_t>(20, ps.end - ps.p)) + "'";
+        return false;
+    }
+
+    // apply fixations (ref: ILP_parser.cpp:461 -> ilp.reduce)
+    if (!zero_fix.empty() || !one_fix.empty()) {
+        std::vector<int8_t> fixed(ilp.var_names.size(), -1);
+        for (int32_t v : zero_fix) fixed[v] = 0;
+        for (int32_t v : one_fix) fixed[v] = 1;
+        Ilp out;
+        std::vector<int32_t> remap(ilp.var_names.size(), -1);
+        for (size_t v = 0; v < ilp.var_names.size(); ++v) {
+            if (fixed[v] < 0) {
+                remap[v] = out.get_or_create(ilp.var_names[v]);
+                out.objective[remap[v]] = ilp.objective[v];
+            } else if (fixed[v] == 1) {
+                out.constant += ilp.objective[v];
+            }
+        }
+        out.constant += ilp.constant;
+        for (auto& c : ilp.constraints) {
+            Constraint nc;
+            nc.ineq = c.ineq;
+            nc.rhs = c.rhs;
+            nc.name = c.name;
+            for (size_t i = 0; i < c.vars.size(); ++i) {
+                int32_t v = c.vars[i];
+                if (fixed[v] < 0) {
+                    nc.coeffs.push_back(c.coeffs[i]);
+                    nc.vars.push_back(remap[v]);
+                } else if (fixed[v] == 1) {
+                    nc.rhs -= c.coeffs[i];
+                }
+            }
+            out.constraints.push_back(std::move(nc));
+        }
+        ilp = std::move(out);
+    }
+    return true;
+}
+
+// ----------------------------------------------------- normalize + preprocess
+inline void normalize(Ilp& ilp) {
+    for (auto& c : ilp.constraints) {
+        std::vector<size_t> order(c.vars.size());
+        std::iota(order.begin(), order.end(), 0);
+        std::sort(order.begin(), order.end(),
+                  [&](size_t a, size_t b) { return c.vars[a] < c.vars[b]; });
+        std::vector<int64_t> nc;
+        std::vector<int32_t> nv;
+        for (size_t k : order) {
+            if (!nv.empty() && nv.back() == c.vars[k]) {
+                nc.back() += c.coeffs[k];
+            } else {
+                nv.push_back(c.vars[k]);
+                nc.push_back(c.coeffs[k]);
+            }
+        }
+        // drop zero coefficients
+        c.coeffs.clear();
+        c.vars.clear();
+        for (size_t i = 0; i < nv.size(); ++i) {
+            if (nc[i] != 0) {
+                c.coeffs.push_back(nc[i]);
+                c.vars.push_back(nv[i]);
+            }
+        }
+    }
+}
+
+// returns false on trivial infeasibility (ref: ILP_input.cpp:300-389)
+inline bool preprocess(Ilp& ilp) {
+    std::vector<Constraint> kept;
+    for (auto& c : ilp.constraints) {
+        bool remove = false;
+        if (c.vars.empty()) {
+            if (c.ineq == Ineq::LEQ && c.rhs < 0) return false;
+            if (c.ineq == Ineq::GEQ && c.rhs > 0) return false;
+            if (c.ineq == Ineq::EQ && c.rhs != 0) return false;
+            remove = true;
+        } else if (c.vars.size() == 1) {
+            int64_t coeff = c.coeffs[0];
+            if (c.ineq == Ineq::LEQ) {
+                if (std::min<int64_t>(coeff, 0) > c.rhs) return false;
+                if (std::max<int64_t>(coeff, 0) <= c.rhs) remove = true;
+            } else if (c.ineq == Ineq::GEQ) {
+                if (std::max<int64_t>(coeff, 0) < c.rhs) return false;
+                if (std::min<int64_t>(coeff, 0) >= c.rhs) remove = true;
+            } else {
+                if (c.rhs != 0 && c.rhs != coeff) return false;
+            }
+        }
+        if (!remove) kept.push_back(std::move(c));
+    }
+    ilp.constraints = std::move(kept);
+    return true;
+}
+
+// ---------------------------------------------------------------- orderings
+inline std::vector<std::vector<int32_t>> adjacency(const Ilp& ilp) {
+    size_t n = ilp.var_names.size();
+    std::vector<std::unordered_set<int32_t>> adj(n);
+    for (auto& c : ilp.constraints) {
+        const auto& vs = c.vars;
+        if (vs.size() > 64) {
+            for (size_t i = 0; i + 1 < vs.size(); ++i) {
+                adj[vs[i]].insert(vs[i + 1]);
+                adj[vs[i + 1]].insert(vs[i]);
+            }
+        } else {
+            for (size_t i = 0; i < vs.size(); ++i)
+                for (size_t j = i + 1; j < vs.size(); ++j) {
+                    adj[vs[i]].insert(vs[j]);
+                    adj[vs[j]].insert(vs[i]);
+                }
+        }
+    }
+    std::vector<std::vector<int32_t>> out(n);
+    for (size_t i = 0; i < n; ++i) {
+        out[i].assign(adj[i].begin(), adj[i].end());
+        std::sort(out[i].begin(), out[i].end());
+    }
+    return out;
+}
+
+// BFS / Cuthill-McKee variable ordering (semantics of ILPInput._bfs_order)
+inline std::vector<int32_t> bfs_order(const Ilp& ilp, bool by_degree) {
+    auto adj = adjacency(ilp);
+    size_t n = adj.size();
+    std::vector<int32_t> deg(n);
+    for (size_t i = 0; i < n; ++i) deg[i] = (int32_t)adj[i].size();
+    std::vector<int32_t> start(n);
+    std::iota(start.begin(), start.end(), 0);
+    std::stable_sort(start.begin(), start.end(),
+                     [&](int32_t a, int32_t b) { return deg[a] < deg[b]; });
+    std::vector<char> visited(n, 0);
+    std::vector<int32_t> order;
+    order.reserve(n);
+    std::deque<int32_t> q;
+    for (int32_t s : start) {
+        if (visited[s]) continue;
+        visited[s] = 1;
+        q.push_back(s);
+        while (!q.empty()) {
+            int32_t u = q.front();
+            q.pop_front();
+            order.push_back(u);
+            std::vector<int32_t> nbrs;
+            for (int32_t v : adj[u])
+                if (!visited[v]) nbrs.push_back(v);
+            if (by_degree)
+                std::stable_sort(nbrs.begin(), nbrs.end(),
+                                 [&](int32_t a, int32_t b) { return deg[a] < deg[b]; });
+            for (int32_t v : nbrs) {
+                visited[v] = 1;
+                q.push_back(v);
+            }
+        }
+    }
+    return order;
+}
+
+inline void apply_order(Ilp& ilp, const std::vector<int32_t>& order) {
+    size_t n = ilp.var_names.size();
+    std::vector<int32_t> new_of_old(n);
+    for (size_t i = 0; i < n; ++i) new_of_old[order[i]] = (int32_t)i;
+    std::vector<std::string> names(n);
+    std::vector<double> obj(n);
+    for (size_t i = 0; i < n; ++i) {
+        names[i] = ilp.var_names[order[i]];
+        obj[i] = ilp.objective[order[i]];
+    }
+    ilp.var_names = std::move(names);
+    ilp.objective = std::move(obj);
+    ilp.var_index.clear();
+    for (size_t i = 0; i < n; ++i) ilp.var_index.emplace(ilp.var_names[i], (int32_t)i);
+    for (auto& c : ilp.constraints)
+        for (auto& v : c.vars) v = new_of_old[v];
+    normalize(ilp);
+}
+
+// ------------------------------------------------------------ BDD construction
+// Terminals as negative ids (TOP=-1, BOT=-2), matching the python collection.
+constexpr int64_t TOPv = -1;
+constexpr int64_t BOTv = -2;
+
+struct BddNodes {
+    // per node: level (index into support), lo, hi (node index or terminal)
+    std::vector<int32_t> level;
+    std::vector<int64_t> lo, hi;
+    std::vector<int32_t> support;  // variable per level
+};
+
+// inequality -> reduced OBDD via two-pass layered DP (lineq.py semantics;
+// canonical result of Behle interval dedup, ref lineq_bdd.cpp:7-171).
+// Returns 1 (bdd built), 0 (always true), -1 (always false).
+inline int build_inequality_bdd(const Constraint& cin, BddNodes& out) {
+    std::vector<int64_t> coeffs(cin.coeffs.begin(), cin.coeffs.end());
+    int64_t rhs = cin.rhs;
+    Ineq ineq = cin.ineq;
+    size_t n = coeffs.size();
+    if (ineq == Ineq::GEQ) {
+        for (auto& c : coeffs) c = -c;
+        rhs = -rhs;
+        ineq = Ineq::LEQ;
+    }
+    std::vector<char> flip(n, 0);
+    for (size_t i = 0; i < n; ++i)
+        if (coeffs[i] < 0) {
+            flip[i] = 1;
+            rhs -= coeffs[i];
+            coeffs[i] = -coeffs[i];
+        }
+    // gcd
+    int64_t g = 0;
+    for (auto c : coeffs) g = std::gcd(g, c);
+    if (g > 1) {
+        if (ineq == Ineq::LEQ) {
+            rhs = (rhs >= 0) ? rhs / g : -((-rhs + g - 1) / g);  // floor div
+        } else {
+            if (rhs % g != 0) return -1;
+            rhs /= g;
+        }
+        for (auto& c : coeffs) c /= g;
+    }
+    std::vector<int64_t> max_suffix(n + 1, 0);
+    for (size_t i = n; i-- > 0;) max_suffix[i] = max_suffix[i + 1] + coeffs[i];
+
+    // clamp: returns 0 normal (state in *state), 1 TOP, -1 BOT
+    auto clamp = [&](size_t i, int64_t b, int64_t* state) -> int {
+        if (ineq == Ineq::LEQ) {
+            if (b < 0) return -1;
+            if (b >= max_suffix[i]) return 1;
+        } else {
+            if (b < 0 || b > max_suffix[i]) return -1;
+            if (i == n) return 1;  // b == 0 by the bounds above
+        }
+        *state = b;
+        return 0;
+    };
+
+    int64_t s0;
+    int c0 = clamp(0, rhs, &s0);
+    if (c0 == 1) return 0;
+    if (c0 == -1) return -1;
+
+    // pass 1: reachable budgets (sorted sets per level)
+    std::vector<std::vector<int64_t>> levels(n + 1);
+    levels[0].push_back(s0);
+    for (size_t i = 0; i < n; ++i) {
+        std::vector<int64_t> nxt;
+        nxt.reserve(levels[i].size() * 2);
+        for (int64_t b : levels[i]) {
+            int64_t st;
+            if (clamp(i + 1, b, &st) == 0) nxt.push_back(st);
+            if (clamp(i + 1, b - coeffs[i], &st) == 0) nxt.push_back(st);
+        }
+        std::sort(nxt.begin(), nxt.end());
+        nxt.erase(std::unique(nxt.begin(), nxt.end()), nxt.end());
+        levels[i + 1] = std::move(nxt);
+    }
+
+    // pass 2: bottom-up merge by (lo, hi) signature
+    std::vector<int32_t> node_level;
+    std::vector<int64_t> node_lo, node_hi;
+    std::vector<std::unordered_map<int64_t, int64_t>> node_of(n + 1);
+    auto resolve = [&](size_t i, int64_t b) -> int64_t {
+        int64_t st;
+        int c = clamp(i, b, &st);
+        if (c == 1) return TOPv;
+        if (c == -1) return BOTv;
+        return node_of[i][st];
+    };
+    for (size_t i = n; i-- > 0;) {
+        std::map<std::pair<int64_t, int64_t>, int64_t> sig;
+        for (int64_t b : levels[i]) {
+            int64_t lo = resolve(i + 1, b);
+            int64_t hi = resolve(i + 1, b - coeffs[i]);
+            if (lo == hi) {
+                node_of[i][b] = lo;
+                continue;
+            }
+            auto key = std::make_pair(lo, hi);
+            auto it = sig.find(key);
+            if (it == sig.end()) {
+                node_level.push_back((int32_t)i);
+                node_lo.push_back(lo);
+                node_hi.push_back(hi);
+                it = sig.emplace(key, (int64_t)node_level.size() - 1).first;
+            }
+            node_of[i][b] = it->second;
+        }
+    }
+    int64_t root = node_of[0].count(s0) ? node_of[0][s0] : resolve(0, rhs);
+    if (root == TOPv) return 0;
+    if (root == BOTv) return -1;
+
+    // apply flips
+    for (size_t k = 0; k < node_level.size(); ++k)
+        if (flip[node_level[k]]) std::swap(node_lo[k], node_hi[k]);
+
+    // topological order: sort by (level, creation) with root first; creation
+    // order within a level is already consistent
+    size_t m = node_level.size();
+    std::vector<int64_t> order(m);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return node_level[a] < node_level[b];
+    });
+    if (order[0] != root) {
+        auto it = std::find(order.begin(), order.end(), root);
+        order.erase(it);
+        order.insert(order.begin(), root);
+    }
+    std::vector<int64_t> newid(m);
+    for (size_t k = 0; k < m; ++k) newid[order[k]] = (int64_t)k;
+    out.level.resize(m);
+    out.lo.resize(m);
+    out.hi.resize(m);
+    for (size_t k = 0; k < m; ++k) {
+        int64_t o = order[k];
+        out.level[k] = node_level[o];
+        out.lo[k] = node_lo[o] < 0 ? node_lo[o] : newid[node_lo[o]];
+        out.hi[k] = node_hi[o] < 0 ? node_hi[o] : newid[node_hi[o]];
+    }
+    // support: variables at used levels (after reduction some levels may be
+    // skipped by all nodes — they still appear via qbdd chains only if used
+    // between root and leaves; match python: support = levels of used vars)
+    out.support.assign(cin.vars.begin(), cin.vars.end());
+    return 1;
+}
+
+// quasi-reduction over the *used* support (collection.make_qbdd semantics):
+// re-levels to the compact support of variables actually appearing, chains
+// skipped levels and TOP arcs, leaves BOT arcs direct.
+struct QbddOut {
+    // nodes with level = position in compact support; root at index 0
+    std::vector<int32_t> level;
+    std::vector<int64_t> lo, hi;
+    std::vector<int32_t> vars;  // compact support (global var ids), path order
+};
+
+inline void make_qbdd(const BddNodes& in, QbddOut& out) {
+    // compact support: levels used by at least one node
+    std::vector<int32_t> used_levels;
+    {
+        std::vector<char> used(in.support.size(), 0);
+        for (int32_t l : in.level) used[l] = 1;
+        for (size_t l = 0; l < used.size(); ++l)
+            if (used[l]) used_levels.push_back((int32_t)l);
+    }
+    std::vector<int32_t> pos_of_level(in.support.size(), -1);
+    for (size_t k = 0; k < used_levels.size(); ++k) pos_of_level[used_levels[k]] = (int32_t)k;
+    size_t d = used_levels.size();
+    out.vars.resize(d);
+    for (size_t k = 0; k < d; ++k) out.vars[k] = in.support[used_levels[k]];
+
+    size_t base = in.level.size();
+    std::vector<int32_t> level(in.level.size());
+    for (size_t i = 0; i < in.level.size(); ++i) level[i] = pos_of_level[in.level[i]];
+    std::vector<int64_t> lo(in.lo), hi(in.hi);
+
+    std::map<std::pair<int32_t, int64_t>, int64_t> chain_memo;
+    std::vector<int32_t> xlevel;  // extra chain nodes
+    std::vector<int64_t> xlo, xhi;
+
+    // mkchain(p, target at tpos): don't-care nodes covering p..tpos-1
+    std::function<int64_t(int32_t, int64_t, int32_t)> mkchain =
+        [&](int32_t p, int64_t target, int32_t tpos) -> int64_t {
+        if (p == tpos) return target;
+        auto key = std::make_pair(p, target);
+        auto it = chain_memo.find(key);
+        if (it != chain_memo.end()) return it->second;
+        int64_t child = mkchain(p + 1, target, tpos);
+        xlevel.push_back(p);
+        xlo.push_back(child);
+        xhi.push_back(child);
+        int64_t id = (int64_t)(base + xlevel.size() - 1);
+        chain_memo.emplace(key, id);
+        return id;
+    };
+    auto tpos_of = [&](int64_t c) -> int32_t {
+        if (c == TOPv) return (int32_t)d;
+        return level[(size_t)c];
+    };
+    auto route = [&](int32_t p_from, int64_t c) -> int64_t {
+        if (c == BOTv) return BOTv;
+        return mkchain(p_from + 1, c, tpos_of(c));
+    };
+    size_t n0 = level.size();
+    for (size_t i = 0; i < n0; ++i) {
+        int32_t p = level[i];
+        lo[i] = route(p, lo[i]);
+        hi[i] = route(p, hi[i]);
+    }
+    // merge node arrays (extra nodes reference base+j ids and original ids)
+    std::vector<int32_t> mlevel(level);
+    std::vector<int64_t> mlo(lo), mhi(hi);
+    for (size_t j = 0; j < xlevel.size(); ++j) {
+        mlevel.push_back(xlevel[j]);
+        mlo.push_back(xlo[j]);
+        mhi.push_back(xhi[j]);
+    }
+    // topological order (children after parents): stable sort by level; the
+    // root is the unique minimal-level node
+    size_t m = mlevel.size();
+    std::vector<int64_t> order(m);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return mlevel[a] < mlevel[b]; });
+    std::vector<int64_t> newid(m);
+    for (size_t k = 0; k < m; ++k) newid[order[k]] = (int64_t)k;
+    out.level.resize(m);
+    out.lo.resize(m);
+    out.hi.resize(m);
+    for (size_t k = 0; k < m; ++k) {
+        int64_t o = order[k];
+        out.level[k] = mlevel[o];
+        out.lo[k] = mlo[o] < 0 ? mlo[o] : newid[mlo[o]];
+        out.hi[k] = mhi[o] < 0 ? mhi[o] : newid[mhi[o]];
+    }
+}
+
+// --------------------------------------------------------------- collection
+struct Collection {
+    // per bdd: compact nodes with (level, lo, hi) local ids + support vars
+    std::vector<QbddOut> bdds;
+};
+
+// ------------------------------------------------------------------ buckets
+struct Bucket {
+    int32_t P = 0, H = 0, B = 0;  // padded dims
+    int32_t nB = 0;               // real bdd count
+    // arrays sized [H][P][B] flattened C-order
+    std::vector<int8_t> node_valid, lo_kind, hi_kind;
+    std::vector<int32_t> lo_slot, hi_slot;
+    std::vector<int8_t> layer_valid;  // [H][B]
+    std::vector<int32_t> layer_var;   // [H][B]
+    std::vector<int64_t> bdd_of_col;  // [B]
+    std::vector<int32_t> depths;      // [B]
+};
+
+inline int32_t pow2ceil(int32_t x) {
+    int32_t p = 1;
+    while (p < x) p *= 2;
+    return p;
+}
+
+struct Context {
+    Ilp ilp;
+    Collection col;
+    std::vector<Bucket> buckets;
+    std::string err;
+    bool infeasible = false;
+
+    bool build() {
+        normalize(ilp);
+        if (!preprocess(ilp)) {
+            infeasible = true;
+            return false;
+        }
+        std::vector<char> covered(ilp.var_names.size(), 0);
+        for (auto& c : ilp.constraints) {
+            BddNodes raw;
+            int r = build_inequality_bdd(c, raw);
+            if (r == -1) {
+                infeasible = true;
+                return false;
+            }
+            if (r == 0) continue;
+            QbddOut q;
+            make_qbdd(raw, q);
+            for (int32_t v : q.vars) covered[v] = 1;
+            col.bdds.push_back(std::move(q));
+        }
+        // free-variable BDDs for uncovered vars with nonzero objective
+        for (size_t v = 0; v < covered.size(); ++v) {
+            if (!covered[v] && ilp.objective[v] != 0.0) {
+                QbddOut q;
+                q.level = {0};
+                q.lo = {TOPv};
+                q.hi = {TOPv};
+                q.vars = {(int32_t)v};
+                col.bdds.push_back(std::move(q));
+            }
+        }
+        build_buckets();
+        return true;
+    }
+
+    void build_buckets() {
+        const int32_t ARC_INTERNAL = 0, ARC_TOP = 1, ARC_BOT = 2;
+        // group by (P, H) buckets
+        struct Member {
+            size_t bdd;
+            int32_t depth, width;
+            std::vector<int32_t> slots;
+        };
+        std::map<std::pair<int32_t, int32_t>, std::vector<Member>> groups;
+        for (size_t b = 0; b < col.bdds.size(); ++b) {
+            auto& q = col.bdds[b];
+            int32_t depth = (int32_t)q.vars.size();
+            std::vector<int32_t> cnt(depth, 0);
+            std::vector<int32_t> slots(q.level.size());
+            for (size_t i = 0; i < q.level.size(); ++i)
+                slots[i] = cnt[q.level[i]]++;
+            int32_t width = *std::max_element(cnt.begin(), cnt.end());
+            groups[{pow2ceil(width), pow2ceil(depth)}].push_back(
+                {b, depth, width, std::move(slots)});
+        }
+        buckets.clear();
+        for (auto& [key, members] : groups) {
+            Bucket bk;
+            bk.P = key.first;
+            bk.H = key.second;
+            bk.nB = (int32_t)members.size();
+            int32_t pad = bk.nB >= 128 ? 128 : 8;
+            bk.B = ((bk.nB + pad - 1) / pad) * pad;
+            size_t npb = (size_t)bk.H * bk.P * bk.B;
+            bk.node_valid.assign(npb, 0);
+            bk.lo_kind.assign(npb, ARC_BOT);
+            bk.lo_slot.assign(npb, 0);
+            bk.hi_kind.assign(npb, ARC_BOT);
+            bk.hi_slot.assign(npb, 0);
+            bk.layer_valid.assign((size_t)bk.H * bk.B, 0);
+            bk.layer_var.assign((size_t)bk.H * bk.B,
+                                (int32_t)ilp.var_names.size());
+            bk.bdd_of_col.assign(bk.B, -1);
+            bk.depths.assign(bk.B, 0);
+            auto nidx = [&](int32_t h, int32_t p, int32_t c) {
+                return ((size_t)h * bk.P + p) * bk.B + c;
+            };
+            auto lidx = [&](int32_t h, int32_t c) { return (size_t)h * bk.B + c; };
+            for (int32_t cI = 0; cI < bk.nB; ++cI) {
+                auto& m = members[cI];
+                auto& q = col.bdds[m.bdd];
+                bk.bdd_of_col[cI] = (int64_t)m.bdd;
+                bk.depths[cI] = m.depth;
+                for (int32_t h = 0; h < m.depth; ++h) {
+                    bk.layer_valid[lidx(h, cI)] = 1;
+                    bk.layer_var[lidx(h, cI)] = q.vars[h];
+                }
+                for (size_t i = 0; i < q.level.size(); ++i) {
+                    int32_t h = q.level[i], p = m.slots[i];
+                    bk.node_valid[nidx(h, p, cI)] = 1;
+                    int64_t lo = q.lo[i], hi = q.hi[i];
+                    if (lo == TOPv)
+                        bk.lo_kind[nidx(h, p, cI)] = ARC_TOP;
+                    else if (lo == BOTv)
+                        bk.lo_kind[nidx(h, p, cI)] = ARC_BOT;
+                    else {
+                        bk.lo_kind[nidx(h, p, cI)] = ARC_INTERNAL;
+                        bk.lo_slot[nidx(h, p, cI)] = m.slots[(size_t)lo];
+                    }
+                    if (hi == TOPv)
+                        bk.hi_kind[nidx(h, p, cI)] = ARC_TOP;
+                    else if (hi == BOTv)
+                        bk.hi_kind[nidx(h, p, cI)] = ARC_BOT;
+                    else {
+                        bk.hi_kind[nidx(h, p, cI)] = ARC_INTERNAL;
+                        bk.hi_slot[nidx(h, p, cI)] = m.slots[(size_t)hi];
+                    }
+                }
+            }
+            buckets.push_back(std::move(bk));
+        }
+    }
+};
+
+}  // namespace bh
+
+// ------------------------------------------------------------------- C ABI
+
+extern "C" {
+
+void* bh_create() { return new bh::Context(); }
+void bh_destroy(void* ctx) { delete (bh::Context*)ctx; }
+
+const char* bh_error(void* ctx) { return ((bh::Context*)ctx)->err.c_str(); }
+
+int bh_parse_lp(void* ctx, const char* text) {
+    auto* c = (bh::Context*)ctx;
+    std::string t(text);
+    if (!bh::parse_lp(t, c->ilp, c->err)) return -1;
+    return 0;
+}
+
+int bh_reorder(void* ctx, int mode) {
+    auto* c = (bh::Context*)ctx;
+    if (mode == 0) return 0;
+    auto order = bh::bfs_order(c->ilp, mode == 2);
+    bh::apply_order(c->ilp, order);
+    return 0;
+}
+
+// returns nr buckets, -1 infeasible, -2 error
+int bh_build(void* ctx) {
+    auto* c = (bh::Context*)ctx;
+    try {
+        if (!c->build()) return -1;
+    } catch (const std::exception& e) {
+        c->err = e.what();
+        return -2;
+    }
+    return (int)c->buckets.size();
+}
+
+int bh_nr_vars(void* ctx) { return (int)((bh::Context*)ctx)->ilp.var_names.size(); }
+int bh_nr_bdds(void* ctx) { return (int)((bh::Context*)ctx)->col.bdds.size(); }
+int bh_nr_constraints(void* ctx) {
+    return (int)((bh::Context*)ctx)->ilp.constraints.size();
+}
+double bh_constant(void* ctx) { return ((bh::Context*)ctx)->ilp.constant; }
+
+void bh_objective(void* ctx, double* out) {
+    auto* c = (bh::Context*)ctx;
+    std::memcpy(out, c->ilp.objective.data(),
+                c->ilp.objective.size() * sizeof(double));
+}
+
+const char* bh_var_name(void* ctx, int i) {
+    return ((bh::Context*)ctx)->ilp.var_names[i].c_str();
+}
+
+void bh_bucket_shape(void* ctx, int k, int* H, int* P, int* B, int* nB) {
+    auto& bk = ((bh::Context*)ctx)->buckets[k];
+    *H = bk.H;
+    *P = bk.P;
+    *B = bk.B;
+    *nB = bk.nB;
+}
+
+void bh_fill_bucket(void* ctx, int k, int8_t* node_valid, int8_t* lo_kind,
+                    int32_t* lo_slot, int8_t* hi_kind, int32_t* hi_slot,
+                    int8_t* layer_valid, int32_t* layer_var,
+                    int64_t* bdd_of_col, int32_t* depths) {
+    auto& bk = ((bh::Context*)ctx)->buckets[k];
+    std::memcpy(node_valid, bk.node_valid.data(), bk.node_valid.size());
+    std::memcpy(lo_kind, bk.lo_kind.data(), bk.lo_kind.size());
+    std::memcpy(lo_slot, bk.lo_slot.data(), bk.lo_slot.size() * sizeof(int32_t));
+    std::memcpy(hi_kind, bk.hi_kind.data(), bk.hi_kind.size());
+    std::memcpy(hi_slot, bk.hi_slot.data(), bk.hi_slot.size() * sizeof(int32_t));
+    std::memcpy(layer_valid, bk.layer_valid.data(), bk.layer_valid.size());
+    std::memcpy(layer_var, bk.layer_var.data(),
+                bk.layer_var.size() * sizeof(int32_t));
+    std::memcpy(bdd_of_col, bk.bdd_of_col.data(),
+                bk.bdd_of_col.size() * sizeof(int64_t));
+    std::memcpy(depths, bk.depths.data(), bk.depths.size() * sizeof(int32_t));
+}
+
+// flat collection export (for python-side wrapping / parity tests)
+void bh_collection_sizes(void* ctx, int64_t* nr_nodes, int64_t* nr_bdds) {
+    auto* c = (bh::Context*)ctx;
+    int64_t n = 0;
+    for (auto& q : c->col.bdds) n += (int64_t)q.level.size();
+    *nr_nodes = n;
+    *nr_bdds = (int64_t)c->col.bdds.size();
+}
+
+void bh_fill_collection(void* ctx, int64_t* var, int64_t* lo, int64_t* hi,
+                        int64_t* delim) {
+    auto* c = (bh::Context*)ctx;
+    int64_t base = 0;
+    delim[0] = 0;
+    int64_t bi = 0;
+    for (auto& q : c->col.bdds) {
+        for (size_t i = 0; i < q.level.size(); ++i) {
+            var[base + i] = q.vars[q.level[i]];
+            lo[base + i] = q.lo[i] < 0 ? q.lo[i] : base + q.lo[i];
+            hi[base + i] = q.hi[i] < 0 ? q.hi[i] : base + q.hi[i];
+        }
+        base += (int64_t)q.level.size();
+        delim[++bi] = base;
+    }
+}
+
+}  // extern "C"

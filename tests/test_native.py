@@ -1,0 +1,181 @@
+"""Native (C++) host preprocessing vs Python pipeline parity.
+
+Exact node-for-node parity is not required (both produce canonical reduced
+QBDDs, but internal orderings may differ); the oracle is semantic: identical
+BDD semantics (exhaustive evaluation), identical per-iteration lower-bound
+sequences, and identical bucket shape multisets.
+"""
+import math
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from bdd_tpu.bdd import BddPreprocessor
+from bdd_tpu.ilp import parse_lp_string
+from bdd_tpu.native import NativeHost, NativeUnsupported, available
+from bdd_tpu.solver import RefSolver, flatten_collection
+from bdd_tpu.solver import uniform as uf
+from bdd_tpu.utils.problems import grid_mrf
+from tests import fixtures
+
+pytestmark = pytest.mark.skipif(not available(), reason="native lib unavailable")
+
+FIXTURE_LPS = [
+    fixtures.SHORT_MRF_CHAIN,
+    fixtures.TWO_SIMPLEX,
+    fixtures.COVERING,
+    fixtures.MATCHING_3x3,
+]
+
+
+def python_pipeline(lp, order="input"):
+    ilp = parse_lp_string(lp)
+    if order == "bfs":
+        ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    return ilp, pre
+
+
+@pytest.mark.parametrize("lp", FIXTURE_LPS)
+def test_parse_parity(lp):
+    nh = NativeHost(lp)
+    ilp, pre = python_pipeline(lp)
+    assert nh.nr_vars() == ilp.nr_variables()
+    names = nh.var_names()
+    obj = nh.objective()
+    for i, name in enumerate(names):
+        assert ilp.var_exists(name)
+        assert obj[i] == pytest.approx(ilp.objective_coeff(ilp.get_var_index(name)))
+
+
+@pytest.mark.parametrize("lp", FIXTURE_LPS)
+def test_bdd_semantics_parity(lp):
+    """Native BDDs accept exactly the constraint solutions."""
+    nh = NativeHost(lp)
+    col = nh.collection()
+    ilp, pre = python_pipeline(lp)
+    # native var order == input order here
+    for b in range(col.nr_bdds()):
+        support = col.variables(b)
+        # find the python constraint with the same support
+        target = None
+        for c in ilp.constraints():
+            if sorted(v[0] for v in c.monomials) == support:
+                target = c
+                break
+        assert target is not None, f"no constraint with support {support}"
+        for bits in range(2 ** len(support)):
+            full = [0] * (max(support) + 1)
+            for i, v in enumerate(support):
+                full[v] = (bits >> i) & 1
+            assert col.evaluate(b, full) == target.evaluate(full)
+
+
+@pytest.mark.parametrize("order", ["input", "bfs"])
+@pytest.mark.parametrize("lp", FIXTURE_LPS)
+def test_lower_bound_sequence_parity(lp, order):
+    nh = NativeHost(lp, order)
+    host = nh.make_uniform_host(dtype=jnp.float64)
+    state = uf.init_uniform_state(host, nh.objective(), dtype=jnp.float64)
+
+    ilp, pre = python_pipeline(lp, order)
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+
+    for it in range(12):
+        state = uf.iterations(host.geom, state, 1, 0.5)
+        ref.iteration(0.5)
+        lb_n = float(uf.lower_bound_with_deferred(host.geom, state))
+        lb_p = ref.lower_bound_with_deferred()
+        assert lb_n == pytest.approx(lb_p, abs=1e-8), f"{order} iter {it}"
+
+
+def test_bucket_shapes_match_python():
+    ilp = grid_mrf(4, 4, 3, seed=0)
+    lp = ilp.write_lp()
+    nh = NativeHost(lp, "bfs")
+    raw_shapes = sorted(
+        (a["H"], a["P"], a["nB"])
+        for a in (nh.bucket_arrays(k) for k in range(nh.nr_buckets()))
+    )
+    ilp2 = parse_lp_string(lp)
+    ilp2.reorder_bfs()
+    ilp2.normalize()
+    pre = BddPreprocessor(ilp2)
+    host = uf.flatten_uniform(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    py_shapes = sorted(
+        (g.H, g.P, int(np.sum(np.asarray(b) >= 0)))
+        for g, b in zip(host.geom.buckets, host.bdd_of_col)
+    )
+    assert raw_shapes == py_shapes
+
+
+def test_native_grid_mrf_convergence_matches_python():
+    ilp = grid_mrf(3, 3, 2, seed=1)
+    lp = ilp.write_lp()
+    nh = NativeHost(lp, "bfs")
+    host = nh.make_uniform_host(dtype=jnp.float64)
+    state = uf.init_uniform_state(host, nh.objective(), dtype=jnp.float64)
+    state = uf.iterations(host.geom, state, 100, 0.5)
+    lb_native = float(uf.lower_bound_with_deferred(host.geom, state))
+
+    ilp2 = parse_lp_string(lp)
+    ilp2.reorder_bfs()
+    ilp2.normalize()
+    pre = BddPreprocessor(ilp2)
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for _ in range(100):
+        ref.iteration(0.5)
+    assert lb_native == pytest.approx(ref.lower_bound_with_deferred(), abs=1e-7)
+
+
+def test_native_unsupported_fallback():
+    with pytest.raises(NativeUnsupported):
+        NativeHost(
+            """Minimize
+x + y
+Subject To
+x*y + x <= 1
+End"""
+        )
+
+
+def test_native_bounds_fixations():
+    nh = NativeHost(
+        """Minimize
+x + 2 y + 4 z
+Subject To
+x + y + z >= 1
+Bounds
+y = 1
+z <= 0
+End"""
+    )
+    assert nh.nr_vars() == 1
+    assert nh.constant() == pytest.approx(2.0)
+
+
+def test_native_infeasible():
+    nh = NativeHost(
+        """Minimize
+x
+Subject To
+x + x >= 3
+End"""
+    )
+    assert nh.infeasible
