@@ -1,0 +1,170 @@
+"""Differentiable learned-MMA iterations (DOGE solver core).
+
+TPU counterpart of the reference's learned CUDA solver (include/bdd_solver/
+bdd_cuda_learned_mma.h, src/.../bdd_cuda_learned_mma.cu): MMA iterations
+parameterized by per-layer distribution weights alpha (how each variable's
+deferred delta is split among its BDD copies; softmax-normalized per variable)
+and per-layer damping omega. Instead of the reference's ~1400 lines of
+hand-written adjoint kernels with solver_state_cache checkpoint replay
+(bdd_cuda_learned_mma.cu:309-1049), the sweeps here are pure JAX scans, so
+``jax.grad`` differentiates them directly; ``jax.checkpoint`` on the
+per-iteration body reproduces the reference's recompute-from-checkpoint memory
+strategy.
+
+Parameters are per-bucket [H, B] arrays matching the uniform layout.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bdd_tpu.solver import uniform as uf
+
+
+def isotropic_alpha(geom: uf.UniformGeom) -> Tuple[jnp.ndarray, ...]:
+    """1/#bdds-per-var weights (= uniform distribution; the non-learned
+    default, ref: bdd_torch_learned_mma.get_isotropic_alpha)."""
+    return tuple(g.alpha for g in geom.buckets)
+
+
+def normalize_alpha(
+    geom: uf.UniformGeom, raw: Tuple[jnp.ndarray, ...]
+) -> Tuple[jnp.ndarray, ...]:
+    """Normalize nonnegative per-layer weights to sum to 1 over each primal
+    variable's layers (ref: solver_utils.normalize_distribution_weights)."""
+    V = geom.V
+    total = jnp.zeros((V + 1,), dtype=raw[0].dtype)
+    for g, r in zip(geom.buckets, raw):
+        w = jnp.where(g.layer_valid, r, 0.0)
+        total = total + jax.ops.segment_sum(
+            w.ravel(), g.layer_var.ravel(), num_segments=V + 1
+        )
+    total = jnp.maximum(total, 1e-30)
+    return tuple(
+        jnp.where(g.layer_valid, r / total[g.layer_var], 0.0)
+        for g, r in zip(geom.buckets, raw)
+    )
+
+
+def learned_iteration(
+    geom: uf.UniformGeom,
+    state: uf.UniformState,
+    alphas: Tuple[jnp.ndarray, ...],
+    omegas: Tuple[jnp.ndarray, ...],
+) -> uf.UniformState:
+    """One dual iteration with per-layer (alpha, omega)
+    (ref: forward/backward_iteration_learned_mm_dist, bdd_cuda_learned_mma.cu:10-171)."""
+    dlo, dhi = uf.compute_delta(geom, state.def_mm)
+    new_lo, new_hi, new_mm, cfrs = [], [], [], []
+    for g, lo, hi, cft, al, om in zip(
+        geom.buckets, state.lo, state.hi, state.cft, alphas, omegas
+    ):
+        nl, nh, mm, cfr = uf.bucket_forward_iteration(
+            g, lo, hi, cft, om, dlo[g.layer_var], dhi[g.layer_var], alpha=al
+        )
+        new_lo.append(nl)
+        new_hi.append(nh)
+        new_mm.append(mm)
+        cfrs.append(cfr)
+    state = uf.UniformState(
+        tuple(new_lo), tuple(new_hi), tuple(new_mm), state.cft
+    )
+    dlo, dhi = uf.compute_delta(geom, state.def_mm)
+    new_lo, new_hi, new_mm, cfts = [], [], [], []
+    for g, lo, hi, cfr, al, om in zip(
+        geom.buckets, state.lo, state.hi, cfrs, alphas, omegas
+    ):
+        nl, nh, mm, cft = uf.bucket_backward_iteration(
+            g, lo, hi, cfr, om, dlo[g.layer_var], dhi[g.layer_var], alpha=al
+        )
+        new_lo.append(nl)
+        new_hi.append(nh)
+        new_mm.append(mm)
+        cfts.append(cft)
+    return uf.UniformState(tuple(new_lo), tuple(new_hi), tuple(new_mm), tuple(cfts))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def learned_iterations(
+    geom: uf.UniformGeom,
+    state: uf.UniformState,
+    alphas: Tuple[jnp.ndarray, ...],
+    omegas: Tuple[jnp.ndarray, ...],
+    n: int,
+) -> uf.UniformState:
+    """n differentiable iterations; per-iteration gradient checkpointing
+    bounds memory at one iteration's activations (the reference's
+    solver_state_cache replay strategy, bdd_cuda_learned_mma.h:8-43)."""
+
+    @jax.checkpoint
+    def body(s, _):
+        return learned_iteration(geom, s, alphas, omegas), ()
+
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state
+
+
+def distribute_delta_learned(
+    geom: uf.UniformGeom,
+    state: uf.UniformState,
+    alphas: Tuple[jnp.ndarray, ...],
+) -> uf.UniformState:
+    """Fold deferred deltas with learned weights
+    (ref: DistributeDeferredDelta, bdd_cuda_torch.py:184-232)."""
+    dlo, dhi = uf.compute_delta(geom, state.def_mm)
+    lo_l, hi_l, mm_l, cft_l = [], [], [], []
+    for g, lo, hi, al in zip(geom.buckets, state.lo, state.hi, alphas):
+        nl = jnp.where(g.layer_valid, lo + al * dlo[g.layer_var], 0.0)
+        nh = jnp.where(g.layer_valid, hi + al * dhi[g.layer_var], 0.0)
+        lo_l.append(nl)
+        hi_l.append(nh)
+        mm_l.append(jnp.zeros_like(lo))
+        cft_l.append(uf.bucket_backward_run(g, nl, nh))
+    return uf.UniformState(tuple(lo_l), tuple(hi_l), tuple(mm_l), tuple(cft_l))
+
+
+def per_bdd_lower_bound(
+    geom: uf.UniformGeom, state: uf.UniformState
+) -> Tuple[jnp.ndarray, ...]:
+    """Per-BDD root costs of the current cft, per bucket [B] (0 at padding)
+    (ref: ComputeLowerBoundperBDD, bdd_cuda_torch.py:339-401)."""
+    return tuple(
+        jnp.where(g.layer_valid[0], cft[0, 0, :], 0.0)
+        for g, cft in zip(geom.buckets, state.cft)
+    )
+
+
+def dual_loss(
+    geom: uf.UniformGeom,
+    state: uf.UniformState,
+    alphas: Tuple[jnp.ndarray, ...],
+    omegas: Tuple[jnp.ndarray, ...],
+    n: int,
+) -> jnp.ndarray:
+    """-lower_bound after n learned iterations + delta distribution — the
+    DOGE training loss (doge.py:356-369)."""
+    out = learned_iterations(geom, state, alphas, omegas, n)
+    out = distribute_delta_learned(geom, out, alphas)
+    lbs = per_bdd_lower_bound(geom, out)
+    return -sum(jnp.sum(l) for l in lbs)
+
+
+def all_min_marginal_differences(
+    geom: uf.UniformGeom, state: uf.UniformState
+) -> Tuple[jnp.ndarray, ...]:
+    """Per-layer mm differences (m1 - m0) per bucket [H, B] (a GNN feature;
+    ref: ComputeAllMinMarginalsDiff, bdd_cuda_torch.py:234-277). Infinite
+    sides are clamped to +-1e9 for feature stability."""
+    out = []
+    for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
+        m0, m1 = uf.bucket_min_marginals(g, lo, hi)
+        d = jnp.where(
+            jnp.isfinite(m1) & jnp.isfinite(m0),
+            m1 - m0,
+            jnp.where(jnp.isfinite(m0), 1e9, -1e9),
+        )
+        out.append(jnp.where(g.layer_valid, d, 0.0))
+    return out and tuple(out)

@@ -358,8 +358,15 @@ def bucket_forward_iteration(
     omega,
     din_lo: jnp.ndarray,
     din_hi: jnp.ndarray,
+    alpha=None,
 ):
-    """One forward half-sweep of a bucket. din_*: [H, B] pre-gathered deltas."""
+    """One forward half-sweep of a bucket. din_*: [H, B] pre-gathered deltas.
+    ``alpha``/``omega`` may be [H, B] arrays (learned per-layer parameters,
+    ref: bdd_cuda_learned_mma.cu:10-171) or scalars; alpha defaults to the
+    isotropic 1/#bdds-per-var weights."""
+    if alpha is None:
+        alpha = g.alpha
+    alpha = jnp.broadcast_to(alpha, lo.shape)
     P = g.P
     cft_next = jnp.concatenate(
         [cft[1:], jnp.full((1, P, g.B), INF, dtype=lo.dtype)], axis=0
@@ -384,7 +391,7 @@ def bucket_forward_iteration(
 
     xs = (
         g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot,
-        lo, hi, omega_arr, g.alpha, din_lo, din_hi, g.layer_valid, cft_next,
+        lo, hi, omega_arr, alpha, din_lo, din_hi, g.layer_valid, cft_next,
     )
     _, (new_lo, new_hi, new_mm, cfr) = jax.lax.scan(step, cfr0, xs)
     return new_lo, new_hi, new_mm, cfr
@@ -398,7 +405,11 @@ def bucket_backward_iteration(
     omega,
     din_lo: jnp.ndarray,
     din_hi: jnp.ndarray,
+    alpha=None,
 ):
+    if alpha is None:
+        alpha = g.alpha
+    alpha = jnp.broadcast_to(alpha, lo.shape)
     P = g.P
     omega_arr = jnp.broadcast_to(jnp.asarray(omega, dtype=lo.dtype), lo.shape)
 
@@ -418,7 +429,7 @@ def bucket_backward_iteration(
 
     xs = (
         g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot,
-        lo, hi, omega_arr, g.alpha, din_lo, din_hi, g.layer_valid, cfr,
+        lo, hi, omega_arr, alpha, din_lo, din_hi, g.layer_valid, cfr,
     )
     init = jnp.full((P, g.B), INF, dtype=lo.dtype)
     _, (new_lo, new_hi, new_mm, cft) = jax.lax.scan(step, init, xs, reverse=True)
