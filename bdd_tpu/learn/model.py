@@ -1,0 +1,84 @@
+"""Bipartite variable-subproblem GNN predicting per-layer MMA parameters.
+
+TPU/flax counterpart of DOGE's PyG model (DOGE/model/model.py:204-401):
+several rounds of message passing between variable and BDD nodes through the
+layer (edge) set, followed by heads predicting per-layer distribution-weight
+logits (softmax-normalized per variable downstream) and damping omega
+(sigmoid). Message passing uses segment-sum aggregation over the static layer
+graph — the jraph pattern, no dynamic structure.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bdd_tpu.learn.features import GraphSpec
+
+
+class MLP(nn.Module):
+    widths: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for i, w in enumerate(self.widths):
+            x = nn.Dense(w)(x)
+            if i + 1 < len(self.widths):
+                x = nn.relu(x)
+        return x
+
+
+class MessagePassingLayer(nn.Module):
+    """One var <-> bdd round through edges
+    (ref: FeatureExtractorLayer, model.py:57-130)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, spec: GraphSpec, var_e, bdd_e, edge_e):
+        E = spec.E
+        ve = var_e[spec.layer_var]
+        be = bdd_e[spec.layer_bdd]
+        msg_in = jnp.concatenate([ve, be, edge_e], axis=-1)
+        edge_new = MLP([self.dim, self.dim])(msg_in)
+        edge_new = jnp.where(spec.layer_valid[:, None], edge_new, 0.0)
+
+        def seg(x, ids, n):
+            s = jax.ops.segment_sum(x, ids, num_segments=n)
+            cnt = jax.ops.segment_sum(
+                spec.layer_valid.astype(x.dtype), ids, num_segments=n
+            )
+            return s / jnp.maximum(cnt, 1.0)[:, None]
+
+        var_msg = seg(edge_new, spec.layer_var, spec.nr_vars + 1)
+        bdd_msg = seg(edge_new, spec.layer_bdd, spec.nr_bdds + 1)
+        var_new = MLP([self.dim, self.dim])(jnp.concatenate([var_e, var_msg], -1))
+        bdd_new = MLP([self.dim, self.dim])(jnp.concatenate([bdd_e, bdd_msg], -1))
+        return nn.relu(var_new), nn.relu(bdd_new), nn.relu(edge_new)
+
+
+class DogePredictor(nn.Module):
+    """Predicts (alpha logits, omega logits) per layer
+    (ref: DOGEPredictor.forward, model.py:262-401)."""
+
+    dim: int = 32
+    nr_rounds: int = 2
+
+    @nn.compact
+    def __call__(self, spec: GraphSpec, var_f, bdd_f, edge_f):
+        var_e = nn.relu(nn.Dense(self.dim)(var_f))
+        bdd_e = nn.relu(nn.Dense(self.dim)(bdd_f))
+        edge_e = nn.relu(nn.Dense(self.dim)(edge_f))
+        for _ in range(self.nr_rounds):
+            var_e, bdd_e, edge_e = MessagePassingLayer(self.dim)(
+                spec, var_e, bdd_e, edge_e
+            )
+        head_in = jnp.concatenate(
+            [edge_e, var_e[spec.layer_var], bdd_e[spec.layer_bdd]], axis=-1
+        )
+        out = MLP([self.dim, 2])(head_in)
+        alpha_logits = out[:, 0]
+        omega_logits = out[:, 1]
+        return alpha_logits, omega_logits

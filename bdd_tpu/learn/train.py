@@ -1,0 +1,189 @@
+"""DOGE-style training loop: learn per-layer MMA parameters with a GNN.
+
+TPU counterpart of DOGE/doge.py + train_doge.py: for each instance and each of
+``nr_rounds`` dual rounds, the GNN reads solver-state features and predicts
+per-layer (alpha, omega); the solver runs ``iters_per_round`` differentiable
+iterations; the loss is the negated sum of per-BDD lower bounds after delta
+distribution (doge.py:356-369), with gradients flowing only through the last
+round(s) (doge.py:412-459). Optimizer: optax adam. Checkpointing via
+flax serialization (orbax-free fallback).
+"""
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bdd_tpu.learn import features as ft
+from bdd_tpu.learn.model import DogePredictor
+from bdd_tpu.solver import learned as ln
+from bdd_tpu.solver import uniform as uf
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Hyperparameters (ref: DOGE/configs/defaults.py:26-108)."""
+
+    dim: int = 32
+    nr_rounds: int = 3  # dual rounds per instance per epoch
+    iters_per_round: int = 5  # differentiable MMA iterations per round
+    grad_rounds: int = 1  # rounds (from the end) contributing gradients
+    lr: float = 1e-3
+    epochs: int = 5
+    smoothing: float = 1.0
+    seed: int = 0
+
+
+class Instance:
+    """A preprocessed training instance (pickled-solver analogue,
+    ref: DOGE/data/ilp_converters.py create_bdd_repr)."""
+
+    def __init__(self, host: uf.UniformHost, objective, dtype=jnp.float32):
+        self.host = host
+        self.objective = jnp.asarray(np.asarray(objective), dtype)
+        self.spec = ft.graph_spec(host)
+        self.state0 = uf.init_uniform_state(host, objective, dtype=dtype)
+
+    @classmethod
+    def from_ilp(cls, ilp, dtype=jnp.float32):
+        from bdd_tpu.bdd.preprocessor import BddPreprocessor
+
+        ilp.normalize()
+        pre = BddPreprocessor(ilp)
+        host = uf.flatten_uniform(
+            pre.collection,
+            pre.total_nr_variables(),
+            pre.nr_primal_variables,
+            dtype=dtype,
+        )
+        obj = pre.objective_vector()
+        return cls(host, obj, dtype=dtype)
+
+
+class DogeTrainer:
+    def __init__(self, config: TrainConfig = TrainConfig()):
+        self.cfg = config
+        self.model = DogePredictor(dim=config.dim)
+        self.params = None
+        self.opt = optax.adam(config.lr)
+        self.opt_state = None
+
+    # ----------------------------------------------------------------- setup
+    def init(self, instance: Instance) -> None:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        var_f, bdd_f, edge_f = ft.compute_features(
+            instance.host, instance.spec, instance.state0, instance.objective,
+            self.cfg.smoothing,
+        )
+        self.params = self.model.init(rng, instance.spec, var_f, bdd_f, edge_f)
+        self.opt_state = self.opt.init(self.params)
+
+    # ------------------------------------------------------------- internals
+    def _predict(self, params, instance: Instance, state):
+        var_f, bdd_f, edge_f = ft.compute_features(
+            instance.host, instance.spec, state, instance.objective,
+            self.cfg.smoothing,
+        )
+        a_logits, o_logits = self.model.apply(
+            params, instance.spec, var_f, bdd_f, edge_f
+        )
+        raw = ft.split_like(instance.host, jnp.exp(jnp.clip(a_logits, -10, 10)))
+        alphas = ln.normalize_alpha(
+            instance.host.geom,
+            tuple(
+                jnp.where(g.layer_valid, r, 0.0)
+                for g, r in zip(instance.host.geom.buckets, raw)
+            ),
+        )
+        omegas = tuple(
+            jax.nn.sigmoid(o)
+            for o in ft.split_like(instance.host, o_logits)
+        )
+        return alphas, omegas
+
+    def _round_loss(self, params, instance: Instance, state):
+        alphas, omegas = self._predict(params, instance, state)
+        loss = ln.dual_loss(
+            instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
+        )
+        new_state = ln.learned_iterations(
+            instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
+        )
+        return loss, new_state
+
+    # ---------------------------------------------------------------- training
+    def train_step(self, instance: Instance) -> Dict[str, float]:
+        """One epoch on one instance: advance rounds, backprop last rounds."""
+        cfg = self.cfg
+        state = instance.state0
+        # non-grad rounds
+        for _ in range(cfg.nr_rounds - cfg.grad_rounds):
+            _, state = self._round_loss(self.params, instance, state)
+        state = jax.lax.stop_gradient(state)
+
+        def loss_fn(params):
+            s = state
+            total = 0.0
+            for _ in range(cfg.grad_rounds):
+                l, s = self._round_loss(params, instance, s)
+                total = total + l
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(self.params)
+        updates, self.opt_state = self.opt.update(grads, self.opt_state, self.params)
+        self.params = optax.apply_updates(self.params, updates)
+        return {"loss": float(loss)}
+
+    def run_learned_rounds(
+        self, instance: Instance, nr_rounds: Optional[int] = None
+    ) -> List[float]:
+        """Inference: run rounds with the trained policy; returns the lb after
+        each round (DualMetrics per-round lb, ref: DOGE/metrics/dual_metrics.py)."""
+        state = instance.state0
+        lbs = []
+        for _ in range(nr_rounds or self.cfg.nr_rounds):
+            alphas, omegas = self._predict(self.params, instance, state)
+            state = ln.learned_iterations(
+                instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
+            )
+            lbs.append(
+                float(uf.lower_bound_with_deferred(instance.host.geom, state))
+            )
+        return lbs
+
+    # ------------------------------------------------------------ checkpoints
+    def save(self, path: str) -> None:
+        from flax import serialization
+
+        with open(path, "wb") as fh:
+            pickle.dump(
+                {
+                    "config": dataclasses.asdict(self.cfg),
+                    "params": serialization.to_bytes(self.params),
+                },
+                fh,
+            )
+
+    def load(self, path: str, example_instance: Instance) -> None:
+        from flax import serialization
+
+        with open(path, "rb") as fh:
+            blob = pickle.load(fh)
+        self.cfg = TrainConfig(**blob["config"])
+        self.model = DogePredictor(dim=self.cfg.dim)
+        self.init(example_instance)
+        self.params = serialization.from_bytes(self.params, blob["params"])
+
+
+def dual_metrics(lbs: List[float], reference_lb: float) -> Dict[str, Any]:
+    """Per-round relative dual gap vs a reference bound
+    (ref: DOGE/metrics/dual_metrics.py:7-119)."""
+    gaps = [
+        abs(reference_lb - lb) / max(abs(reference_lb), 1e-9) for lb in lbs
+    ]
+    return {"lb_per_round": lbs, "rel_gap_per_round": gaps, "final_gap": gaps[-1]}

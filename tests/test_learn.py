@@ -1,0 +1,93 @@
+"""DOGE-equivalent learned solver: features, GNN, training loop.
+
+(ref analogues: DOGE tests / test_learned_dist_weights.py,
+test_learned_omega_vec.py at fixture scale)
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bdd_tpu.ilp import parse_lp_string
+from bdd_tpu.learn import DogeTrainer, TrainConfig
+from bdd_tpu.learn import features as ft
+from bdd_tpu.learn.train import Instance, dual_metrics
+from bdd_tpu.solver import uniform as uf
+from bdd_tpu.utils.problems import independent_set, grid_mrf
+from tests import fixtures
+
+
+def make_instance(lp=None, ilp=None):
+    if ilp is None:
+        ilp = parse_lp_string(lp)
+    return Instance.from_ilp(ilp, dtype=jnp.float32)
+
+
+def test_graph_spec_and_features():
+    inst = make_instance(fixtures.MATCHING_3x3)
+    spec = inst.spec
+    assert spec.nr_vars == 9
+    assert spec.nr_bdds == 6
+    v = np.asarray(spec.layer_var)
+    valid = np.asarray(spec.layer_valid)
+    assert np.all(v[valid] < 9)
+    var_f, bdd_f, layer_f = ft.compute_features(
+        inst.host, spec, inst.state0, inst.objective
+    )
+    assert var_f.shape[0] == 10 and np.all(np.isfinite(np.asarray(var_f)))
+    assert bdd_f.shape[0] == 7 and np.all(np.isfinite(np.asarray(bdd_f)))
+    assert layer_f.shape[0] == spec.E and np.all(np.isfinite(np.asarray(layer_f)))
+    # degree feature: every variable occurs in 2 assignment constraints
+    assert np.allclose(np.asarray(var_f)[:9, 1], 2.0)
+
+
+def test_trainer_init_and_step_runs():
+    inst = make_instance(fixtures.MATCHING_3x3)
+    tr = DogeTrainer(TrainConfig(dim=16, nr_rounds=2, iters_per_round=3, epochs=1))
+    tr.init(inst)
+    m = tr.train_step(inst)
+    assert np.isfinite(m["loss"])
+
+
+def test_training_improves_over_epochs():
+    """Loss (negated bound) should not blow up and should tend to improve on a
+    small MIS instance (DOGE MIS protocol at toy scale)."""
+    ilp = independent_set(12, edge_prob=0.4, seed=1)
+    inst = make_instance(ilp=ilp)
+    tr = DogeTrainer(TrainConfig(dim=16, nr_rounds=2, iters_per_round=4))
+    tr.init(inst)
+    losses = [tr.train_step(inst)["loss"] for _ in range(8)]
+    assert all(np.isfinite(l) for l in losses)
+    assert min(losses[4:]) <= losses[0] + 1e-6
+
+
+def test_learned_rounds_monotone_lb():
+    inst = make_instance(fixtures.MATCHING_3x3)
+    tr = DogeTrainer(TrainConfig(dim=16, nr_rounds=4, iters_per_round=5))
+    tr.init(inst)
+    lbs = tr.run_learned_rounds(inst)
+    assert len(lbs) == 4
+    assert all(np.isfinite(l) for l in lbs)
+    # the dual bound never decreases across rounds (valid updates)
+    for a, b in zip(lbs, lbs[1:]):
+        assert b >= a - 1e-4
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    inst = make_instance(fixtures.MATCHING_3x3)
+    tr = DogeTrainer(TrainConfig(dim=16, nr_rounds=2, iters_per_round=2))
+    tr.init(inst)
+    tr.train_step(inst)
+    lbs1 = tr.run_learned_rounds(inst)
+    p = str(tmp_path / "doge.ckpt")
+    tr.save(p)
+    tr2 = DogeTrainer()
+    tr2.load(p, inst)
+    lbs2 = tr2.run_learned_rounds(inst)
+    np.testing.assert_allclose(lbs1, lbs2, atol=1e-5)
+
+
+def test_dual_metrics():
+    m = dual_metrics([-10.0, -8.0, -7.5], reference_lb=-7.0)
+    assert m["final_gap"] == pytest.approx(0.5 / 7.0)
