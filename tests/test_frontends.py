@@ -1,0 +1,177 @@
+"""Specialized frontends: OPB, UAI MRF, graph matching, multi-graph matching.
+
+(ref analogues: test/specialized_solvers/*, test_ILP_parser for OPB)
+"""
+import math
+
+import numpy as np
+import pytest
+
+from bdd_tpu.api import BddSolver
+from bdd_tpu.frontends import (
+    construct_graph_matching_ilp,
+    construct_multi_graph_matching_ilp,
+    parse_dd_string,
+    parse_mgm_string,
+    parse_uai_string,
+)
+from bdd_tpu.ilp.opb_parser import (
+    convert_lp_to_opb,
+    convert_opb_to_lp,
+    parse_opb_string,
+)
+from tests import fixtures
+
+UAI_CHAIN = """MARKOV
+3
+2 2 2
+5
+1 0
+1 1
+1 2
+2 0 1
+2 1 2
+2
+0.0 2.0
+2
+1.0 0.0
+2
+3.0 1.0
+4
+0.0 2.0 2.0 0.0
+4
+0.0 2.0 2.0 0.0
+"""
+
+DD_SMALL = """c small matching instance
+p 2 2 4 2
+a 0 0 0 -2.0
+a 1 0 1 -1.0
+a 2 1 0 -1.0
+a 3 1 1 -2.0
+e 0 3 -1.0
+e 1 2 0.5
+"""
+
+
+def test_opb_roundtrip():
+    opb = """* comment
+min: 2 x1 + 3 x2 - x3;
++1 x1 +1 x2 >= 1;
+2 x1 - 3 x3 = -1;
+"""
+    ilp = parse_opb_string(opb)
+    assert ilp.nr_variables() == 3
+    assert ilp.nr_constraints() == 2
+    opt, x = fixtures.brute_force_ilp_optimum(ilp)
+    # roundtrip through lp and back
+    ilp2 = parse_opb_string(parse_opb_string(opb).write_opb())
+    opt2, _ = fixtures.brute_force_ilp_optimum(ilp2)
+    assert opt == pytest.approx(opt2)
+
+
+def test_opb_negated_literals():
+    ilp = parse_opb_string("min: x1;\n1 ~x1 1 x2 >= 1;\n")
+    # ~x1 + x2 >= 1  <=>  -x1 + x2 >= 0
+    assert fixtures.brute_force_ilp_optimum(ilp)[0] == 0.0
+
+
+def test_converters():
+    lp = convert_opb_to_lp("min: x1 + x2;\n1 x1 1 x2 >= 1;\n")
+    assert "Minimize" in lp
+    opb = convert_lp_to_opb("Minimize\nx + y\nSubject To\nx + y >= 1\nEnd")
+    assert "min:" in opb
+
+
+def test_uai_parse_and_solve():
+    mrf = parse_uai_string(UAI_CHAIN)
+    assert mrf.nr_variables() == 3
+    assert len(mrf.pairwise) == 2
+    ilp = mrf.convert_to_ilp()
+    # brute force MRF optimum directly over labelings
+    best = math.inf
+    for l0 in range(2):
+        for l1 in range(2):
+            for l2 in range(2):
+                cost = (
+                    mrf.unaries[0][l0]
+                    + mrf.unaries[1][l1]
+                    + mrf.unaries[2][l2]
+                    + mrf.pairwise[0][2][l0 * 2 + l1]
+                    + mrf.pairwise[1][2][l1 * 2 + l2]
+                )
+                best = min(best, cost)
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    assert opt == pytest.approx(best)
+    # end-to-end through the solver (tree MRF -> LP tight)
+    s = BddSolver(
+        {
+            "relaxation solver": "ref mma",
+            "termination criteria": {"maximum iterations": 200},
+        }
+    )
+    s.read_ilp(ilp=ilp)
+    result = s.solve(verbose=False)
+    assert result["lower_bound"] == pytest.approx(best, abs=1e-4)
+
+
+def test_graph_matching_construct_and_solve():
+    inst = parse_dd_string(DD_SMALL)
+    assert len(inst.linear) == 4
+    assert len(inst.quadratic) == 2
+    ilp, lin_map, quad_map = construct_graph_matching_ilp(inst)
+    # identity matching (0->0, 1->1) costs -2 -2 + quadratic e(0,3) = -5
+    opt, x = fixtures.brute_force_ilp_optimum(ilp)
+    assert opt == pytest.approx(-5.0)
+    s = BddSolver(
+        {
+            "relaxation solver": "ref mma",
+            "variable order": "bfs",
+            "termination criteria": {"maximum iterations": 500},
+        }
+    )
+    s.read_ilp(ilp=ilp)
+    result = s.solve(verbose=False)
+    assert result["lower_bound"] <= opt + 1e-6
+    if "objective" in result:
+        assert result["objective"] >= opt - 1e-6
+
+
+def test_multi_graph_matching():
+    # 3 graphs with 2 points each; pairwise identity matchings preferred
+    def block(costs):
+        lines = ["p 2 2 4 0"]
+        a = 0
+        for i in range(2):
+            for j in range(2):
+                lines.append(f"a {a} {i} {j} {costs[i][j]}")
+                a += 1
+        return "\n".join(lines)
+
+    ident = [[-1.0, 0.0], [0.0, -1.0]]
+    swap = [[0.0, -1.0], [-1.0, 0.0]]
+    text = "\n".join(
+        [
+            "gm 0 1",
+            block(ident),
+            "gm 0 2",
+            block(ident),
+            "gm 1 2",
+            block(swap),  # conflicts with the two identities
+        ]
+    )
+    blocks = parse_mgm_string(text)
+    assert set(blocks) == {(0, 1), (0, 2), (1, 2)}
+    ilp = construct_multi_graph_matching_ilp(blocks)
+    opt, x = fixtures.brute_force_ilp_optimum(ilp)
+    # without cycle consistency all three matchings would score -2 each (-6
+    # total); consistency forces the conflicting pair into the no-assignment
+    # slack, giving -4
+    assert opt == pytest.approx(-4.0)
+    # sanity: dropping the quadratic consistency constraints recovers -6
+    ilp_nc = construct_multi_graph_matching_ilp(blocks)
+    ilp_nc.constraints_ = [
+        c for c in ilp_nc.constraints_ if all(len(m) == 1 for m in c.monomials)
+    ]
+    opt_nc, _ = fixtures.brute_force_ilp_optimum(ilp_nc)
+    assert opt_nc == pytest.approx(-6.0)
