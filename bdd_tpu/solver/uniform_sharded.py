@@ -1,0 +1,255 @@
+"""Multi-device sharding of the uniform bucketed backend.
+
+BDDs are partitioned into contiguous blocks (balanced by node count, variable
+locality preserved); every shard builds the SAME bucket structure (global
+bucket keys) with its own BDD columns, padded to a common column count, so all
+per-shard pytrees stack on a leading device axis and the whole iteration runs
+under ``shard_map``. Cross-shard state is exactly one psum of the per-variable
+delta pair per half-sweep (the N-way generalization of the reference's hybrid
+CPU/GPU exchange, bdd_multi_parallel_mma_base.cu:268-455), wired through the
+``delta_reduce`` hook of ``uniform.iteration``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bdd_tpu.bdd.collection import BddCollection
+from bdd_tpu.solver import uniform as uf
+from bdd_tpu.solver.sharding import partition_bdds
+from bdd_tpu.solver.uniform_wrapper import UniformLayerView
+
+
+def _pad_bucket(g: uf.BucketGeom, B: int, nr_vars: int, dtype) -> uf.BucketGeom:
+    """Pad a bucket's column axis to B."""
+    if g.B == B:
+        return g
+
+    def padn(x, fill):
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, B - x.shape[-1])]
+        return jnp.pad(x, pad, constant_values=fill)
+
+    return uf.BucketGeom(
+        node_valid=padn(g.node_valid, False),
+        lo_kind=padn(g.lo_kind, uf.ARC_BOT),
+        lo_slot=padn(g.lo_slot, 0),
+        hi_kind=padn(g.hi_kind, uf.ARC_BOT),
+        hi_slot=padn(g.hi_slot, 0),
+        layer_valid=padn(g.layer_valid, False),
+        layer_var=padn(g.layer_var, nr_vars),
+        alpha=padn(g.alpha, 0.0),
+    )
+
+
+def _empty_bucket(key: Tuple[int, int], B: int, nr_vars: int, dtype) -> uf.BucketGeom:
+    P_, H = key
+    return uf.BucketGeom(
+        node_valid=jnp.zeros((H, P_, B), dtype=bool),
+        lo_kind=jnp.full((H, P_, B), uf.ARC_BOT, dtype=jnp.int32),
+        lo_slot=jnp.zeros((H, P_, B), dtype=jnp.int32),
+        hi_kind=jnp.full((H, P_, B), uf.ARC_BOT, dtype=jnp.int32),
+        hi_slot=jnp.zeros((H, P_, B), dtype=jnp.int32),
+        layer_valid=jnp.zeros((H, B), dtype=bool),
+        layer_var=jnp.full((H, B), nr_vars, dtype=jnp.int32),
+        alpha=jnp.zeros((H, B), dtype=dtype),
+    )
+
+
+class ShardedUniformSolver:
+    """Duck-interface sharded solver over a 1-D device mesh."""
+
+    default_block_size = 25
+
+    def __init__(
+        self,
+        collection: BddCollection,
+        nr_vars: int,
+        objective,
+        mesh: Optional[Mesh] = None,
+        nr_primal_vars: Optional[int] = None,
+        dtype=jnp.float32,
+        omega: float = 0.5,
+    ) -> None:
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("b",))
+        self.mesh = mesh
+        D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self.omega = omega
+        self.dtype = dtype
+
+        parts = partition_bdds(collection, D)
+        # global counts over all shards
+        counts = np.zeros(nr_vars, dtype=np.int32)
+        for b in range(collection.nr_bdds()):
+            for v in collection.level_variables(b):
+                counts[v] += 1
+
+        hosts = [
+            uf.flatten_uniform(
+                collection,
+                nr_vars,
+                nr_primal_vars,
+                dtype=dtype,
+                counts_override=counts,
+                keep_bdds=p,
+            )
+            if len(p) > 0
+            else None
+            for p in parts
+        ]
+        # global bucket key set
+        def keys_of(h):
+            return [(g.P, g.H) for g in h.geom.buckets] if h else []
+
+        all_keys = sorted({k for h in hosts for k in keys_of(h)})
+        B_per_key = {
+            k: max(
+                (
+                    h.geom.buckets[keys_of(h).index(k)].B
+                    for h in hosts
+                    if h and k in keys_of(h)
+                ),
+                default=8,
+            )
+            for k in all_keys
+        }
+        geoms = []
+        self._shard_hosts = hosts
+        for h in hosts:
+            bl = []
+            hk = keys_of(h)
+            for k in all_keys:
+                if h and k in hk:
+                    bl.append(
+                        _pad_bucket(
+                            h.geom.buckets[hk.index(k)], B_per_key[k], nr_vars, dtype
+                        )
+                    )
+                else:
+                    bl.append(_empty_bucket(k, B_per_key[k], nr_vars, dtype))
+            geoms.append(
+                uf.UniformGeom(
+                    buckets=tuple(bl),
+                    num_bdds_per_var=jnp.asarray(counts, dtype=jnp.int32),
+                )
+            )
+        self.geom_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *geoms)
+        self.nr_vars = nr_vars
+        self.host = uf.UniformHost(
+            geom=geoms[0],  # representative (for shapes only)
+            bdd_of_col=tuple(),
+            depths=tuple(),
+            nr_vars=nr_vars,
+            nr_primal_vars=nr_primal_vars or nr_vars,
+            nr_bdds=collection.nr_bdds(),
+        )
+
+        # initial state per shard
+        obj = np.asarray(objective, dtype=np.float64)
+        states = []
+        for geom in geoms:
+            host = uf.UniformHost(
+                geom=geom,
+                bdd_of_col=tuple(),
+                depths=tuple(),
+                nr_vars=nr_vars,
+                nr_primal_vars=nr_primal_vars or nr_vars,
+                nr_bdds=0,
+            )
+            states.append(uf.init_uniform_state(host, obj, dtype=dtype))
+        self.state_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *states)
+
+        sharding = NamedSharding(mesh, P("b"))
+        put = lambda x: jax.device_put(x, sharding)
+        self.geom_stacked = jax.tree.map(put, self.geom_stacked)
+        self.state_stacked = jax.tree.map(put, self.state_stacked)
+        self._make_fns()
+
+        # layer view for rounding (concatenated over shards and buckets)
+        class _View:
+            pass
+
+        lv, lval = [], []
+        for geom in geoms:
+            for g in geom.buckets:
+                lv.append(np.asarray(g.layer_var).ravel())
+                lval.append(np.asarray(g.layer_valid).ravel())
+        view = _View()
+        view.nr_vars = nr_vars
+        view.nr_primal_vars = nr_primal_vars or nr_vars
+        view.layer_var = np.concatenate(lv)
+        view._valid = np.concatenate(lval)
+        view.valid_layer_mask = lambda: view._valid
+        view.num_bdds_per_var = counts
+        self.f = view
+
+    # ------------------------------------------------------------------- fns
+    def _make_fns(self) -> None:
+        mesh = self.mesh
+        axis = "b"
+
+        def psum2(dlo, dhi):
+            return jax.lax.psum(dlo, axis), jax.lax.psum(dhi, axis)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(geom_s, state_s, omega, n: int):
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            def fn(geom_blk, state_blk, om):
+                geom = jax.tree.map(lambda x: x[0], geom_blk)
+                state = jax.tree.map(lambda x: x[0], state_blk)
+
+                def body(s, _):
+                    return uf.iteration(geom, s, om, delta_reduce=psum2), ()
+
+                state, _ = jax.lax.scan(body, state, None, length=n)
+                return jax.tree.map(lambda x: x[None], state)
+
+            return fn(geom_s, state_s, omega)
+
+        @jax.jit
+        def lb(geom_s, state_s):
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(),
+                check_vma=False,
+            )
+            def fn(geom_blk, state_blk):
+                geom = jax.tree.map(lambda x: x[0], geom_blk)
+                state = jax.tree.map(lambda x: x[0], state_blk)
+                s = uf.distribute_delta(geom, state, delta_reduce=psum2)
+                return jax.lax.psum(uf.lower_bound_from_cft(geom, s.cft), axis)
+
+            return fn(geom_s, state_s)
+
+        self._run = run
+        self._lb = lb
+
+    # ------------------------------------------------------------- interface
+    def iteration(self) -> None:
+        self.state_stacked = self._run(
+            self.geom_stacked, self.state_stacked, self.omega, 1
+        )
+
+    def iteration_block(self, n: int) -> None:
+        self.state_stacked = self._run(
+            self.geom_stacked, self.state_stacked, self.omega, n
+        )
+
+    def lower_bound(self) -> float:
+        return float(self._lb(self.geom_stacked, self.state_stacked))
+
+    def lower_bound_with_deferred(self) -> float:
+        return self.lower_bound()

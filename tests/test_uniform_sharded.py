@@ -1,0 +1,66 @@
+"""Sharded uniform backend parity on the virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from bdd_tpu.bdd import BddPreprocessor
+from bdd_tpu.ilp import parse_lp_string
+from bdd_tpu.solver import RefSolver, flatten_collection
+from bdd_tpu.solver.uniform_sharded import ShardedUniformSolver
+from bdd_tpu.utils.problems import grid_mrf
+from tests import fixtures
+
+
+def make(lp=None, ilp=None, n_dev=4):
+    if ilp is None:
+        ilp = parse_lp_string(lp)
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float64,
+    )
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    return ilp, s, ref
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("lp", [fixtures.SHORT_MRF_CHAIN, fixtures.MATCHING_3x3])
+def test_sharded_uniform_parity(lp, n_dev):
+    ilp, s, ref = make(lp, n_dev=n_dev)
+    s.iteration_block(12)
+    for _ in range(12):
+        ref.iteration(0.5)
+    assert s.lower_bound() == pytest.approx(ref.lower_bound_with_deferred(), abs=1e-9)
+
+
+def test_sharded_uniform_grid():
+    ilp = grid_mrf(3, 3, 2, seed=4)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    _, s, ref = make(ilp=ilp, n_dev=8)
+    s.iteration_block(40)
+    for _ in range(40):
+        ref.iteration(0.5)
+    assert s.lower_bound() == pytest.approx(ref.lower_bound_with_deferred(), abs=1e-8)
+
+
+def test_sharded_uniform_more_devices_than_bdds():
+    ilp, s, ref = make(fixtures.COVERING, n_dev=8)
+    s.iteration_block(10)
+    for _ in range(10):
+        ref.iteration(0.5)
+    assert s.lower_bound() == pytest.approx(ref.lower_bound_with_deferred(), abs=1e-9)
