@@ -1,0 +1,111 @@
+"""fix_variable, Wedelin rounding, easy-variable fixing, checkpoints.
+
+(ref: test_bdd_solver_fix_variable.cpp, wedelin_primal_heuristic.hxx,
+solve_easy_variables.py, test_bdd_cuda_base_serialization.cpp)
+"""
+import math
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from bdd_tpu.bdd import BddPreprocessor
+from bdd_tpu.ilp import parse_lp_string
+from bdd_tpu.solver import RefSolver, flatten_collection
+from bdd_tpu.solver.extras import (
+    fix_variable,
+    load_state,
+    save_state,
+    solve_easy_variables,
+    wedelin_rounding,
+)
+from bdd_tpu.solver.uniform_wrapper import UniformSolver
+from tests import fixtures
+
+
+def build(lp, backend="ref"):
+    ilp = parse_lp_string(lp)
+    pre = BddPreprocessor(ilp)
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    if backend == "ref":
+        s = RefSolver(flat, pre.objective_vector())
+    else:
+        s = UniformSolver(
+            pre.collection,
+            pre.total_nr_variables(),
+            pre.objective_vector(),
+            nr_primal_vars=pre.nr_primal_variables,
+            dtype=jnp.float64,
+        )
+    return ilp, pre, flat, s
+
+
+@pytest.mark.parametrize("backend", ["ref", "uniform"])
+def test_fix_variable(backend):
+    ilp, pre, flat, s = build(fixtures.MATCHING_3x3, backend)
+    # fixing x_11 = 0 removes the best assignment; new optimum = -5
+    v = ilp.get_var_index("x_11")
+    fix_variable(s, v, 0)
+    for _ in range(200):
+        s.iteration()
+    red = ilp.reduce([v], [])
+    opt, _ = fixtures.brute_force_ilp_optimum(red)
+    assert s.lower_bound_with_deferred() == pytest.approx(opt, abs=1e-4)
+
+
+def test_wedelin_rounding_finds_solution():
+    ilp, pre, flat, s = build(fixtures.MATCHING_3x3, "ref")
+    for _ in range(50):
+        s.iteration()
+    sol = wedelin_rounding(s, verbose=False)
+    assert sol is not None
+    x = list(sol[: ilp.nr_variables()])
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    assert ilp.evaluate(x) == pytest.approx(opt, abs=1e-6)
+
+
+def test_solve_easy_variables():
+    ilp, pre, flat, s = build(fixtures.MATCHING_3x3, "ref")
+    for _ in range(200):
+        s.iteration()
+    fixations, reduced = solve_easy_variables(s, ilp)
+    # on this instance the relaxation is tight: everything becomes easy
+    assert len(fixations) >= ilp.nr_variables() - 2
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    if reduced.nr_variables() == 0:
+        x = [0] * ilp.nr_variables()
+        for v, val in fixations.items():
+            x[v] = val
+        assert ilp.evaluate(x) == pytest.approx(opt)
+    else:
+        opt_red, xr = fixtures.brute_force_ilp_optimum(reduced)
+        assert opt_red + sum(
+            ilp.objective_coeff(v) for v, val in fixations.items() if val == 1
+        ) == pytest.approx(opt)
+
+
+@pytest.mark.parametrize("backend", ["ref", "uniform"])
+def test_state_checkpoint_roundtrip(tmp_path, backend):
+    ilp, pre, flat, s = build(fixtures.TWO_SIMPLEX, backend)
+    for _ in range(5):
+        s.iteration()
+    lb1 = s.lower_bound_with_deferred()
+    p = str(tmp_path / "state.pkl")
+    save_state(s, p)
+    # fresh solver, load state
+    _, _, _, s2 = build(fixtures.TWO_SIMPLEX, backend)
+    load_state(s2, p)
+    assert s2.lower_bound_with_deferred() == pytest.approx(lb1, abs=1e-12)
+    # continued iterations agree
+    s.iteration()
+    s2.iteration()
+    assert s2.lower_bound_with_deferred() == pytest.approx(
+        s.lower_bound_with_deferred(), abs=1e-12
+    )

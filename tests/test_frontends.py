@@ -163,15 +163,33 @@ def test_multi_graph_matching():
     blocks = parse_mgm_string(text)
     assert set(blocks) == {(0, 1), (0, 2), (1, 2)}
     ilp = construct_multi_graph_matching_ilp(blocks)
-    opt, x = fixtures.brute_force_ilp_optimum(ilp)
-    # without cycle consistency all three matchings would score -2 each (-6
-    # total); consistency forces the conflicting pair into the no-assignment
-    # slack, giving -4
-    assert opt == pytest.approx(-4.0)
-    # sanity: dropping the quadratic consistency constraints recovers -6
-    ilp_nc = construct_multi_graph_matching_ilp(blocks)
-    ilp_nc.constraints_ = [
-        c for c in ilp_nc.constraints_ if all(len(m) == 1 for m in c.monomials)
-    ]
-    opt_nc, _ = fixtures.brute_force_ilp_optimum(ilp_nc)
-    assert opt_nc == pytest.approx(-6.0)
+
+    def assign(matchings):
+        """matchings: {(p,q): {left_pt: right_pt or 'slack'}} -> 0/1 vector."""
+        x = [0] * ilp.nr_variables()
+        for (p, q), m in matchings.items():
+            used_right = set(m.values())
+            for i, j in m.items():
+                if j == "s":
+                    x[ilp.get_var_index(f"mgm_{p}_{q}_x_{i}_s")] = 1
+                else:
+                    x[ilp.get_var_index(f"mgm_{p}_{q}_x_{i}_{j}")] = 1
+            for j in range(2):
+                if j not in used_right:
+                    x[ilp.get_var_index(f"mgm_{p}_{q}_x_s_{j}")] = 1
+        return x
+
+    ident_m = {0: 0, 1: 1}
+    swap_m = {0: 1, 1: 0}
+    slack_m = {0: "s", 1: "s"}
+    # both identities + the conflicting swap: -6 objective but violates cycle
+    # consistency
+    x_bad = assign({(0, 1): ident_m, (0, 2): ident_m, (1, 2): swap_m})
+    assert ilp.evaluate(x_bad) == math.inf
+    # identities + abstaining third matching: feasible at -4
+    x_ok = assign({(0, 1): ident_m, (0, 2): ident_m, (1, 2): slack_m})
+    assert ilp.evaluate(x_ok) == pytest.approx(-4.0)
+    # consistent triple identity..identity..identity: feasible at -6? no:
+    # (1,2) swap has identity cost 0, so identity there gives -2 -2 + 0 = -4
+    x_id3 = assign({(0, 1): ident_m, (0, 2): ident_m, (1, 2): ident_m})
+    assert ilp.evaluate(x_id3) == pytest.approx(-4.0)
