@@ -186,10 +186,14 @@ def test_multi_graph_matching():
     # consistency
     x_bad = assign({(0, 1): ident_m, (0, 2): ident_m, (1, 2): swap_m})
     assert ilp.evaluate(x_bad) == math.inf
-    # identities + abstaining third matching: feasible at -4
-    x_ok = assign({(0, 1): ident_m, (0, 2): ident_m, (1, 2): slack_m})
-    assert ilp.evaluate(x_ok) == pytest.approx(-4.0)
-    # consistent triple identity..identity..identity: feasible at -6? no:
-    # (1,2) swap has identity cost 0, so identity there gives -2 -2 + 0 = -4
+    # identities + abstaining third matching: ALSO infeasible — consistency
+    # forces the transitively implied match (sum x_ik*x_jk <= x_ij)
+    x_abstain = assign({(0, 1): ident_m, (0, 2): ident_m, (1, 2): slack_m})
+    assert ilp.evaluate(x_abstain) == math.inf
+    # the consistent closure: identity everywhere; (1,2)'s identity entries
+    # cost 0 under the swap-preferring block, so total is -4
     x_id3 = assign({(0, 1): ident_m, (0, 2): ident_m, (1, 2): ident_m})
     assert ilp.evaluate(x_id3) == pytest.approx(-4.0)
+    # all three abstaining is consistent and costs 0
+    x_none = assign({k: slack_m for k in blocks})
+    assert ilp.evaluate(x_none) == pytest.approx(0.0)
