@@ -57,13 +57,13 @@ def learned_iteration(
 ) -> uf.UniformState:
     """One dual iteration with per-layer (alpha, omega)
     (ref: forward/backward_iteration_learned_mm_dist, bdd_cuda_learned_mma.cu:10-171)."""
-    dlo, dhi = uf.compute_delta(geom, state.def_mm)
+    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm)
     new_lo, new_hi, new_mm, cfrs = [], [], [], []
-    for g, lo, hi, cft, al, om in zip(
-        geom.buckets, state.lo, state.hi, state.cft, alphas, omegas
+    for g, lo, hi, cft, al, om, dl, dh in zip(
+        geom.buckets, state.lo, state.hi, state.cft, alphas, omegas, din_lo, din_hi
     ):
         nl, nh, mm, cfr = uf.bucket_forward_iteration(
-            g, lo, hi, cft, om, dlo[g.layer_var], dhi[g.layer_var], alpha=al
+            g, lo, hi, cft, om, dl, dh, alpha=al
         )
         new_lo.append(nl)
         new_hi.append(nh)
@@ -72,13 +72,13 @@ def learned_iteration(
     state = uf.UniformState(
         tuple(new_lo), tuple(new_hi), tuple(new_mm), state.cft
     )
-    dlo, dhi = uf.compute_delta(geom, state.def_mm)
+    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm)
     new_lo, new_hi, new_mm, cfts = [], [], [], []
-    for g, lo, hi, cfr, al, om in zip(
-        geom.buckets, state.lo, state.hi, cfrs, alphas, omegas
+    for g, lo, hi, cfr, al, om, dl, dh in zip(
+        geom.buckets, state.lo, state.hi, cfrs, alphas, omegas, din_lo, din_hi
     ):
         nl, nh, mm, cft = uf.bucket_backward_iteration(
-            g, lo, hi, cfr, om, dlo[g.layer_var], dhi[g.layer_var], alpha=al
+            g, lo, hi, cfr, om, dl, dh, alpha=al
         )
         new_lo.append(nl)
         new_hi.append(nh)
@@ -114,11 +114,13 @@ def distribute_delta_learned(
 ) -> uf.UniformState:
     """Fold deferred deltas with learned weights
     (ref: DistributeDeferredDelta, bdd_cuda_torch.py:184-232)."""
-    dlo, dhi = uf.compute_delta(geom, state.def_mm)
+    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm)
     lo_l, hi_l, mm_l, cft_l = [], [], [], []
-    for g, lo, hi, al in zip(geom.buckets, state.lo, state.hi, alphas):
-        nl = jnp.where(g.layer_valid, lo + al * dlo[g.layer_var], 0.0)
-        nh = jnp.where(g.layer_valid, hi + al * dhi[g.layer_var], 0.0)
+    for g, lo, hi, al, dl, dh in zip(
+        geom.buckets, state.lo, state.hi, alphas, din_lo, din_hi
+    ):
+        nl = jnp.where(g.layer_valid, lo + al * dl, 0.0)
+        nh = jnp.where(g.layer_valid, hi + al * dh, 0.0)
         lo_l.append(nl)
         hi_l.append(nh)
         mm_l.append(jnp.zeros_like(lo))

@@ -437,21 +437,51 @@ def bucket_backward_iteration(
 
 
 # --------------------------------------------------------------- global ops
+def _exchange_ids(geom: UniformGeom) -> jnp.ndarray:
+    return jnp.concatenate([g.layer_var.ravel() for g in geom.buckets])
+
+
 def compute_delta(
     geom: UniformGeom, def_mm: Tuple[jnp.ndarray, ...]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    V = geom.V
-    dlo = jnp.zeros((V + 1,), dtype=def_mm[0].dtype)
-    dhi = jnp.zeros((V + 1,), dtype=def_mm[0].dtype)
-    for g, mm in zip(geom.buckets, def_mm):
-        ids = g.layer_var.ravel()
-        dlo = dlo + jax.ops.segment_sum(
-            jnp.maximum(-mm.ravel(), 0.0), ids, num_segments=V + 1
-        )
-        dhi = dhi + jax.ops.segment_sum(
-            jnp.maximum(mm.ravel(), 0.0), ids, num_segments=V + 1
-        )
-    return dlo.at[V].set(0.0), dhi.at[V].set(0.0)
+    """Per-variable deferred delta pair [V+1] each (sentinel slot zeroed).
+    One fused segment-sum over the concatenated layer slots of all buckets —
+    irregular memory ops are the TPU bottleneck, so the exchange runs exactly
+    once per half-sweep with stacked (lo, hi) values."""
+    ids = _exchange_ids(geom)
+    mm_flat = jnp.concatenate([m.ravel() for m in def_mm])
+    contrib = jnp.stack(
+        [jnp.maximum(-mm_flat, 0.0), jnp.maximum(mm_flat, 0.0)], axis=-1
+    )
+    dsum = jax.ops.segment_sum(contrib, ids, num_segments=geom.V + 1)
+    dsum = dsum.at[geom.V].set(0.0)
+    return dsum[:, 0], dsum[:, 1]
+
+
+def exchange_delta(
+    geom: UniformGeom, def_mm: Tuple[jnp.ndarray, ...], delta_reduce=None
+) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
+    """Full delta consensus: fused scatter + fused gather. Returns per-bucket
+    pre-gathered (din_lo, din_hi) [H, B] arrays. ``delta_reduce`` (sharded
+    path) is applied once to the stacked [V+1, 2] sums."""
+    ids = _exchange_ids(geom)
+    mm_flat = jnp.concatenate([m.ravel() for m in def_mm])
+    contrib = jnp.stack(
+        [jnp.maximum(-mm_flat, 0.0), jnp.maximum(mm_flat, 0.0)], axis=-1
+    )
+    dsum = jax.ops.segment_sum(contrib, ids, num_segments=geom.V + 1)
+    dsum = dsum.at[geom.V].set(0.0)
+    if delta_reduce is not None:
+        dsum = delta_reduce(dsum)
+    din = dsum[ids]  # [E, 2] — the single fused gather
+    out_lo, out_hi = [], []
+    off = 0
+    for g in geom.buckets:
+        n = g.H * g.B
+        out_lo.append(din[off : off + n, 0].reshape(g.H, g.B))
+        out_hi.append(din[off : off + n, 1].reshape(g.H, g.B))
+        off += n
+    return tuple(out_lo), tuple(out_hi)
 
 
 def iteration(
@@ -459,30 +489,26 @@ def iteration(
 ) -> UniformState:
     """One full dual MMA iteration over all buckets.
 
-    ``delta_reduce``: optional callable applied to the (dlo, dhi) pair before
-    use — the sharded path passes a psum here."""
-    dlo, dhi = compute_delta(geom, state.def_mm)
-    if delta_reduce is not None:
-        dlo, dhi = delta_reduce(dlo, dhi)
+    ``delta_reduce``: optional callable applied to the stacked [V+1, 2] delta
+    sums before redistribution — the sharded path passes a psum here."""
+    din_lo, din_hi = exchange_delta(geom, state.def_mm, delta_reduce)
     new_lo, new_hi, new_mm, cfrs = [], [], [], []
-    for g, lo, hi, cft in zip(geom.buckets, state.lo, state.hi, state.cft):
-        nl, nh, mm, cfr = bucket_forward_iteration(
-            g, lo, hi, cft, omega, dlo[g.layer_var], dhi[g.layer_var]
-        )
+    for g, lo, hi, cft, dl, dh in zip(
+        geom.buckets, state.lo, state.hi, state.cft, din_lo, din_hi
+    ):
+        nl, nh, mm, cfr = bucket_forward_iteration(g, lo, hi, cft, omega, dl, dh)
         new_lo.append(nl)
         new_hi.append(nh)
         new_mm.append(mm)
         cfrs.append(cfr)
     state = UniformState(tuple(new_lo), tuple(new_hi), tuple(new_mm), state.cft)
 
-    dlo, dhi = compute_delta(geom, state.def_mm)
-    if delta_reduce is not None:
-        dlo, dhi = delta_reduce(dlo, dhi)
+    din_lo, din_hi = exchange_delta(geom, state.def_mm, delta_reduce)
     new_lo, new_hi, new_mm, cfts = [], [], [], []
-    for g, lo, hi, cfr in zip(geom.buckets, state.lo, state.hi, cfrs):
-        nl, nh, mm, cft = bucket_backward_iteration(
-            g, lo, hi, cfr, omega, dlo[g.layer_var], dhi[g.layer_var]
-        )
+    for g, lo, hi, cfr, dl, dh in zip(
+        geom.buckets, state.lo, state.hi, cfrs, din_lo, din_hi
+    ):
+        nl, nh, mm, cft = bucket_backward_iteration(g, lo, hi, cfr, omega, dl, dh)
         new_lo.append(nl)
         new_hi.append(nh)
         new_mm.append(mm)
@@ -508,13 +534,11 @@ def lower_bound_from_cft(geom: UniformGeom, cft: Tuple[jnp.ndarray, ...]) -> jnp
 
 
 def distribute_delta(geom: UniformGeom, state: UniformState, delta_reduce=None) -> UniformState:
-    dlo, dhi = compute_delta(geom, state.def_mm)
-    if delta_reduce is not None:
-        dlo, dhi = delta_reduce(dlo, dhi)
+    din_lo, din_hi = exchange_delta(geom, state.def_mm, delta_reduce)
     lo_l, hi_l, mm_l, cft_l = [], [], [], []
-    for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
-        nl = lo + g.alpha * dlo[g.layer_var]
-        nh = hi + g.alpha * dhi[g.layer_var]
+    for g, lo, hi, dl, dh in zip(geom.buckets, state.lo, state.hi, din_lo, din_hi):
+        nl = lo + g.alpha * dl
+        nh = hi + g.alpha * dh
         nl = jnp.where(g.layer_valid, nl, 0.0)
         nh = jnp.where(g.layer_valid, nh, 0.0)
         lo_l.append(nl)

@@ -193,8 +193,8 @@ class ShardedUniformSolver:
         mesh = self.mesh
         axis = "b"
 
-        def psum2(dlo, dhi):
-            return jax.lax.psum(dlo, axis), jax.lax.psum(dhi, axis)
+        def psum2(dsum):
+            return jax.lax.psum(dsum, axis)
 
         @functools.partial(jax.jit, static_argnames=("n",))
         def run(geom_s, state_s, omega, n: int):
