@@ -100,7 +100,7 @@ def init_state(
         def_mm=jnp.zeros((dense.H, dense.L), dtype=dtype),
         cft=jnp.zeros((dense.H, dense.W), dtype=dtype),
     )
-    cft = backward_run(geom, state.lo, state.hi)
+    cft = jax.jit(backward_run)(geom, state.lo, state.hi)
     return state._replace(cft=cft)
 
 

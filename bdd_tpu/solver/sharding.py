@@ -179,7 +179,7 @@ def init_sharded_state(
         def_mm=jnp.zeros((D, H, L), dtype=dtype),
         cft=jnp.zeros((D, H, W), dtype=dtype),
     )
-    cft = jax.vmap(js.backward_run)(sharded.geom, state.lo, state.hi)
+    cft = jax.jit(jax.vmap(js.backward_run))(sharded.geom, state.lo, state.hi)
     return state._replace(cft=cft)
 
 

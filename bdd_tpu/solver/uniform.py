@@ -237,11 +237,15 @@ def init_uniform_state(
         mm_l.append(jnp.zeros(lvar.shape, dtype=dtype))
         cft_l.append(jnp.zeros(g.node_valid.shape, dtype=dtype))
     state = UniformState(tuple(lo_l), tuple(hi_l), tuple(mm_l), tuple(cft_l))
-    cft = tuple(
-        bucket_backward_run(g, lo, hi)
-        for g, lo, hi in zip(host.geom.buckets, state.lo, state.hi)
-    )
+    cft = _backward_all(host.geom, state.lo, state.hi)
     return state._replace(cft=cft)
+
+
+@jax.jit
+def _backward_all(geom: UniformGeom, lo, hi):
+    return tuple(
+        bucket_backward_run(g, l, h) for g, l, h in zip(geom.buckets, lo, hi)
+    )
 
 
 # ------------------------------------------------------------ bucket kernels
@@ -534,6 +538,17 @@ def lower_bound_from_cft(geom: UniformGeom, cft: Tuple[jnp.ndarray, ...]) -> jnp
 
 
 def distribute_delta(geom: UniformGeom, state: UniformState, delta_reduce=None) -> UniformState:
+    if delta_reduce is None:
+        return _distribute_delta_jit(geom, state)
+    return _distribute_delta_impl(geom, state, delta_reduce)
+
+
+@jax.jit
+def _distribute_delta_jit(geom: UniformGeom, state: UniformState) -> UniformState:
+    return _distribute_delta_impl(geom, state, None)
+
+
+def _distribute_delta_impl(geom: UniformGeom, state: UniformState, delta_reduce=None) -> UniformState:
     din_lo, din_hi = exchange_delta(geom, state.def_mm, delta_reduce)
     lo_l, hi_l, mm_l, cft_l = [], [], [], []
     for g, lo, hi, dl, dh in zip(geom.buckets, state.lo, state.hi, din_lo, din_hi):

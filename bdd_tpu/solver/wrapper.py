@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,11 +72,7 @@ class JaxSolver:
     def update_costs(self, lo_per_var, hi_per_var) -> None:
         lo_u = jnp.asarray(np.append(np.asarray(lo_per_var, dtype=np.float64), 0.0), dtype=self.dtype)
         hi_u = jnp.asarray(np.append(np.asarray(hi_per_var, dtype=np.float64), 0.0), dtype=self.dtype)
-        lv = self.geom.layer_var
-        lo = self.state.lo + self.geom.alpha * lo_u[lv]
-        hi = self.state.hi + self.geom.alpha * hi_u[lv]
-        cft = js.backward_run(self.geom, lo, hi)
-        self.state = self.state._replace(lo=lo, hi=hi, cft=cft)
+        self.state = _dense_update_costs(self.geom, self.state, lo_u, hi_u)
 
     def get_flat_costs(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         lo = self.dense.unpack_costs(np.asarray(self.state.lo), self.f.nr_layers)
@@ -91,5 +88,14 @@ class JaxSolver:
             if def_mm is not None
             else jnp.zeros_like(self.state.def_mm)
         )
-        cft = js.backward_run(self.geom, lo_d, hi_d)
+        cft = jax.jit(js.backward_run)(self.geom, lo_d, hi_d)
         self.state = js.SolverState(lo=lo_d, hi=hi_d, def_mm=mm_d, cft=cft)
+
+
+@jax.jit
+def _dense_update_costs(geom, state, lo_u, hi_u):
+    lv = geom.layer_var
+    lo = state.lo + geom.alpha * lo_u[lv]
+    hi = state.hi + geom.alpha * hi_u[lv]
+    cft = js.backward_run(geom, lo, hi)
+    return state._replace(lo=lo, hi=hi, cft=cft)
