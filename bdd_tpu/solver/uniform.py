@@ -488,6 +488,21 @@ def exchange_delta(
     return tuple(out_lo), tuple(out_hi)
 
 
+USE_PALLAS = True  # use fused Pallas sweep kernels where applicable
+
+
+def _sweep_fns(g):
+    if USE_PALLAS:
+        from bdd_tpu.solver import pallas_uniform as pu
+
+        if pu.enabled(g):
+            return (
+                pu.bucket_forward_iteration_pallas,
+                pu.bucket_backward_iteration_pallas,
+            )
+    return bucket_forward_iteration, bucket_backward_iteration
+
+
 def iteration(
     geom: UniformGeom, state: UniformState, omega=0.5, delta_reduce=None
 ) -> UniformState:
@@ -500,7 +515,8 @@ def iteration(
     for g, lo, hi, cft, dl, dh in zip(
         geom.buckets, state.lo, state.hi, state.cft, din_lo, din_hi
     ):
-        nl, nh, mm, cfr = bucket_forward_iteration(g, lo, hi, cft, omega, dl, dh)
+        fwd, _ = _sweep_fns(g)
+        nl, nh, mm, cfr = fwd(g, lo, hi, cft, omega, dl, dh)
         new_lo.append(nl)
         new_hi.append(nh)
         new_mm.append(mm)
@@ -512,7 +528,8 @@ def iteration(
     for g, lo, hi, cfr, dl, dh in zip(
         geom.buckets, state.lo, state.hi, cfrs, din_lo, din_hi
     ):
-        nl, nh, mm, cft = bucket_backward_iteration(g, lo, hi, cfr, omega, dl, dh)
+        _, bwd = _sweep_fns(g)
+        nl, nh, mm, cft = bwd(g, lo, hi, cfr, omega, dl, dh)
         new_lo.append(nl)
         new_hi.append(nh)
         new_mm.append(mm)
