@@ -484,6 +484,62 @@ class BddCollection:
             entry_aux = exit_aux
         return new_bdds, next_aux
 
+    def export_graphviz(self, bdd_nr: int) -> str:
+        """DOT export (ref: bdd_collection graphviz export)."""
+        s, e = self.node_range(bdd_nr)
+        lines = ["digraph bdd {"]
+        for i in range(s, e):
+            lines.append(f'  n{i} [label="x{self.var[i]}"];')
+        lines.append('  top [label="1", shape=box];')
+        lines.append('  bot [label="0", shape=box];')
+        for i in range(s, e):
+            for c, style in ((self.lo[i], "dashed"), (self.hi[i], "solid")):
+                t = "top" if c == TOP else "bot" if c == BOT else f"n{c}"
+                lines.append(f"  n{i} -> {t} [style={style}];")
+        lines.append("}")
+        return "\n".join(lines)
+
+    def write_bdd_lp(self, costs) -> str:
+        """Arc-flow LP export of the whole collection: one unit of flow per
+        BDD from root to TOP; flow conservation per node; arcs carry the layer
+        costs; coupling constraints equate per-variable hi-arc flow across
+        BDDs (ref: bdd_collection.h write_bdd_lp arc-flow export)."""
+        lines_obj, lines_cons = [], []
+        var_terms = {}
+        for b in range(self.nr_bdds()):
+            s, e = self.node_range(b)
+            incoming = {i: [] for i in range(s, e)}
+            incoming["top"] = []
+            for i in range(s, e):
+                for c, kind in ((self.lo[i], "lo"), (self.hi[i], "hi")):
+                    arc = f"f_{b}_{i}_{kind}"
+                    if c == TOP:
+                        incoming["top"].append(arc)
+                    elif c != BOT:
+                        incoming[c].append(arc)
+                    cost = costs.get((b, self.var[i]), (0.0, 0.0))
+                    w = cost[1] if kind == "hi" else cost[0]
+                    if w:
+                        lines_obj.append(f"+ {w:.12g} {arc}")
+                    if kind == "hi":
+                        var_terms.setdefault((b, self.var[i]), []).append(arc)
+            root = self.root(b)
+            lines_cons.append(
+                f"f_{b}_{root}_lo + f_{b}_{root}_hi = 1"
+            )
+            for i in range(s, e):
+                if i == root:
+                    continue
+                inc = " + ".join(incoming[i])
+                if inc:
+                    lines_cons.append(
+                        f"{inc} - f_{b}_{i}_lo - f_{b}_{i}_hi = 0"
+                    )
+        out = ["Minimize", " ".join(lines_obj) or "0", "Subject To"]
+        out.extend(lines_cons)
+        out.append("End")
+        return "\n".join(out) + "\n"
+
     def __repr__(self) -> str:
         return f"BddCollection(nr_bdds={self.nr_bdds()}, nr_nodes={len(self.var)})"
 

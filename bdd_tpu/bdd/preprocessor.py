@@ -37,14 +37,24 @@ class BddPreprocessor:
         ilp: ILPInput,
         split_chunk_size: Optional[int] = None,
         add_free_variable_bdds: bool = True,
+        coefficient_decomposition_threshold: int = 1 << 20,
     ) -> None:
+        """``coefficient_decomposition_threshold``: constraints whose max
+        |coefficient| exceeds this (and with >64 variables) are rewritten by
+        binary coefficient decomposition into variable copies coupled by
+        all_equal BDDs (ref: convert_pb_to_bdd.h:29-34, bdd_preprocessor.cpp:214
+        chooses direct conversion when nr_vars<=64 or max_coeff<=100 — the DP
+        here handles far larger coefficients directly, so the default threshold
+        is generous)."""
         self.ilp = ilp
         self.collection = BddCollection()
         self.ineq_to_bdd_nrs: List[List[int]] = []
         self.nr_primal_variables = ilp.nr_variables()
         self.nr_aux_variables = 0
 
+        self._coef_threshold = coefficient_decomposition_threshold
         ilp = self._linearize_nonlinear(ilp)
+        ilp = self._decompose_huge_coefficients(ilp)
         self.nr_primal_variables = ilp.nr_variables()
         ilp.normalize()
         if not ilp.preprocess():
@@ -142,6 +152,67 @@ class BddPreprocessor:
                 coeffs.append(coeff)
                 monos.append((y,))
             out.add_constraint(coeffs, monos, c.ineq, c.rhs, c.name)
+        return out
+
+    def _decompose_huge_coefficients(self, ilp: ILPInput) -> ILPInput:
+        """Binary coefficient decomposition: c = sum 2^k b_k; variable x gets
+        copies x_k with coefficient 2^k * b_k, coupled by an all_equal
+        constraint. Keeps the lineq DP state space small for pathological
+        coefficient ranges."""
+        from bdd_tpu.ilp.model import Ineq
+
+        needs = [
+            c
+            for c in ilp.constraints()
+            if c.is_linear()
+            and c.coefficients
+            and max(abs(x) for x in c.coefficients) > self._coef_threshold
+        ]
+        if not needs:
+            return ilp
+        out = ILPInput()
+        for name in ilp.var_names:
+            out.add_new_variable(name)
+        out.objective_ = list(ilp.objective_)
+        out.constant_ = ilp.constant_
+        out.coalesce_sets_ = [list(s) for s in ilp.coalesce_sets_]
+        copies: Dict[int, List[int]] = {}
+
+        def copy_var(v: int, k: int) -> int:
+            lst = copies.setdefault(v, [])
+            while len(lst) <= k:
+                lst.append(out.add_new_variable(f"copy_{v}_{len(lst)}"))
+            return lst[k]
+
+        for c in ilp.constraints():
+            if c not in needs:
+                out.add_constraint(c.coefficients, c.monomials, c.ineq, c.rhs, c.name)
+                continue
+            coeffs: List[int] = []
+            monos: List[Tuple[int, ...]] = []
+            for coeff, m in zip(c.coefficients, c.monomials):
+                v = m[0]
+                a = abs(coeff)
+                sign = 1 if coeff > 0 else -1
+                if a <= self._coef_threshold:
+                    coeffs.append(coeff)
+                    monos.append((v,))
+                    continue
+                k = 0
+                first = True
+                while a:
+                    if a & 1:
+                        cv = v if first else copy_var(v, k)
+                        first = False
+                        coeffs.append(sign * (1 << k))
+                        monos.append((cv,))
+                    a >>= 1
+                    k += 1
+            out.add_constraint(coeffs, monos, c.ineq, c.rhs, c.name)
+        # all_equal couplings: x = copy_k for every copy
+        for v, lst in copies.items():
+            for cv in lst:
+                out.add_linear_constraint([1, -1], [v, cv], Ineq.EQ, 0)
         return out
 
     def _split_long_bdds(self, chunk_size: int) -> None:

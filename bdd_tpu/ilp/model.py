@@ -406,6 +406,50 @@ class ILPInput:
             out.append(f"{' '.join(parts)} {op} {c.rhs};")
         return "\n".join(out) + "\n"
 
+    def write_mps(self) -> str:
+        """Fixed-format MPS export (ref: ILP_input.h write_mps)."""
+        out = ["NAME          bdd_tpu", "ROWS", " N  COST"]
+        rown = []
+        for i, c in enumerate(self.constraints_):
+            if not c.is_linear():
+                raise ValueError("MPS export requires linear constraints")
+            tag = {"<=": "L", ">=": "G", "=": "E"}[c.ineq.value]
+            name = c.name or f"R{i}"
+            rown.append(name)
+            out.append(f" {tag}  {name}")
+        out.append("COLUMNS")
+        # per-variable column entries
+        entries = {v: [] for v in range(self.nr_variables())}
+        for i, c in enumerate(self.constraints_):
+            for coeff, m in zip(c.coefficients, c.monomials):
+                entries[m[0]].append((rown[i], coeff))
+        for v in range(self.nr_variables()):
+            name = self.var_names[v]
+            if self.objective_[v] != 0.0:
+                out.append(f"    {name}  COST  {self.objective_[v]:.12g}")
+            for rname, coeff in entries[v]:
+                out.append(f"    {name}  {rname}  {coeff}")
+        out.append("RHS")
+        for i, c in enumerate(self.constraints_):
+            out.append(f"    RHS  {rown[i]}  {c.rhs}")
+        out.append("BOUNDS")
+        for v in range(self.nr_variables()):
+            out.append(f" BV BND  {self.var_names[v]}")
+        out.append("ENDATA")
+        return "\n".join(out) + "\n"
+
+    def export_constraint_matrix(self):
+        """COO incidence data (var_indices, con_indices, coefficients) for
+        linear constraints (ref: ILP_instance_py incidence-matrix export)."""
+        rows, cols, vals = [], [], []
+        for i, c in enumerate(self.constraints_):
+            for coeff, m in zip(c.coefficients, c.monomials):
+                if len(m) == 1:
+                    rows.append(i)
+                    cols.append(m[0])
+                    vals.append(coeff)
+        return cols, rows, vals
+
     # --------------------------------------------------------------- diagnostics
     def connected_components(self) -> List[List[int]]:
         """Connected components of the variable adjacency graph."""

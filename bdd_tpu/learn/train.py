@@ -65,6 +65,27 @@ class Instance:
         return cls(host, obj, dtype=dtype)
 
 
+class ReplayBuffer:
+    """Stores per-instance solver states keyed by round so later epochs can
+    resume mid-trajectory (ref: DOGE/data/replay_buffer.py:3-26)."""
+
+    def __init__(self, capacity_per_key: int = 4) -> None:
+        self.capacity = capacity_per_key
+        self._store: Dict[Tuple[int, int], List[Any]] = {}
+
+    def add(self, instance_id: int, round_nr: int, state) -> None:
+        lst = self._store.setdefault((instance_id, round_nr), [])
+        lst.append(jax.tree.map(jax.lax.stop_gradient, state))
+        if len(lst) > self.capacity:
+            lst.pop(0)
+
+    def sample(self, instance_id: int, round_nr: int, rng: np.random.RandomState):
+        lst = self._store.get((instance_id, round_nr))
+        if not lst:
+            return None
+        return lst[rng.randint(len(lst))]
+
+
 class DogeTrainer:
     def __init__(self, config: TrainConfig = TrainConfig()):
         self.cfg = config

@@ -30,7 +30,7 @@ def _build_if_needed() -> str:
         return _SO
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC],
+        ["g++", "-O2", "-std=c++17", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC],
         check=True,
     )
     return _SO

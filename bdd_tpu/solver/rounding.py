@@ -76,6 +76,18 @@ class MmDecoder:
         return sol.astype(np.int8)
 
 
+def min_marginals_per_var(flat, m0: np.ndarray, m1: np.ndarray):
+    """CSR-style per-variable stacked min marginals: returns (offsets [V+1],
+    m0_sorted, m1_sorted) where variable v's layer marginals occupy
+    [offsets[v], offsets[v+1]) (ref: include/min_marginal_utils.h:11-52)."""
+    valid = flat.valid_layer_mask()
+    v = flat.layer_var[valid]
+    order = np.argsort(v, kind="stable")
+    vs = v[order]
+    offsets = np.searchsorted(vs, np.arange(flat.nr_vars + 1))
+    return offsets, m0[valid][order], m1[valid][order]
+
+
 def compute_initial_delta(flat, m0: np.ndarray, m1: np.ndarray) -> float:
     """10th-percentile of per-variable |avg mm difference|
     (ref: incremental_mm_agreement_rounding.hxx:18-32)."""

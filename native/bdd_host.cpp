@@ -788,18 +788,28 @@ struct Context {
             return false;
         }
         std::vector<char> covered(ilp.var_names.size(), 0);
-        for (auto& c : ilp.constraints) {
+        // parallel per-constraint BDD construction, ordered assembly
+        // (ref: OpenMP ordered loop, bdd_preprocessor.cpp:146-359)
+        const size_t nc = ilp.constraints.size();
+        std::vector<QbddOut> results(nc);
+        std::vector<int8_t> status(nc, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+        for (size_t ci = 0; ci < nc; ++ci) {
             BddNodes raw;
-            int r = build_inequality_bdd(c, raw);
-            if (r == -1) {
+            int r = build_inequality_bdd(ilp.constraints[ci], raw);
+            status[ci] = (int8_t)r;
+            if (r == 1) make_qbdd(raw, results[ci]);
+        }
+        for (size_t ci = 0; ci < nc; ++ci) {
+            if (status[ci] == -1) {
                 infeasible = true;
                 return false;
             }
-            if (r == 0) continue;
-            QbddOut q;
-            make_qbdd(raw, q);
-            for (int32_t v : q.vars) covered[v] = 1;
-            col.bdds.push_back(std::move(q));
+            if (status[ci] == 0) continue;
+            for (int32_t v : results[ci].vars) covered[v] = 1;
+            col.bdds.push_back(std::move(results[ci]));
         }
         // free-variable BDDs for uncovered vars with nonzero objective
         for (size_t v = 0; v < covered.size(); ++v) {
