@@ -1,0 +1,185 @@
+"""Cut tightening: intersect BDD groups around variables with vanishing
+min-marginal differences.
+
+Semantics of the reference's (experimental) include/bdd_tightening.h:168+:
+after the dual has converged, variables whose aggregated min-marginal
+difference is ~0 witness the relaxation's slack. BDDs containing such tight
+variables are grouped by connected components over shared tight variables and
+each group is melded (bdd_and) into one stronger subproblem; the group
+members' Lagrange costs are summed per variable onto the melded BDD, so the
+dual bound never decreases. Re-running MMA on the tightened collection can
+close integrality gaps that no amount of dual iteration can.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from bdd_tpu.bdd.collection import BddCollection
+
+
+class _UnionFind:
+    def __init__(self, n: int) -> None:
+        self.p = list(range(n))
+
+    def find(self, x: int) -> int:
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[ra] = rb
+
+
+def tight_variables(flat_view, m0: np.ndarray, m1: np.ndarray, eps: float = 1e-6):
+    """Variables whose summed mm difference magnitude is <= eps."""
+    valid = flat_view.valid_layer_mask()
+    v = flat_view.layer_var[valid]
+    with np.errstate(invalid="ignore"):
+        d = m1[valid] - m0[valid]
+        d = np.where(np.isfinite(d), d, 0.0)
+    sums = np.zeros(flat_view.nr_vars)
+    np.add.at(sums, v, d)
+    return np.nonzero(np.abs(sums) <= eps)[0]
+
+
+def tighten_collection(
+    collection: BddCollection,
+    tight_vars: Sequence[int],
+    layer_costs: Optional[Dict[Tuple[int, int], Tuple[float, float]]] = None,
+    max_group_size: int = 8,
+    node_limit: int = 100000,
+):
+    """Meld groups of BDDs sharing tight variables.
+
+    Returns (new_collection, new_layer_costs, groups) where groups maps each
+    new bdd nr to the list of source bdd nrs. Groups whose meld would exceed
+    ``node_limit`` nodes or ``max_group_size`` members fall back to keeping
+    the members separate (the reference likewise bounds intersection size).
+    """
+    tight = set(int(v) for v in tight_vars)
+    nb = collection.nr_bdds()
+    uf = _UnionFind(nb)
+    owner: Dict[int, int] = {}
+    candidate = [False] * nb
+    for b in range(nb):
+        vs = [v for v in collection.variables(b) if v in tight]
+        if not vs:
+            continue
+        candidate[b] = True
+        for v in vs:
+            if v in owner:
+                uf.union(owner[v], b)
+            else:
+                owner[v] = b
+
+    groups: Dict[int, List[int]] = {}
+    for b in range(nb):
+        if candidate[b]:
+            groups.setdefault(uf.find(b), []).append(b)
+
+    out = BddCollection()
+    out_costs: Dict[Tuple[int, int], Tuple[float, float]] = {}
+    group_of_new: Dict[int, List[int]] = {}
+    merged: set = set()
+
+    def copy_bdd(b: int) -> int:
+        nb_new = out.add_bdd(collection.local_nodes(b))
+        if layer_costs is not None:
+            for v in collection.level_variables(b):
+                out_costs[(nb_new, v)] = layer_costs.get((b, v), (0.0, 0.0))
+        return nb_new
+
+    for root, members in groups.items():
+        if len(members) < 2 or len(members) > max_group_size:
+            continue
+        size_bound = 1
+        for b in members:
+            size_bound *= max(collection.nr_bdd_nodes(b), 1)
+        if size_bound > node_limit * 100:
+            continue  # product construction itself could blow up
+        try:
+            melded = collection.bdd_and(members, out)
+        except ValueError:
+            continue  # unsat/trivial conjunction: leave members separate
+        if out.nr_bdd_nodes(melded) > node_limit:
+            # too big: drop the meld (keep members separate). The meld was
+            # appended to `out`; rebuild out without it.
+            rebuilt = BddCollection()
+            for k in range(out.nr_bdds() - 1):
+                rebuilt.add_bdd(out.local_nodes(k))
+            out.var, out.lo, out.hi, out.delim = (
+                rebuilt.var,
+                rebuilt.lo,
+                rebuilt.hi,
+                rebuilt.delim,
+            )
+            continue
+        q = out.make_qbdd(melded)
+        # drop the non-qbdd meld, keep only the quasi-reduced version: rebuild
+        rebuilt = BddCollection()
+        for k in range(out.nr_bdds()):
+            if k != melded:
+                rebuilt.add_bdd(out.local_nodes(k))
+        new_nr = rebuilt.nr_bdds() - 1  # q was appended last
+        out.var, out.lo, out.hi, out.delim = (
+            rebuilt.var,
+            rebuilt.lo,
+            rebuilt.hi,
+            rebuilt.delim,
+        )
+        group_of_new[new_nr] = list(members)
+        merged.update(members)
+        if layer_costs is not None:
+            for v in out.level_variables(new_nr):
+                lo_sum = 0.0
+                hi_sum = 0.0
+                for b in members:
+                    c = layer_costs.get((b, v))
+                    if c is not None:
+                        lo_sum += c[0]
+                        hi_sum += c[1]
+                out_costs[(new_nr, v)] = (lo_sum, hi_sum)
+
+    for b in range(nb):
+        if b not in merged:
+            new_nr = copy_bdd(b)
+            group_of_new[new_nr] = [b]
+
+    return out, (out_costs if layer_costs is not None else None), group_of_new
+
+
+def tighten_and_resolve(pre, solver_cls_kwargs: Optional[dict] = None, eps: float = 1e-6):
+    """Convenience driver: take a preprocessor whose collection was solved to
+    (near) dual optimality by a UniformSolver, tighten, and return a fresh
+    UniformSolver over the melded collection with the original objective.
+    """
+    from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+    kwargs = solver_cls_kwargs or {}
+    base = UniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables,
+        **kwargs,
+    )
+    from bdd_tpu.solver.run import run_solver
+
+    run_solver(base, max_iter=500, verbose=False, block_size=base.default_block_size)
+    base.distribute_delta()
+    m0, m1 = base.min_marginals()
+    tv = tight_variables(base.f, m0, m1, eps)
+    new_col, _, groups = tighten_collection(pre.collection, tv)
+    tightened = UniformSolver(
+        new_col,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables,
+        **kwargs,
+    )
+    return tightened, groups

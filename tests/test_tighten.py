@@ -1,0 +1,106 @@
+"""Cut tightening + batching + coefficient decomposition tests."""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from bdd_tpu.bdd import BddPreprocessor
+from bdd_tpu.ilp import parse_lp_string
+from bdd_tpu.ilp.model import ILPInput, Ineq
+from bdd_tpu.solver.run import run_solver
+from bdd_tpu.solver.tighten import tighten_and_resolve, tighten_collection, tight_variables
+from bdd_tpu.solver.uniform_wrapper import UniformSolver
+from bdd_tpu.utils.batching import BatchedInstances
+from tests import fixtures
+
+# odd antiferromagnetic triangle: LP bound -1.5, ILP optimum -1
+TRIANGLE = """Minimize
+-1 x - 1 y - 1 z
+Subject To
+x + y <= 1
+y + z <= 1
+x + z <= 1
+End"""
+
+
+def test_tighten_closes_triangle_gap():
+    ilp = parse_lp_string(TRIANGLE)
+    pre = BddPreprocessor(ilp)
+    tightened, groups = tighten_and_resolve(pre, {"dtype": jnp.float64})
+    # all three BDDs share tight variables -> melded into one exact subproblem
+    assert any(len(g) == 3 for g in groups.values())
+    run_solver(tightened, max_iter=300, verbose=False, block_size=25)
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    assert tightened.lower_bound_with_deferred() == pytest.approx(opt, abs=1e-6)
+    # untightened bound is stuck at the LP value -1.5
+    base = UniformSolver(
+        pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables, dtype=jnp.float64,
+    )
+    run_solver(base, max_iter=300, verbose=False, block_size=25)
+    assert base.lower_bound_with_deferred() == pytest.approx(-1.5, abs=1e-4)
+
+
+def test_tighten_collection_preserves_costs_bound():
+    ilp = parse_lp_string(TRIANGLE)
+    pre = BddPreprocessor(ilp)
+    col = pre.collection
+    costs = {}
+    for b in range(col.nr_bdds()):
+        for v in col.level_variables(b):
+            costs[(b, v)] = (0.0, pre.objective_vector()[v] / 2.0)
+    new_col, new_costs, groups = tighten_collection(
+        col, tight_vars=[0, 1, 2], layer_costs=costs
+    )
+    # melded bdd exists and carries summed costs
+    melded = [nr for nr, g in groups.items() if len(g) == 3]
+    assert melded
+    nr = melded[0]
+    for v in new_col.level_variables(nr):
+        # each variable appeared in exactly 2 of the 3 pairwise constraints
+        assert new_costs[(nr, v)][1] == pytest.approx(
+            2 * pre.objective_vector()[v] / 2.0
+        )
+
+
+def test_batched_instances_solve_independently():
+    from bdd_tpu.solver.run import run_solver
+
+    ilps = [parse_lp_string(fixtures.MATCHING_3x3), parse_lp_string(fixtures.COVERING)]
+    batch = BatchedInstances(ilps)
+    s = UniformSolver(
+        batch.collection, batch.nr_vars, batch.objective, dtype=jnp.float64
+    )
+    run_solver(s, max_iter=300, verbose=False, block_size=25)
+    lb = s.lower_bound_with_deferred()
+    expected = sum(fixtures.brute_force_ilp_optimum(i)[0] for i in ilps)
+    assert lb == pytest.approx(expected, abs=1e-4)
+
+
+def test_coefficient_decomposition_preserves_semantics():
+    ilp = ILPInput()
+    vs = [ilp.add_new_variable(f"x{i}") for i in range(4)]
+    for v in vs:
+        ilp.add_to_objective(-1.0, v)
+    # 7 x0 + 5 x1 + 3 x2 + 2 x3 <= 9
+    ilp.add_linear_constraint([7, 5, 3, 2], vs, Ineq.LEQ, 9)
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    pre = BddPreprocessor(ilp, coefficient_decomposition_threshold=2)
+    s = UniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float64,
+    )
+    run_solver(s, max_iter=500, verbose=False, block_size=25)
+    # decomposition is a relaxation-preserving reformulation: dual bound <= opt
+    assert s.lower_bound_with_deferred() <= opt + 1e-6
+    # exact feasibility of the reformulated ILP
+    pre_ilp = pre.ilp
+    opt2, _ = fixtures.brute_force_ilp_optimum(pre_ilp)
+    assert opt2 == pytest.approx(opt)
