@@ -131,3 +131,68 @@ def brute_force_min_marginals(ilp, collection, costs_per_layer=None):
                 m[x_local[target]] = min(m[x_local[target]], cost)
             out[(b, target)] = tuple(m)
     return out
+
+
+def grid_mrf_optimum(ilp, rows, cols, labels):
+    """Exact MRF optimum by enumeration over labelings (not ILP variables)."""
+    import itertools, math
+
+    def u(i, j, a):
+        return ilp.get_var_index(f"mu_{i}_{j}_{a}")
+
+    edges = []
+    for i in range(rows):
+        for j in range(cols):
+            if i + 1 < rows:
+                edges.append(((i, j), (i + 1, j)))
+            if j + 1 < cols:
+                edges.append(((i, j), (i, j + 1)))
+
+    best = math.inf
+    for lab in itertools.product(range(labels), repeat=rows * cols):
+        def l(i, j):
+            return lab[i * cols + j]
+
+        cost = sum(
+            ilp.objective_coeff(u(i, j, l(i, j)))
+            for i in range(rows)
+            for j in range(cols)
+        )
+        for (a, b) in edges:
+            name = f"mu_{a[0]}_{a[1]}_{b[0]}_{b[1]}_{l(*a)}_{l(*b)}"
+            cost += ilp.objective_coeff(ilp.get_var_index(name))
+        best = min(best, cost)
+    return best
+
+
+def qap_optimum(ilp, n):
+    """Exact QAP optimum by enumeration over permutations."""
+    import itertools, math
+
+    best = math.inf
+    for perm in itertools.permutations(range(n)):
+        cost = sum(
+            ilp.objective_coeff(ilp.get_var_index(f"x_{i}_{perm[i]}"))
+            for i in range(n)
+        )
+        for i in range(n):
+            for k in range(n):
+                if i == k:
+                    continue
+                name = f"y_{i}_{perm[i]}_{k}_{perm[k]}"
+                if ilp.var_exists(name):
+                    c = ilp.objective_coeff(ilp.get_var_index(name))
+                    if c < 0:  # product variable active only when profitable
+                        cost += c
+                elif ilp.var_exists(f"y_{k}_{perm[k]}_{i}_{perm[i]}"):
+                    pass  # counted from the (k,i) side
+        # positive-cost products are forced when both assignments are chosen
+        for i in range(n):
+            for k in range(i + 1, n):
+                name = f"y_{i}_{perm[i]}_{k}_{perm[k]}"
+                if ilp.var_exists(name):
+                    c = ilp.objective_coeff(ilp.get_var_index(name))
+                    if c > 0:
+                        cost += c
+        best = min(best, cost)
+    return best
