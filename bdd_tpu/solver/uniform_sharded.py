@@ -234,8 +234,43 @@ class ShardedUniformSolver:
 
             return fn(geom_s, state_s)
 
+        @jax.jit
+        def dist(geom_s, state_s):
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            def fn(geom_blk, state_blk):
+                geom = jax.tree.map(lambda x: x[0], geom_blk)
+                state = jax.tree.map(lambda x: x[0], state_blk)
+                s = uf.distribute_delta(geom, state, delta_reduce=psum2)
+                return jax.tree.map(lambda x: x[None], s)
+
+            return fn(geom_s, state_s)
+
+        @jax.jit
+        def upd(geom_s, state_s, lo_u, hi_u):
+            def per_shard(geom, state):
+                lo_l, hi_l, cft_l = [], [], []
+                for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
+                    nl = jnp.where(g.layer_valid, lo + g.alpha * lo_u[g.layer_var], 0.0)
+                    nh = jnp.where(g.layer_valid, hi + g.alpha * hi_u[g.layer_var], 0.0)
+                    lo_l.append(nl)
+                    hi_l.append(nh)
+                    cft_l.append(uf.bucket_backward_run(g, nl, nh))
+                return uf.UniformState(
+                    tuple(lo_l), tuple(hi_l), state.def_mm, tuple(cft_l)
+                )
+
+            return jax.vmap(per_shard)(geom_s, state_s)
+
         self._run = run
         self._lb = lb
+        self._dist = dist
+        self._upd = upd
 
     # ------------------------------------------------------------- interface
     def iteration(self) -> None:
@@ -253,3 +288,36 @@ class ShardedUniformSolver:
 
     def lower_bound_with_deferred(self) -> float:
         return self.lower_bound()
+
+    # ------------------------------------------- rounding support (host-side)
+    def distribute_delta(self) -> None:
+        self.state_stacked = self._dist(self.geom_stacked, self.state_stacked)
+
+    def min_marginals(self):
+        """Concatenated per-(shard, bucket) [H*B] min marginals matching the
+        layer view built in __init__."""
+        import numpy as np
+
+        D = self.geom_stacked.num_bdds_per_var.shape[0]
+        m0_l, m1_l = [], []
+        for d in range(self.mesh.devices.size):
+            geom = jax.tree.map(lambda x: x[d], self.geom_stacked)
+            state = jax.tree.map(lambda x: x[d], self.state_stacked)
+            for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
+                m0, m1 = uf.bucket_min_marginals(g, lo, hi)
+                m0_l.append(np.asarray(m0).ravel())
+                m1_l.append(np.asarray(m1).ravel())
+        return np.concatenate(m0_l), np.concatenate(m1_l)
+
+    def update_costs(self, lo_per_var, hi_per_var) -> None:
+        import numpy as np
+
+        lo_u = jnp.asarray(
+            np.append(np.asarray(lo_per_var, np.float64), 0.0), dtype=self.dtype
+        )
+        hi_u = jnp.asarray(
+            np.append(np.asarray(hi_per_var, np.float64), 0.0), dtype=self.dtype
+        )
+        self.state_stacked = self._upd(
+            self.geom_stacked, self.state_stacked, lo_u, hi_u
+        )

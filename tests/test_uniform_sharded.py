@@ -64,3 +64,16 @@ def test_sharded_uniform_more_devices_than_bdds():
     for _ in range(10):
         ref.iteration(0.5)
     assert s.lower_bound() == pytest.approx(ref.lower_bound_with_deferred(), abs=1e-9)
+
+
+def test_sharded_rounding_end_to_end():
+    """Full pipeline on the sharded solver: dual solve + incremental rounding."""
+    from bdd_tpu.solver.rounding import incremental_mm_rounding
+    from bdd_tpu.solver.run import run_solver
+
+    ilp, s, ref = make(fixtures.MATCHING_3x3, n_dev=4)
+    run_solver(s, max_iter=300, verbose=False, block_size=25)
+    sol = incremental_mm_rounding(s, verbose=False)
+    assert sol is not None
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    assert ilp.evaluate(list(sol[: ilp.nr_variables()])) == pytest.approx(opt)
