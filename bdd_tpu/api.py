@@ -256,9 +256,10 @@ class BddSolver:
         if self.infeasible:
             return {"status": "infeasible", "lower_bound": math.inf}
         lb = solver.lower_bound_with_deferred()
-        sol = None
         p = cfg["perturbation rounding"]
-        sol = incremental_mm_rounding(
+        from bdd_tpu.solver.rounding_device import incremental_mm_rounding_device
+
+        sol = incremental_mm_rounding_device(
             solver,
             init_delta=p["initial perturbation"],
             delta_growth_rate=p["perturbation growth rate"],

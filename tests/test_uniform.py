@@ -122,3 +122,35 @@ def test_uniform_infeasible():
     ilp, pre, s, ref = build(fixtures.INFEASIBLE)
     s.iteration_block(50)
     assert s.lower_bound_with_deferred() == np.inf
+
+
+def test_device_rounding_matches_host_rounding():
+    from bdd_tpu.solver.rounding import incremental_mm_rounding
+    from bdd_tpu.solver.rounding_device import incremental_mm_rounding_device
+
+    ilp, pre, s, ref = build(fixtures.MATCHING_3x3)
+    s.iteration_block(200)
+    sol_dev = incremental_mm_rounding_device(s, verbose=False)
+    assert sol_dev is not None
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    x = [int(v) for v in sol_dev[: ilp.nr_variables()]]
+    assert ilp.evaluate(x) == pytest.approx(opt)
+
+    _, _, s2, _ = build(fixtures.MATCHING_3x3)
+    s2.iteration_block(200)
+    sol_host = incremental_mm_rounding(s2, verbose=False)
+    x2 = [int(v) for v in sol_host[: ilp.nr_variables()]]
+    assert ilp.evaluate(x2) == pytest.approx(opt)
+
+
+def test_device_rounding_perturbation_progress():
+    """On an instance with ties, device rounding must perturb and still land
+    on a feasible solution."""
+    from bdd_tpu.solver.rounding_device import incremental_mm_rounding_device
+
+    ilp, pre, s, ref = build(fixtures.TWO_SIMPLEX)
+    s.iteration_block(100)
+    sol = incremental_mm_rounding_device(s, verbose=False)
+    assert sol is not None
+    x = [int(v) for v in sol[: ilp.nr_variables()]]
+    assert ilp.feasible(x)
