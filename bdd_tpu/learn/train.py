@@ -138,26 +138,55 @@ class DogeTrainer:
         return loss, new_state
 
     # ---------------------------------------------------------------- training
+    def _get_jitted(self, instance: Instance):
+        """Per-instance jitted (train_step, rollout_round) — the whole epoch
+        body runs as one compiled program (eager flax on a remote backend
+        triggers a remote compile per op)."""
+        key = id(instance)
+        cached = getattr(self, "_jit_cache", None)
+        if cached is None:
+            cached = self._jit_cache = {}
+        if key in cached:
+            return cached[key]
+        cfg = self.cfg
+
+        def step(params, opt_state, state0):
+            state = state0
+            for _ in range(cfg.nr_rounds - cfg.grad_rounds):
+                _, state = self._round_loss(params, instance, state)
+            state = jax.lax.stop_gradient(state)
+
+            def loss_fn(p):
+                s = state
+                total = 0.0
+                for _ in range(cfg.grad_rounds):
+                    l, s = self._round_loss(p, instance, s)
+                    total = total + l
+                return total
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return loss, params, opt_state
+
+        def rollout_round(params, state):
+            alphas, omegas = self._predict(params, instance, state)
+            state = ln.learned_iterations(
+                instance.host.geom, state, alphas, omegas, cfg.iters_per_round
+            )
+            lb = uf.lower_bound_with_deferred(instance.host.geom, state)
+            return state, lb
+
+        fns = (jax.jit(step), jax.jit(rollout_round))
+        cached[key] = fns
+        return fns
+
     def train_step(self, instance: Instance) -> Dict[str, float]:
         """One epoch on one instance: advance rounds, backprop last rounds."""
-        cfg = self.cfg
-        state = instance.state0
-        # non-grad rounds
-        for _ in range(cfg.nr_rounds - cfg.grad_rounds):
-            _, state = self._round_loss(self.params, instance, state)
-        state = jax.lax.stop_gradient(state)
-
-        def loss_fn(params):
-            s = state
-            total = 0.0
-            for _ in range(cfg.grad_rounds):
-                l, s = self._round_loss(params, instance, s)
-                total = total + l
-            return total
-
-        loss, grads = jax.value_and_grad(loss_fn)(self.params)
-        updates, self.opt_state = self.opt.update(grads, self.opt_state, self.params)
-        self.params = optax.apply_updates(self.params, updates)
+        step, _ = self._get_jitted(instance)
+        loss, self.params, self.opt_state = step(
+            self.params, self.opt_state, instance.state0
+        )
         return {"loss": float(loss)}
 
     def run_learned_rounds(
@@ -165,16 +194,12 @@ class DogeTrainer:
     ) -> List[float]:
         """Inference: run rounds with the trained policy; returns the lb after
         each round (DualMetrics per-round lb, ref: DOGE/metrics/dual_metrics.py)."""
+        _, rollout = self._get_jitted(instance)
         state = instance.state0
         lbs = []
         for _ in range(nr_rounds or self.cfg.nr_rounds):
-            alphas, omegas = self._predict(self.params, instance, state)
-            state = ln.learned_iterations(
-                instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
-            )
-            lbs.append(
-                float(uf.lower_bound_with_deferred(instance.host.geom, state))
-            )
+            state, lb = rollout(self.params, state)
+            lbs.append(float(lb))
         return lbs
 
     # ------------------------------------------------------------ checkpoints
