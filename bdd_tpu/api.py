@@ -32,7 +32,7 @@ DEFAULT_CONFIG = {
     "variable order": "input",  # input|bfs|minimum degree|cuthill
     "use native preprocessing": True,  # C++ host pipeline when applicable
     "normalize constraints": True,
-    "precision": "double",  # float|double
+    "precision": "float",  # float|double (float is TPU-native; double matches the reference CPU default)
     "relaxation solver": "uniform mma",
     "split chunk size": None,  # cap BDD depth (sequence parallelism)
     "termination criteria": {
@@ -137,7 +137,13 @@ class BddSolver:
         name = self.config["relaxation solver"]
         double = self.config["precision"] == "double"
         obj = self.pre.objective_vector()
-        if name in ("sequential mma", "parallel mma", "ref mma"):
+        if name == "sequential mma":
+            from bdd_tpu.solver.sequential import SequentialSolver
+
+            self.solver = SequentialSolver(
+                self.flat, obj, dtype=np.float64 if double else np.float32
+            )
+        elif name in ("parallel mma", "ref mma"):
             self.solver = RefSolver(
                 self.flat, obj, dtype=np.float64 if double else np.float32
             )
@@ -217,6 +223,8 @@ class BddSolver:
         if cfg["relaxation solver"] not in ("uniform mma", "cuda parallel mma",
                                             "jax mma", "mma"):
             return None
+        if cfg.get("split chunk size"):
+            return None  # BDD splitting runs in the python pipeline
         if self._lp_text is None:
             return None
         try:
