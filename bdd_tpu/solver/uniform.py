@@ -491,8 +491,8 @@ def exchange_delta(
 USE_PALLAS = True  # use fused Pallas sweep kernels where applicable
 
 
-def _sweep_fns(g):
-    if USE_PALLAS:
+def _sweep_fns(g, dtype=None):
+    if USE_PALLAS and (dtype is None or dtype == jnp.float32):
         from bdd_tpu.solver import pallas_uniform as pu
 
         if pu.enabled(g):
@@ -515,7 +515,7 @@ def iteration(
     for g, lo, hi, cft, dl, dh in zip(
         geom.buckets, state.lo, state.hi, state.cft, din_lo, din_hi
     ):
-        fwd, _ = _sweep_fns(g)
+        fwd, _ = _sweep_fns(g, lo.dtype)
         nl, nh, mm, cfr = fwd(g, lo, hi, cft, omega, dl, dh)
         new_lo.append(nl)
         new_hi.append(nh)
@@ -528,7 +528,7 @@ def iteration(
     for g, lo, hi, cfr, dl, dh in zip(
         geom.buckets, state.lo, state.hi, cfrs, din_lo, din_hi
     ):
-        _, bwd = _sweep_fns(g)
+        _, bwd = _sweep_fns(g, lo.dtype)
         nl, nh, mm, cft = bwd(g, lo, hi, cfr, omega, dl, dh)
         new_lo.append(nl)
         new_hi.append(nh)
