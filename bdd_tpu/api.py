@@ -20,7 +20,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from bdd_tpu.bdd.preprocessor import BddPreprocessor, InfeasibleError
-from bdd_tpu.ilp.lp_parser import parse_lp_file, parse_lp_string
+from bdd_tpu.ilp.lp_parser import parse_lp_string
 from bdd_tpu.solver.flatten import flatten_collection
 from bdd_tpu.solver.ref_solver import RefSolver
 from bdd_tpu.solver.rounding import incremental_mm_rounding

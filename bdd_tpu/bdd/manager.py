@@ -13,7 +13,7 @@ the general-purpose boolean-function layer.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from bdd_tpu.bdd.collection import BOT, TOP, BddCollection
 

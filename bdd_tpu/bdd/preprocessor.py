@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Tuple
 
 from bdd_tpu.bdd.collection import BddCollection
 from bdd_tpu.bdd.lineq import ALWAYS_FALSE, ALWAYS_TRUE, bdd_from_inequality
-from bdd_tpu.ilp.model import Constraint, ILPInput, Ineq
+from bdd_tpu.ilp.model import ILPInput, Ineq
 
 
 class InfeasibleError(RuntimeError):

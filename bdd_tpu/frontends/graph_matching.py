@@ -15,7 +15,7 @@ the smaller of the two sides (both when comparable).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from bdd_tpu.ilp.model import ILPInput, Ineq
 

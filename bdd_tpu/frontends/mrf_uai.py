@@ -9,7 +9,7 @@ src/specialized_solvers/mrf_input.cpp:64-160).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 from bdd_tpu.ilp.model import ILPInput, Ineq
 

@@ -20,7 +20,7 @@ Variable fixations from Bounds are applied via :meth:`ILPInput.reduce`
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from bdd_tpu.ilp.model import ILPInput, Ineq
 

@@ -16,7 +16,7 @@ import enum
 import math
 from collections import deque
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 
 class Ineq(enum.Enum):

@@ -9,7 +9,7 @@ graph — the jraph pattern, no dynamic structure.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

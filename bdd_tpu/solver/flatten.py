@@ -22,7 +22,7 @@ all nodes of (b, h) belong to layer (b, h).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -18,15 +18,12 @@ Host-side control flow orchestrating jitted device primitives.
 from __future__ import annotations
 
 import collections
-import math
 from typing import Deque, NamedTuple, Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from bdd_tpu.solver import jax_solver as js
 from bdd_tpu.solver.wrapper import JaxSolver
-from bdd_tpu.utils.logging import bdd_log
 
 
 class _HistEntry(NamedTuple):

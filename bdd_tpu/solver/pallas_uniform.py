@@ -15,11 +15,9 @@ kernels testable on CPU.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 from bdd_tpu.solver.uniform import (

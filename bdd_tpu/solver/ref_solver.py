@@ -16,7 +16,6 @@ oracle for the JAX/Pallas backends and for tiny host-side solves.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import numpy as np

@@ -13,7 +13,7 @@ smaller mm sum; rerun a short dual solve; grow delta geometrically.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

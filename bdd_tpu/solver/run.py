@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import math
 import time
-from typing import Optional
 
 from bdd_tpu.utils.logging import bdd_log
 

@@ -20,7 +20,7 @@ iteration runs under ``shard_map`` over a 1-D mesh.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
-
 from bdd_tpu.solver import jax_solver as js
 from bdd_tpu.solver.wrapper import JaxSolver
 

@@ -12,7 +12,7 @@ CPU/GPU exchange, bdd_multi_parallel_mma_base.cu:268-455), wired through the
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bdd_tpu.bdd.collection import BddCollection
 from bdd_tpu.solver import uniform as uf
 from bdd_tpu.solver.sharding import partition_bdds
-from bdd_tpu.solver.uniform_wrapper import UniformLayerView
 
 
 def _pad_bucket(g: uf.BucketGeom, B: int, nr_vars: int, dtype) -> uf.BucketGeom:

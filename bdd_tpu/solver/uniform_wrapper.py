@@ -4,7 +4,7 @@ Duck-compatible with RefSolver / JaxSolver (run loop, rounding, outer loops).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ exchange never mixes instances (disjoint variables).
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 
