@@ -157,8 +157,7 @@ class BddSolver:
 
                 jax.config.update("jax_enable_x64", True)
             dt = jnp.float64 if double else jnp.float32
-            if name == "dense mma" or name.startswith("lbfgs") or name == "subgradient":
-                # outer loops need the dense backend's solution primitives
+            if name == "dense mma":
                 base = JaxSolver(self.flat, obj, dtype=dt)
             else:
                 from bdd_tpu.solver.uniform_wrapper import UniformSolver

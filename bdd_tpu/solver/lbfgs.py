@@ -18,17 +18,74 @@ Host-side control flow orchestrating jitted device primitives.
 from __future__ import annotations
 
 import collections
-from typing import Deque, NamedTuple, Optional
+from typing import Any, Deque, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from bdd_tpu.solver import jax_solver as js
 from bdd_tpu.solver.wrapper import JaxSolver
 
 
+def _tree_vdot(a, b) -> float:
+    return float(
+        sum(jnp.vdot(x, y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+    )
+
+
+def _tree_axpy(alpha, x, y):
+    """y + alpha * x over pytrees."""
+    return jax.tree.map(lambda xx, yy: yy + alpha * xx, x, y)
+
+
+class _Ops:
+    """Backend dispatch: dense JaxSolver vs uniform bucketed solver."""
+
+    def __init__(self, base) -> None:
+        self.base = base
+        self.dense = isinstance(base, JaxSolver)
+
+    def grad(self):
+        if self.dense:
+            sol = js.bdds_solution(self.base.geom, self.base.state.lo, self.base.state.hi)
+            return jnp.where(
+                self.base.geom.layer_valid,
+                sol.astype(self.base.state.lo.dtype),
+                0.0,
+            )
+        from bdd_tpu.solver import uniform as uf
+
+        sols = uf.bdds_solution(self.base.geom, self.base.state)
+        return tuple(
+            s.astype(l.dtype) for s, l in zip(sols, self.base.state.lo)
+        )
+
+    def net_costs(self):
+        if self.dense:
+            return js.net_solver_costs(self.base.geom, self.base.state)
+        from bdd_tpu.solver import uniform as uf
+
+        return uf.net_solver_costs(self.base.geom, self.base.state)
+
+    def make_dual_feasible(self, g):
+        if self.dense:
+            return js.make_dual_feasible(self.base.geom, g)
+        from bdd_tpu.solver import uniform as uf
+
+        return uf.make_dual_feasible(self.base.geom, g)
+
+    def gradient_step(self, g, step):
+        if self.dense:
+            self.base.state = js.gradient_step(self.base.geom, self.base.state, g, step)
+        else:
+            from bdd_tpu.solver import uniform as uf
+
+            self.base.state = uf.gradient_step(self.base.geom, self.base.state, g, step)
+
+
 class _HistEntry(NamedTuple):
-    s: jnp.ndarray
-    y: jnp.ndarray
+    s: Any  # pytree of per-layer arrays
+    y: Any
     rho_inv: float
 
 
@@ -54,8 +111,9 @@ class LbfgsSolver:
         self.dec = step_size_decrease_factor
         self.inc = step_size_increase_factor
         self.history: Deque[_HistEntry] = collections.deque()
-        self.prev_x: Optional[jnp.ndarray] = None
-        self.prev_grad: Optional[jnp.ndarray] = None
+        self.ops = _Ops(base)
+        self.prev_x = None
+        self.prev_grad = None
         self.num_unsuccessful = 0
         self.lb_history: list = []
 
@@ -83,16 +141,15 @@ class LbfgsSolver:
         self.num_unsuccessful = 0
 
     # -------------------------------------------------------------- lbfgs core
-    def _grad(self) -> jnp.ndarray:
-        sol = js.bdds_solution(self.base.geom, self.base.state.lo, self.base.state.hi)
-        return jnp.where(self.base.geom.layer_valid, sol.astype(self.base.state.lo.dtype), 0.0)
+    def _grad(self):
+        return self.ops.grad()
 
-    def _store_iterate(self, cur_grad: jnp.ndarray) -> None:
-        cur_x = js.net_solver_costs(self.base.geom, self.base.state)
+    def _store_iterate(self, cur_grad) -> None:
+        cur_x = self.ops.net_costs()
         if self.prev_x is not None:
-            s = cur_x - self.prev_x
-            y = self.prev_grad - cur_grad
-            rho_inv = float(jnp.vdot(s, y))
+            s = jax.tree.map(lambda a, b: a - b, cur_x, self.prev_x)
+            y = jax.tree.map(lambda a, b: a - b, self.prev_grad, cur_grad)
+            rho_inv = _tree_vdot(s, y)
             if rho_inv > 1e-8:
                 self.history.append(_HistEntry(s, y, rho_inv))
                 if len(self.history) > self.m:
@@ -103,25 +160,25 @@ class LbfgsSolver:
     def _update_possible(self) -> bool:
         return len(self.history) >= self.m and self.num_unsuccessful <= 5
 
-    def _compute_direction(self, cur_grad: jnp.ndarray) -> jnp.ndarray:
+    def _compute_direction(self, cur_grad):
         """Two-loop recursion (lbfgs_impl.h:227-316); gradients negated
         implicitly by the y convention (maximization)."""
         d = cur_grad
         alphas = []
         for h in reversed(self.history):
-            a = float(jnp.vdot(h.s, d)) / h.rho_inv
+            a = _tree_vdot(h.s, d) / h.rho_inv
             alphas.append(a)
-            d = d - a * h.y
+            d = _tree_axpy(-a, h.y, d)
         alphas.reverse()
         last = self.history[-1]
-        y_norm = float(jnp.vdot(last.y, last.y))
+        y_norm = _tree_vdot(last.y, last.y)
         h0 = last.rho_inv / (1e-8 + y_norm)
         for i, h in enumerate(self.history):
             rho = 1.0 / h.rho_inv
             if i == 0:
                 rho *= h0
-            beta = rho * float(jnp.vdot(h.y, d))
-            d = d + (alphas[i] - beta) * h.s
+            beta = rho * _tree_vdot(h.y, d)
+            d = _tree_axpy(alphas[i] - beta, h.s, d)
         return d
 
     def _search_step_size_and_apply(self, direction: jnp.ndarray) -> None:
@@ -141,9 +198,7 @@ class LbfgsSolver:
             nonlocal prev_step
             net = step - prev_step
             if net != 0.0:
-                self.base.state = js.gradient_step(
-                    self.base.geom, self.base.state, direction, net
-                )
+                self.ops.gradient_step(direction, net)
             prev_step = step
 
         num_updates = 0
@@ -179,7 +234,7 @@ class LbfgsSolver:
         self._store_iterate(cur_grad)
         if self._update_possible():
             d = self._compute_direction(cur_grad)
-            d = js.make_dual_feasible(self.base.geom, d)
+            d = self.ops.make_dual_feasible(d)
             self._search_step_size_and_apply(d)
             self.base.iteration()
         else:

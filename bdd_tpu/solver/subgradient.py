@@ -48,13 +48,12 @@ class SubgradientSolver:
             self.best_lb = lb
         if math.isinf(self.ema_lb):
             self.ema_lb = lb
-        sol = js.bdds_solution(
-            self.base.geom, self.base.state.lo, self.base.state.hi
-        ).astype(self.base.state.lo.dtype)
-        g = js.make_dual_feasible(self.base.geom, sol)
-        self.base.state = js.gradient_step(
-            self.base.geom, self.base.state, g, self.step_size
-        )
+        from bdd_tpu.solver.lbfgs import _Ops
+
+        if not hasattr(self, "_ops"):
+            self._ops = _Ops(self.base)
+        g = self._ops.make_dual_feasible(self._ops.grad())
+        self._ops.gradient_step(g, self.step_size)
         lb = self.base.lower_bound()
         self.best_lb = max(self.best_lb, lb)
         self.ema_lb = self.EMA_WEIGHT * self.ema_lb + (1 - self.EMA_WEIGHT) * lb

@@ -597,3 +597,94 @@ def min_marginals_all(geom: UniformGeom, state: UniformState):
         bucket_min_marginals(g, lo, hi)
         for g, lo, hi in zip(geom.buckets, state.lo, state.hi)
     )
+
+
+# --------------------------------------------------- solutions & dual algebra
+@jax.jit
+def bdds_solution(geom: UniformGeom, state: UniformState):
+    """Per-layer 0/1 argmin-path choices, per bucket [H, B] int8 (TPU
+    formulation of bdds_solution_cuda, bdd_cuda_base.cu:1104-1233): every
+    bucket advances all its BDDs' path pointers one hop per scan step."""
+    out = []
+    for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
+        P = g.P
+        cft = bucket_backward_run(g, lo, hi)
+        cft_next = jnp.concatenate(
+            [cft[1:], jnp.full((1, P, g.B), INF, dtype=lo.dtype)], axis=0
+        )
+        active0 = jnp.zeros((g.B,), dtype=jnp.int32)  # root slot 0
+
+        def step(active, xs):
+            (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row, cftn) = xs
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) == active[None, :]
+            )  # [P, B]
+
+            def pick(x):
+                return jnp.sum(jnp.where(onehot, x, 0), axis=0)
+
+            t_lo = _child_cft(lo_k, lo_s, cftn, P)
+            t_hi = _child_cft(hi_k, hi_s, cftn, P)
+            v_lo = lo_row + pick(jnp.where(nvalid, t_lo, INF))
+            v_hi = hi_row + pick(jnp.where(nvalid, t_hi, INF))
+            take_hi = v_hi <= v_lo
+            nxt_slot = jnp.where(
+                take_hi, pick(hi_s), pick(lo_s)
+            ).astype(jnp.int32)
+            kind = jnp.where(take_hi, pick(hi_k), pick(lo_k))
+            nxt = jnp.where(kind == ARC_INTERNAL, nxt_slot, 0)
+            return nxt, take_hi.astype(jnp.int8)
+
+        xs = (g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot, lo, hi, cft_next)
+        _, sol = jax.lax.scan(step, active0, xs)
+        out.append(jnp.where(g.layer_valid, sol, 0))
+    return tuple(out)
+
+
+@jax.jit
+def net_solver_costs(geom: UniformGeom, state: UniformState):
+    """Per-layer net costs x = hi - lo + deferred share, per bucket [H, B]
+    (ref: bdd_parallel_mma_base.cpp:1285-1327)."""
+    din_lo, din_hi = exchange_delta(geom, state.def_mm)
+    return tuple(
+        jnp.where(g.layer_valid, hi - lo + g.alpha * (dh - dl), 0.0)
+        for g, lo, hi, dl, dh in zip(
+            geom.buckets, state.lo, state.hi, din_lo, din_hi
+        )
+    )
+
+
+@jax.jit
+def make_dual_feasible(geom: UniformGeom, gs):
+    """Zero-sum projection per primal variable
+    (ref: bdd_parallel_mma_base.cpp:1349-1369)."""
+    V = geom.V
+    ids = _exchange_ids(geom)
+    flat = jnp.concatenate(
+        [jnp.where(g.layer_valid, x, 0.0).ravel() for g, x in zip(geom.buckets, gs)]
+    )
+    sums = jax.ops.segment_sum(flat, ids, num_segments=V + 1).at[V].set(0.0)
+    gathered = sums[ids]
+    out = []
+    off = 0
+    for g, x in zip(geom.buckets, gs):
+        n = g.H * g.B
+        proj = jnp.where(
+            g.layer_valid,
+            x - g.alpha * gathered[off : off + n].reshape(g.H, g.B),
+            0.0,
+        )
+        out.append(proj)
+        off += n
+    return tuple(out)
+
+
+@jax.jit
+def gradient_step(geom: UniformGeom, state: UniformState, gs, step_size):
+    """hi += step * g (ref: bdd_parallel_mma_base.cpp:1371-1396)."""
+    hi_l, cft_l = [], []
+    for g, lo, hi, x in zip(geom.buckets, state.lo, state.hi, gs):
+        nh = hi + jnp.where(g.layer_valid, step_size * x, 0.0)
+        hi_l.append(nh)
+        cft_l.append(bucket_backward_run(g, lo, nh))
+    return state._replace(hi=tuple(hi_l), cft=tuple(cft_l))

@@ -112,3 +112,58 @@ def test_lbfgs_not_slower_than_mma():
     _, pre2, flat2, base2 = build(ilp=grid_mrf(4, 4, 3, seed=5))
     base2.iteration_block(60)
     assert s.lower_bound_with_deferred() >= base2.lower_bound_with_deferred() - 1e-3
+
+
+def test_uniform_bdds_solution_matches_dense():
+    import bdd_tpu.solver.uniform as uf
+    from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+    ilp, pre, flat, base = build(fixtures.MATCHING_3x3)
+    us = UniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float64,
+    )
+    sols = uf.bdds_solution(us.geom, us.state)
+    # decode per-variable votes from both backends and compare evaluations
+    ref = RefSolver(flat, pre.objective_vector())
+    sol_ref = ref.bdds_solution()
+    # aggregate per (bdd, var): uniform layout
+    votes_u = {}
+    for g, s, cols in zip(us.geom.buckets, sols, us.host.bdd_of_col):
+        s = np.asarray(s)
+        lvar = np.asarray(g.layer_var)
+        lval = np.asarray(g.layer_valid)
+        for h in range(g.H):
+            for c in range(g.B):
+                if lval[h, c]:
+                    votes_u[(int(cols[c]), int(lvar[h, c]))] = int(s[h, c])
+    votes_r = {}
+    valid = flat.valid_layer_mask()
+    for li in np.nonzero(valid)[0]:
+        votes_r[(int(flat.layer_bdd[li]), int(flat.layer_var[li]))] = int(sol_ref[li])
+    assert votes_u == votes_r
+
+
+@pytest.mark.parametrize("outer", ["lbfgs", "subgradient"])
+def test_outer_solver_on_uniform_backend(outer):
+    from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+    ilp = parse_lp_string(fixtures.MATCHING_3x3)
+    pre = BddPreprocessor(ilp)
+    base = UniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float64,
+    )
+    s = LbfgsSolver(base) if outer == "lbfgs" else SubgradientSolver(base)
+    for _ in range(120):
+        s.iteration()
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    lb = s.lower_bound_with_deferred()
+    assert lb <= opt + 1e-6
+    assert lb >= opt - 1e-2, f"{outer} on uniform: lb {lb} vs opt {opt}"
