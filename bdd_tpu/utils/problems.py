@@ -159,3 +159,39 @@ def quadratic_assignment(n: int, seed: int = 0, density: float = 0.5) -> ILPInpu
                     )
                     terms += 1
     return ilp
+
+
+def graph_matching(n_left: int, n_right: int, seed: int = 0,
+                   candidates: int = 5, nr_quadratic: int = 0):
+    """Synthetic geometric graph-matching instance in the frontends'
+    GraphMatchingInstance form: each left point gets a few candidate right
+    points with distance costs; optional quadratic terms reward preserving
+    pairwise distances (the benchmark family of hotel/house/worms,
+    SURVEY.md §6)."""
+    import math as _math
+
+    rng = random.Random(seed)
+    from bdd_tpu.frontends.graph_matching import GraphMatchingInstance
+
+    pl = [(rng.random(), rng.random()) for _ in range(n_left)]
+    pr = [(rng.random(), rng.random()) for _ in range(n_right)]
+    inst = GraphMatchingInstance()
+    cand = []
+    for i, (x, y) in enumerate(pl):
+        dists = sorted(
+            (( _math.hypot(x - a, y - b), j) for j, (a, b) in enumerate(pr))
+        )[:candidates]
+        for d, j in dists:
+            cand.append((i, j, d - 0.5))
+    inst.linear = cand
+    ids = list(range(len(cand)))
+    for _ in range(nr_quadratic):
+        a, b = rng.sample(ids, 2)
+        ia, ja, _c = cand[a]
+        ib, jb, _c2 = cand[b]
+        if ia == ib or ja == jb:
+            continue
+        dl = _math.hypot(pl[ia][0] - pl[ib][0], pl[ia][1] - pl[ib][1])
+        dr = _math.hypot(pr[ja][0] - pr[jb][0], pr[ja][1] - pr[jb][1])
+        inst.quadratic.append(((ia, ib), (ja, jb), abs(dl - dr) - 0.1))
+    return inst

@@ -197,3 +197,24 @@ def test_multi_graph_matching():
     # all three abstaining is consistent and costs 0
     x_none = assign({k: slack_m for k in blocks})
     assert ilp.evaluate(x_none) == pytest.approx(0.0)
+
+
+def test_graph_matching_generator():
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+    from bdd_tpu.utils.problems import graph_matching
+
+    inst = graph_matching(6, 6, seed=1, candidates=3, nr_quadratic=10)
+    ilp, lin_map, quad_map = construct_graph_matching_ilp(inst)
+    assert ilp.nr_constraints() >= 12  # 6 left + 6 right simplexes
+    # solvable end-to-end
+    s = BddSolver(
+        {
+            "relaxation solver": "ref mma",
+            "variable order": "bfs",
+            "termination criteria": {"maximum iterations": 300},
+        }
+    )
+    s.read_ilp(ilp=ilp)
+    r = s.solve(verbose=False)
+    assert r["status"] == "solved"
+    assert np.isfinite(r["lower_bound"])
