@@ -1,0 +1,105 @@
+"""Reproduce the BENCH.md measurements (single TPU chip).
+
+Usage: python benchmarks/run_all.py [quick]
+
+Measures warm steady-state dual-MMA iteration rates for the backends on the
+benchmark families, plus time-to-1e-3-gap. Synchronization is by host scalar
+fetch (the remote backend's block_until_ready is lazy); every timed section is
+preceded by a warm-up call of the same compiled program. Avoid running
+anything else against the TPU concurrently.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdd_tpu.native import NativeHost
+from bdd_tpu.solver import uniform as uf
+from bdd_tpu.solver.flatten import flatten_collection
+from bdd_tpu.solver.ref_solver import RefSolver
+from bdd_tpu.utils.problems import grid_mrf, set_cover, graph_matching
+
+
+def sync(s):
+    return float(jax.tree.leaves(s)[0].ravel()[0])
+
+
+def bench_instance(name, lp, n_iters=200, numpy_iters=10, use_pallas=True):
+    uf.USE_PALLAS = use_pallas
+    t0 = time.time()
+    nh = NativeHost(lp, "bfs")
+    host = nh.make_uniform_host()
+    state = uf.init_uniform_state(host, nh.objective())
+    print(f"[{name}] build+first-compile {time.time() - t0:.1f}s "
+          f"({nh.nr_bdds()} bdds)")
+    block = 50
+    s = uf.iterations(host.geom, state, block, 0.5)
+    sync(s)  # compile + warm
+    t0 = time.time()
+    out = s
+    for _ in range(n_iters // block):
+        out = uf.iterations(host.geom, out, block, 0.5)
+    sync(out)
+    dt = (time.time() - t0) / n_iters
+    lb = float(uf.lower_bound_with_deferred(host.geom, out))
+    print(f"[{name}] tpu (pallas={use_pallas}): {1 / dt:.0f} it/s "
+          f"({dt * 1e3:.2f} ms/iter), lb={lb:.4f}")
+
+    col = nh.collection()
+    flat = flatten_collection(col, nh.nr_vars())
+    ref = RefSolver(flat, nh.objective())
+    t0 = time.time()
+    for _ in range(numpy_iters):
+        ref.iteration(0.5)
+    dt_np = (time.time() - t0) / numpy_iters
+    print(f"[{name}] numpy: {1 / dt_np:.1f} it/s; tpu speedup {dt_np / dt:.1f}x")
+    return host, nh
+
+
+def time_to_gap(name, lp, rel=1e-3, max_iters=4000):
+    nh = NativeHost(lp, "bfs")
+    host = nh.make_uniform_host()
+    state = uf.init_uniform_state(host, nh.objective())
+    s = uf.iterations(host.geom, state, 2000, 0.5)
+    ref_lb = float(uf.lower_bound_with_deferred(host.geom, s))
+    target = ref_lb - abs(ref_lb) * rel
+    s = uf.iterations(host.geom, state, 50, 0.5)
+    sync(s)  # warm
+    s = state
+    t0 = time.time()
+    iters = 0
+    while iters < max_iters:
+        s = uf.iterations(host.geom, s, 50, 0.5)
+        iters += 50
+        if float(uf.lower_bound_with_deferred(host.geom, s)) >= target:
+            break
+    print(f"[{name}] time-to-{rel:g}-gap: {time.time() - t0:.2f}s ({iters} iters, "
+          f"converged lb {ref_lb:.4f})")
+
+
+def main():
+    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    bench_instance("grid-mrf-12x12x4", grid_mrf(12, 12, 4, seed=0).write_lp())
+    time_to_gap("grid-mrf-12x12x4", grid_mrf(12, 12, 4, seed=0).write_lp())
+    if quick:
+        return
+    bench_instance("grid-mrf-24x24x8", grid_mrf(24, 24, 8, seed=0).write_lp(),
+                   numpy_iters=5)
+    bench_instance("set-cover-3000x6000",
+                   set_cover(3000, 6000, density=0.004, seed=0).write_lp(),
+                   numpy_iters=5)
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+
+    gm = construct_graph_matching_ilp(
+        graph_matching(120, 120, seed=0, candidates=6, nr_quadratic=2000)
+    )[0]
+    bench_instance("graph-matching-120", gm.write_lp(), numpy_iters=5)
+
+
+if __name__ == "__main__":
+    main()
