@@ -76,8 +76,10 @@ def wedelin_rounding(
     rng = np.random.RandomState(seed)
     flat = s.f
     V = flat.nr_vars
-    p_lo = np.zeros(V)
-    p_hi = np.zeros(V)
+    per_layer = hasattr(s, "update_layer_costs")
+    L = len(flat.layer_var) if per_layer else V
+    p_lo = np.zeros(L)
+    p_hi = np.zeros(L)
     kappa = kappa_min
     for it in range(num_outer_iterations):
         if kappa > kappa_max:
@@ -101,17 +103,31 @@ def wedelin_rounding(
                 np.where(np.isfinite(dec.sum1 - dec.sum0), dec.sum1 - dec.sum0, 0.0)
             ) / np.maximum(flat.num_bdds_per_var, 1)
         Delta = kappa / (1 - kappa) * mm_abs + delta
-        d_lo = -(1 - theta) * p_lo
-        d_hi = -(1 - theta) * p_hi
         t = dec.types
         r = rng.uniform(-delta, delta, size=V)
         push_lo = (t == MM_ONE) | (((t == MM_EQUAL) | (t == MM_INCONSISTENT)) & (r < 0))
         push_hi = (t == MM_ZERO) | (((t == MM_EQUAL) | (t == MM_INCONSISTENT)) & (r >= 0))
-        d_lo = d_lo + np.where(push_lo, Delta, 0.0)
-        d_hi = d_hi + np.where(push_hi, Delta, 0.0)
-        s.update_costs(d_lo, d_hi)
-        p_lo += d_lo
-        p_hi += d_hi
+        if per_layer:
+            # per-(var,bdd) perturbation bookkeeping with exponential decay
+            # (the reference's p / p_delta layer arrays,
+            # incremental_mm_agreement_rounding.hxx:190-196)
+            valid = flat.valid_layer_mask()
+            lv = flat.layer_var
+            d_lo = -(1 - theta) * p_lo
+            d_hi = -(1 - theta) * p_hi
+            dl = np.where(push_lo[np.minimum(lv, V - 1)] & valid, Delta[np.minimum(lv, V - 1)], 0.0)
+            dh = np.where(push_hi[np.minimum(lv, V - 1)] & valid, Delta[np.minimum(lv, V - 1)], 0.0)
+            d_lo = d_lo + dl
+            d_hi = d_hi + dh
+            s.update_layer_costs(d_lo, d_hi)
+            p_lo += d_lo
+            p_hi += d_hi
+        else:
+            d_lo = -(1 - theta) * p_lo + np.where(push_lo, Delta, 0.0)
+            d_hi = -(1 - theta) * p_hi + np.where(push_hi, Delta, 0.0)
+            s.update_costs(d_lo, d_hi)
+            p_lo += d_lo
+            p_hi += d_hi
         run_solver(
             s,
             max_iter=num_itr_lb,

@@ -302,6 +302,13 @@ class RefSolver:
             self.hi_cost[valid] += dhi[lv] * scale
         self._cft = None
 
+    def update_layer_costs(self, lo_delta: np.ndarray, hi_delta: np.ndarray) -> None:
+        """Add per-layer cost deltas directly (Wedelin's per-(var,bdd)
+        perturbations, ref: wedelin p arrays are layer-indexed)."""
+        self.lo_cost += lo_delta
+        self.hi_cost += hi_delta
+        self._cft = None
+
     def bdds_solution(self) -> np.ndarray:
         """Per-layer 0/1 argmin path choice per BDD (ref: bdds_solution_cuda,
         bdd_cuda_base.cu:1104-1233). Returns int8 [nr_layers] with -1 for

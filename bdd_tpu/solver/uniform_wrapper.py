@@ -92,6 +92,32 @@ class UniformSolver:
     def distribute_delta(self) -> None:
         self.state = uf.distribute_delta(self.geom, self.state)
 
+    def update_layer_costs(self, lo_delta, hi_delta) -> None:
+        """Per-layer cost deltas in UniformLayerView (concatenated [H*B])
+        indexing."""
+        lo_l, hi_l, cft_l = [], [], []
+        off = 0
+        for g, lo, hi in zip(self.geom.buckets, self.state.lo, self.state.hi):
+            n = g.H * g.B
+            dl = jnp.asarray(
+                np.asarray(lo_delta[off : off + n]).reshape(g.H, g.B), self.dtype
+            )
+            dh = jnp.asarray(
+                np.asarray(hi_delta[off : off + n]).reshape(g.H, g.B), self.dtype
+            )
+            nl = jnp.where(g.layer_valid, lo + dl, 0.0)
+            nh = jnp.where(g.layer_valid, hi + dh, 0.0)
+            lo_l.append(nl)
+            hi_l.append(nh)
+            off += n
+        cft_l = [
+            uf.bucket_backward_run(g, l, h)
+            for g, l, h in zip(self.geom.buckets, lo_l, hi_l)
+        ]
+        self.state = uf.UniformState(
+            tuple(lo_l), tuple(hi_l), self.state.def_mm, tuple(cft_l)
+        )
+
     def update_costs(self, lo_per_var, hi_per_var) -> None:
         lo_u = jnp.asarray(
             np.append(np.asarray(lo_per_var, np.float64), 0.0), dtype=self.dtype

@@ -109,3 +109,14 @@ def test_state_checkpoint_roundtrip(tmp_path, backend):
     assert s2.lower_bound_with_deferred() == pytest.approx(
         s.lower_bound_with_deferred(), abs=1e-12
     )
+
+
+def test_wedelin_per_layer_on_uniform():
+    ilp, pre, flat, s = build(fixtures.MATCHING_3x3, "uniform")
+    for _ in range(50):
+        s.iteration()
+    sol = wedelin_rounding(s, verbose=False)
+    assert sol is not None
+    x = list(int(v) for v in sol[: ilp.nr_variables()])
+    opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+    assert ilp.evaluate(x) == pytest.approx(opt, abs=1e-6)
