@@ -268,9 +268,17 @@ class NativeHost:
                     alpha=jnp.asarray(alpha, dtype=dtype),
                 )
             )
+        plan = None
+        if raw:
+            plan = uf.build_exchange_plan(
+                np.concatenate([a["layer_var"].ravel() for a in raw]),
+                np.concatenate([a["layer_valid"].ravel() for a in raw]),
+                V,
+            )
         geom = uf.UniformGeom(
             buckets=tuple(geoms),
             num_bdds_per_var=jnp.asarray(counts, dtype=jnp.int32),
+            exchange=plan,
         )
         return uf.UniformHost(
             geom=geom,

@@ -22,7 +22,9 @@ the only irregular op left, executed once per half-sweep.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
+import os
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -74,9 +76,105 @@ class BucketGeom(NamedTuple):
         return self.node_valid.shape[2]
 
 
+@dataclasses.dataclass(frozen=True)
+class ExchangePlan:
+    """Static-permutation delta exchange (replaces segment_sum + gather).
+
+    The per-variable consensus sum is re-expressed over a dense [C, Vp] matrix
+    (C = max #layers per variable, Vp = nr_vars+1 padded to the lane width):
+    slot e of variable v with occurrence rank c lands at position c*Vp + v.
+    Both the scatter into that layout and the gather back to slot order are
+    STATIC permutations, executed as ``lax.sort`` with precomputed constant
+    keys — measured ~2x faster than XLA-TPU gather/scatter at these sizes
+    (BENCH.md). The reduction itself becomes a dense sum over the C axis
+    (INF-safe, unlike a cumsum formulation).
+
+    ``key_fwd[i]``: target position of flat source i (invalid/padding slots
+    fill the unused positions). ``key_inv[t]``: flat destination of target t.
+    Both are permutations of [0, N), N = max(E, C*Vp).
+    """
+
+    key_fwd: jnp.ndarray  # int32 [N]
+    key_inv: jnp.ndarray  # int32 [N]
+    C: int
+    Vp: int
+
+
+jax.tree_util.register_dataclass(
+    ExchangePlan, data_fields=["key_fwd", "key_inv"], meta_fields=["C", "Vp"]
+)
+
+
+def build_exchange_plan(
+    ids: np.ndarray,
+    valid: np.ndarray,
+    V: int,
+    lane: int = 128,
+    max_blowup: float = 4.0,
+) -> Optional[ExchangePlan]:
+    """Precompute the exchange permutation keys (host side, numpy).
+
+    ``ids``: concatenated per-bucket layer_var.ravel() (flat slot order, the
+    same order as ``_exchange_ids``). ``valid``: matching layer_valid mask.
+    Returns None when the count distribution is too skewed (C*Vp would blow
+    past ``max_blowup``x the slot count) — callers fall back to segment ops.
+    """
+    ids = np.asarray(ids)
+    valid = np.asarray(valid)
+    E = ids.size
+    real = np.nonzero(valid)[0]
+    if real.size == 0:
+        return None
+    rv = ids[real]
+    counts = np.bincount(rv, minlength=V)
+    C = max(int(counts.max()), 1)
+    Vp = _pad_to(V + 1, lane)
+    CV = C * Vp
+    N = max(E, CV)
+    if N > max_blowup * E + 4 * lane * lane:
+        return None
+    order = np.argsort(rv, kind="stable")
+    sv = rv[order]
+    src = real[order]
+    starts = np.zeros(V + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    occ = np.arange(sv.size, dtype=np.int64) - starts[sv]
+    tpos = occ * Vp + sv  # distinct targets < CV
+    key_fwd = np.full(N, -1, dtype=np.int64)
+    key_fwd[src] = tpos
+    used_tgt = np.zeros(N, dtype=bool)
+    used_tgt[tpos] = True
+    unused_src = np.nonzero(key_fwd < 0)[0]
+    unused_tgt = np.nonzero(~used_tgt)[0]
+    key_fwd[unused_src] = unused_tgt
+    key_inv = np.empty(N, dtype=np.int64)
+    key_inv[tpos] = src
+    key_inv[unused_tgt] = unused_src
+    return ExchangePlan(
+        key_fwd=jnp.asarray(key_fwd, dtype=jnp.int32),
+        key_inv=jnp.asarray(key_inv, dtype=jnp.int32),
+        C=C,
+        Vp=Vp,
+    )
+
+
+def attach_exchange_plan(geom: "UniformGeom") -> "UniformGeom":
+    """Build + attach an ExchangePlan from a geometry's (host-resident)
+    layer arrays. No-op if a plan is already present."""
+    if geom.exchange is not None:
+        return geom
+    ids = np.concatenate([np.asarray(g.layer_var).ravel() for g in geom.buckets])
+    valid = np.concatenate(
+        [np.asarray(g.layer_valid).ravel() for g in geom.buckets]
+    )
+    plan = build_exchange_plan(ids, valid, geom.V)
+    return geom._replace(exchange=plan)
+
+
 class UniformGeom(NamedTuple):
     buckets: Tuple[BucketGeom, ...]
     num_bdds_per_var: jnp.ndarray  # int32 [V]
+    exchange: Optional[ExchangePlan] = None
 
     @property
     def V(self) -> int:
@@ -109,6 +207,7 @@ def flatten_uniform(
     lane_pad: int = 128,
     counts_override: Optional[np.ndarray] = None,
     keep_bdds: Optional[Sequence[int]] = None,
+    build_plan: bool = True,
 ) -> UniformHost:
     """Build bucketed uniform arrays from a QBDD collection.
 
@@ -153,6 +252,8 @@ def flatten_uniform(
     bucket_geoms: List[BucketGeom] = []
     bdd_of_cols: List[np.ndarray] = []
     depths_l: List[np.ndarray] = []
+    flat_ids: List[np.ndarray] = []
+    flat_valid: List[np.ndarray] = []
     for key in sorted(buckets_members.keys()):
         members = buckets_members[key]
         P, H = key
@@ -206,10 +307,18 @@ def flatten_uniform(
         )
         bdd_of_cols.append(bdd_of_col)
         depths_l.append(depths)
+        flat_ids.append(layer_var.ravel())
+        flat_valid.append(layer_valid.ravel())
 
+    plan = None
+    if build_plan and flat_ids:
+        plan = build_exchange_plan(
+            np.concatenate(flat_ids), np.concatenate(flat_valid), nr_vars
+        )
     geom = UniformGeom(
         buckets=tuple(bucket_geoms),
         num_bdds_per_var=jnp.asarray(counts_global, dtype=jnp.int32),
+        exchange=plan,
     )
     return UniformHost(
         geom=geom,
@@ -462,14 +571,64 @@ def compute_delta(
     return dsum[:, 0], dsum[:, 1]
 
 
+USE_PERM_EXCHANGE = os.environ.get("BDD_TPU_PERM_EXCHANGE", "1") != "0"
+
+
+def _exchange_perm(
+    plan: ExchangePlan, mm_flat: jnp.ndarray, delta_reduce=None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-permutation exchange: sort into the [C, Vp] layout, dense sum
+    over C, broadcast back, inverse sort. Returns flat (din_lo, din_hi) [E];
+    entries at invalid slots are unspecified (consumers mask by layer_valid /
+    alpha=0)."""
+    E = mm_flat.shape[0]
+    N = plan.key_fwd.shape[0]
+    CV = plan.C * plan.Vp
+    lo_c = jnp.maximum(-mm_flat, 0.0)
+    hi_c = jnp.maximum(mm_flat, 0.0)
+    if N > E:
+        pad = jnp.zeros((N - E,), dtype=mm_flat.dtype)
+        lo_c = jnp.concatenate([lo_c, pad])
+        hi_c = jnp.concatenate([hi_c, pad])
+    _, lo_s, hi_s = jax.lax.sort((plan.key_fwd, lo_c, hi_c), num_keys=1)
+    dlo = jnp.sum(lo_s[:CV].reshape(plan.C, plan.Vp), axis=0)
+    dhi = jnp.sum(hi_s[:CV].reshape(plan.C, plan.Vp), axis=0)
+    if delta_reduce is not None:
+        d = delta_reduce(jnp.stack([dlo, dhi], axis=-1))  # [Vp, 2]
+        dlo, dhi = d[:, 0], d[:, 1]
+    t_lo = jnp.broadcast_to(dlo, (plan.C, plan.Vp)).reshape(CV)
+    t_hi = jnp.broadcast_to(dhi, (plan.C, plan.Vp)).reshape(CV)
+    if N > CV:
+        pad = jnp.zeros((N - CV,), dtype=mm_flat.dtype)
+        t_lo = jnp.concatenate([t_lo, pad])
+        t_hi = jnp.concatenate([t_hi, pad])
+    _, din_lo, din_hi = jax.lax.sort((plan.key_inv, t_lo, t_hi), num_keys=1)
+    return din_lo[:E], din_hi[:E]
+
+
 def exchange_delta(
     geom: UniformGeom, def_mm: Tuple[jnp.ndarray, ...], delta_reduce=None
 ) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
     """Full delta consensus: fused scatter + fused gather. Returns per-bucket
     pre-gathered (din_lo, din_hi) [H, B] arrays. ``delta_reduce`` (sharded
-    path) is applied once to the stacked [V+1, 2] sums."""
-    ids = _exchange_ids(geom)
+    path) is applied once to the stacked [V+1, 2] (segment path) or [Vp, 2]
+    (permutation path) sums — a psum is shape-agnostic over both."""
     mm_flat = jnp.concatenate([m.ravel() for m in def_mm])
+    if (
+        USE_PERM_EXCHANGE
+        and geom.exchange is not None
+        and mm_flat.dtype == jnp.float32
+    ):
+        din_lo_f, din_hi_f = _exchange_perm(geom.exchange, mm_flat, delta_reduce)
+        out_lo, out_hi = [], []
+        off = 0
+        for g in geom.buckets:
+            n = g.H * g.B
+            out_lo.append(din_lo_f[off : off + n].reshape(g.H, g.B))
+            out_hi.append(din_hi_f[off : off + n].reshape(g.H, g.B))
+            off += n
+        return tuple(out_lo), tuple(out_hi)
+    ids = _exchange_ids(geom)
     contrib = jnp.stack(
         [jnp.maximum(-mm_flat, 0.0), jnp.maximum(mm_flat, 0.0)], axis=-1
     )

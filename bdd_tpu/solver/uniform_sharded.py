@@ -96,6 +96,7 @@ class ShardedUniformSolver:
                 dtype=dtype,
                 counts_override=counts,
                 keep_bdds=p,
+                build_plan=False,
             )
             if len(p) > 0
             else None

@@ -154,3 +154,46 @@ def test_device_rounding_perturbation_progress():
     assert sol is not None
     x = [int(v) for v in sol[: ilp.nr_variables()]]
     assert ilp.feasible(x)
+
+
+def test_perm_exchange_matches_segment_exchange():
+    """The static-permutation (sort-based) exchange must agree with the
+    segment_sum + gather path at every valid slot, including ±inf forcing
+    values, and produce identical iteration trajectories (float32 path)."""
+    from bdd_tpu.utils.problems import set_cover
+
+    for ilp in [parse_lp_string(fixtures.COVERING), grid_mrf(4, 4, 3, seed=0),
+                set_cover(30, 60, seed=1)]:
+        pre = BddPreprocessor(ilp)
+
+        def make(build_plan):
+            host = uf.flatten_uniform(
+                pre.collection,
+                pre.total_nr_variables(),
+                pre.nr_primal_variables,
+                build_plan=build_plan,
+            )
+            return host, uf.init_uniform_state(host, pre.objective_vector())
+
+        host_a, st_a = make(False)
+        host_b, st_b = make(True)
+        assert host_b.geom.exchange is not None
+        st_a = uf.iterations(host_a.geom, st_a, 3, 0.5)
+        st_b = uf.iterations(host_b.geom, st_b, 3, 0.5)
+
+        # inject forcing infs and compare the exchanged deltas slot-by-slot
+        mm = list(st_a.def_mm)
+        mm[0] = mm[0].at[0, 0].set(jnp.inf)
+        if mm[0].shape[0] > 1:
+            mm[0] = mm[0].at[1, 0].set(-jnp.inf)
+        mm = tuple(jnp.asarray(m, jnp.float32) for m in mm)
+        a_lo, a_hi = uf.exchange_delta(host_a.geom, mm)
+        b_lo, b_hi = uf.exchange_delta(host_b.geom, mm)
+        for g, al, bl, ah, bh in zip(host_b.geom.buckets, a_lo, b_lo, a_hi, b_hi):
+            m = np.asarray(g.layer_valid)
+            np.testing.assert_array_equal(np.asarray(al)[m], np.asarray(bl)[m])
+            np.testing.assert_array_equal(np.asarray(ah)[m], np.asarray(bh)[m])
+
+        lb_a = float(uf.lower_bound_with_deferred(host_a.geom, st_a))
+        lb_b = float(uf.lower_bound_with_deferred(host_b.geom, st_b))
+        assert lb_b == pytest.approx(lb_a, abs=1e-4)
