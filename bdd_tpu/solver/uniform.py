@@ -111,27 +111,34 @@ def build_exchange_plan(
     V: int,
     lane: int = 128,
     max_blowup: float = 4.0,
+    force_C: Optional[int] = None,
 ) -> Optional[ExchangePlan]:
     """Precompute the exchange permutation keys (host side, numpy).
 
     ``ids``: concatenated per-bucket layer_var.ravel() (flat slot order, the
     same order as ``_exchange_ids``). ``valid``: matching layer_valid mask.
-    Returns None when the count distribution is too skewed (C*Vp would blow
-    past ``max_blowup``x the slot count) — callers fall back to segment ops.
+    ``force_C``: use this C instead of the local max count (the sharded path
+    passes the global maximum so per-shard plans have identical shapes and
+    stack on the device axis). Returns None when the count distribution is
+    too skewed (C*Vp would blow past ``max_blowup``x the slot count) —
+    callers fall back to segment ops.
     """
     ids = np.asarray(ids)
     valid = np.asarray(valid)
     E = ids.size
     real = np.nonzero(valid)[0]
-    if real.size == 0:
+    if real.size == 0 and force_C is None:
         return None
     rv = ids[real]
-    counts = np.bincount(rv, minlength=V)
-    C = max(int(counts.max()), 1)
+    counts = np.bincount(rv, minlength=V) if rv.size else np.zeros(V, np.int64)
+    C = max(int(counts.max()) if counts.size else 0, 1)
+    if force_C is not None:
+        assert force_C >= C, (force_C, C)
+        C = force_C
     Vp = _pad_to(V + 1, lane)
     CV = C * Vp
     N = max(E, CV)
-    if N > max_blowup * E + 4 * lane * lane:
+    if force_C is None and N > max_blowup * E + 4 * lane * lane:
         return None
     order = np.argsort(rv, kind="stable")
     sv = rv[order]

@@ -138,6 +138,31 @@ class ShardedUniformSolver:
                     num_bdds_per_var=jnp.asarray(counts, dtype=jnp.int32),
                 )
             )
+        # per-shard static-permutation exchange plans with GLOBAL shapes
+        # (same bucket keys + padded column counts on every shard -> equal E;
+        # C forced to the global max so key arrays stack on the device axis)
+        if dtype == jnp.float32:
+            shard_ids, shard_valid, c_loc = [], [], []
+            for geom in geoms:
+                ids = np.concatenate(
+                    [np.asarray(g.layer_var).ravel() for g in geom.buckets]
+                )
+                val = np.concatenate(
+                    [np.asarray(g.layer_valid).ravel() for g in geom.buckets]
+                )
+                shard_ids.append(ids)
+                shard_valid.append(val)
+                rv = ids[val]
+                c_loc.append(
+                    int(np.bincount(rv, minlength=nr_vars).max()) if rv.size else 0
+                )
+            c_glob = max(max(c_loc), 1)
+            plans = [
+                uf.build_exchange_plan(i, v, nr_vars, force_C=c_glob)
+                for i, v in zip(shard_ids, shard_valid)
+            ]
+            if all(p is not None for p in plans):
+                geoms = [g._replace(exchange=p) for g, p in zip(geoms, plans)]
         self.geom_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *geoms)
         self.nr_vars = nr_vars
         self.host = uf.UniformHost(

@@ -77,3 +77,33 @@ def test_sharded_rounding_end_to_end():
     assert sol is not None
     opt, _ = fixtures.brute_force_ilp_optimum(ilp)
     assert ilp.evaluate(list(sol[: ilp.nr_variables()])) == pytest.approx(opt)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_perm_exchange_parity(n_dev):
+    """float32 sharded path uses the static-permutation exchange (per-shard
+    plans with global shapes); trajectories must match the f64 oracle to
+    float32 tolerance."""
+    ilp = grid_mrf(4, 4, 3, seed=3)
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float32,
+    )
+    # plans attached on every shard
+    assert s.geom_stacked.exchange is not None
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for it in range(10):
+        s.iteration()
+        ref.iteration(0.5)
+        assert s.lower_bound() == pytest.approx(
+            ref.lower_bound_with_deferred(), abs=2e-3
+        ), f"iter {it}"
