@@ -93,6 +93,10 @@ class BddSolver:
                 from bdd_tpu.ilp.opb_parser import parse_opb_file
 
                 self._ilp = parse_opb_file(path)
+            elif path.endswith(".mps"):
+                from bdd_tpu.ilp.mps_parser import parse_mps_file
+
+                self._ilp = parse_mps_file(path)
             else:
                 with open(path) as fh:
                     self._lp_text = fh.read()

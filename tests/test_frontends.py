@@ -218,3 +218,87 @@ def test_graph_matching_generator():
     r = s.solve(verbose=False)
     assert r["status"] == "solved"
     assert np.isfinite(r["lower_bound"])
+
+
+def test_mps_round_trip():
+    """write_mps -> parse_mps_string must reproduce the instance exactly
+    (objective, constraints, evaluation on random points)."""
+    import numpy as np
+
+    from bdd_tpu.ilp import parse_lp_string, parse_mps_string
+    from bdd_tpu.utils.problems import grid_mrf, set_cover
+
+    for ilp in [
+        parse_lp_string(fixtures.TWO_SIMPLEX),
+        grid_mrf(3, 3, 2, seed=0),
+        set_cover(10, 20, seed=4),
+    ]:
+        back = parse_mps_string(ilp.write_mps())
+        assert back.nr_variables() == ilp.nr_variables()
+        assert back.var_names == ilp.var_names
+        assert len(back.constraints_) == len(ilp.constraints_)
+        assert np.allclose(back.objective(), ilp.objective())
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            x = rng.integers(0, 2, ilp.nr_variables()).tolist()
+            assert back.feasible(x) == ilp.feasible(x)
+            if ilp.feasible(x):
+                assert back.evaluate(x) == pytest.approx(ilp.evaluate(x))
+
+
+def test_mps_bounds_and_fixations():
+    from bdd_tpu.ilp import parse_mps_string
+
+    mps = """NAME test
+ROWS
+ N  COST
+ L  R0
+COLUMNS
+    x  COST  1.5
+    x  R0  1
+    y  COST  -2
+    y  R0  1
+    z  COST  4
+    z  R0  1
+RHS
+    RHS  R0  2
+BOUNDS
+ BV BND  x
+ FX BND  y  1
+ UP BND  z  1
+ENDATA
+"""
+    ilp = parse_mps_string(mps)
+    # y fixed to 1: reduced out of the model, objective constant absorbed
+    assert ilp.nr_variables() == 2
+    assert ilp.constant_ == pytest.approx(-2.0)
+    # R0 becomes x + z <= 1
+    c = ilp.constraints_[0]
+    assert c.rhs == 1
+
+    with pytest.raises(ValueError):
+        parse_mps_string("RANGES\n")
+    with pytest.raises(ValueError):
+        parse_mps_string(
+            "ROWS\n N  C\n L  R\nCOLUMNS\n    x  R  1\nBOUNDS\n UP BND  x  3\n"
+        )
+
+
+def test_mps_cli_round_trip(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    from bdd_tpu.ilp import parse_lp_string
+
+    ilp = parse_lp_string(fixtures.COVERING)
+    mps_file = tmp_path / "c.mps"
+    mps_file.write_text(ilp.write_mps())
+    out = subprocess.run(
+        [_sys.executable, "-m", "bdd_tpu.ilp", "mps2lp", str(mps_file)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    back = parse_lp_string(out.stdout)
+    assert back.nr_variables() == ilp.nr_variables()
+    assert np.allclose(back.objective(), ilp.objective())
