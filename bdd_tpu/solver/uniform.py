@@ -80,28 +80,41 @@ class BucketGeom(NamedTuple):
 class ExchangePlan:
     """Static-permutation delta exchange (replaces segment_sum + gather).
 
-    The per-variable consensus sum is re-expressed over a dense [C, Vp] matrix
-    (C = max #layers per variable, Vp = nr_vars+1 padded to the lane width):
-    slot e of variable v with occurrence rank c lands at position c*Vp + v.
-    Both the scatter into that layout and the gather back to slot order are
-    STATIC permutations, executed as ``lax.sort`` with precomputed constant
-    keys — measured ~2x faster than XLA-TPU gather/scatter at these sizes
-    (BENCH.md). The reduction itself becomes a dense sum over the C axis
-    (INF-safe, unlike a cumsum formulation).
+    The per-variable consensus sum is re-expressed over a dense [C, Vx]
+    matrix: slot e of variable v with occurrence rank r lands at row r mod C
+    of v's column. Both the scatter into that layout and the gather back to
+    slot order are STATIC permutations, executed as ``lax.sort`` with
+    precomputed constant keys — measured ~2x faster than XLA-TPU
+    gather/scatter at these sizes (BENCH.md). The reduction itself becomes a
+    dense sum over the C axis (INF-safe, unlike a cumsum formulation).
+
+    Heavy-tailed count distributions (e.g. graph matching: mean 2.5 layers
+    per variable, max ~100) are handled by EXTENDED COLUMNS: C is capped
+    small, and a variable with count > C owns ceil(count/C)-1 extra columns
+    appended after the primary Vp columns; their partial sums are folded into
+    the primary column by one tiny scatter-add (``fold_dst`` = owner variable
+    of each extra column) and re-broadcast by one tiny gather. This keeps the
+    sort volume near E for ANY skew instead of C_max*V.
 
     ``key_fwd[i]``: target position of flat source i (invalid/padding slots
     fill the unused positions). ``key_inv[t]``: flat destination of target t.
-    Both are permutations of [0, N), N = max(E, C*Vp).
+    Both are permutations of [0, N), N = max(E, C*Vx).
+    ``Vp`` = nr_vars+1 lane-padded (primary columns); ``Vx`` = Vp + padded
+    extra columns.
     """
 
     key_fwd: jnp.ndarray  # int32 [N]
     key_inv: jnp.ndarray  # int32 [N]
+    fold_dst: jnp.ndarray  # int32 [n_extra] owner var of each extra column
     C: int
     Vp: int
+    Vx: int
 
 
 jax.tree_util.register_dataclass(
-    ExchangePlan, data_fields=["key_fwd", "key_inv"], meta_fields=["C", "Vp"]
+    ExchangePlan,
+    data_fields=["key_fwd", "key_inv", "fold_dst"],
+    meta_fields=["C", "Vp", "Vx"],
 )
 
 
@@ -131,22 +144,54 @@ def build_exchange_plan(
         return None
     rv = ids[real]
     counts = np.bincount(rv, minlength=V) if rv.size else np.zeros(V, np.int64)
-    C = max(int(counts.max()) if counts.size else 0, 1)
-    if force_C is not None:
-        assert force_C >= C, (force_C, C)
-        C = force_C
+    cmax = max(int(counts.max()) if counts.size else 0, 1)
     Vp = _pad_to(V + 1, lane)
-    CV = C * Vp
+
+    if force_C is not None:
+        # sharded path: fixed shapes across shards, no extended columns
+        assert force_C >= cmax, (force_C, cmax)
+        C = force_C
+        n_extra = 0
+        extra_of = np.zeros(V, dtype=np.int64)
+    else:
+        # pick the C cap minimizing total exchange cost: sort volume
+        # N = max(E, C*Vx) at ~0.5 gather-units/element/direction, plus the
+        # extra-column fold (scatter-add) + unfold (gather) at full
+        # irregular-op cost — small C shrinks the sorts but grows the
+        # irregular fold, large C pads the primary columns
+        best = None
+        cand = sorted({cmax} | {1 << k for k in range(0, cmax.bit_length() + 1)})
+        for c in cand:
+            extra_of_c = np.maximum((counts + c - 1) // c - 1, 0)
+            ne = int(extra_of_c.sum())
+            vx = Vp + (_pad_to(ne, lane) if ne else 0)
+            n = max(E, c * vx)
+            cost = n + 2.5 * ne
+            if best is None or cost < best[0]:
+                best = (cost, c, extra_of_c)
+        _, C, extra_of = best
+        n_extra = int(extra_of.sum())
+    Vx = Vp + (_pad_to(n_extra, lane) if n_extra else 0)
+    CV = C * Vx
     N = max(E, CV)
     if force_C is None and N > max_blowup * E + 4 * lane * lane:
         return None
+
     order = np.argsort(rv, kind="stable")
     sv = rv[order]
     src = real[order]
     starts = np.zeros(V + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     occ = np.arange(sv.size, dtype=np.int64) - starts[sv]
-    tpos = occ * Vp + sv  # distinct targets < CV
+    # column of occurrence r of var v: primary column v for r < C, else the
+    # (r//C - 1)-th extra column owned by v
+    extra_start = np.zeros(V + 1, dtype=np.int64)
+    np.cumsum(extra_of, out=extra_start[1:])
+    blk = occ // C
+    col = np.where(blk == 0, sv, Vp + extra_start[sv] + blk - 1)
+    tpos = (occ % C) * Vx + col  # distinct targets < CV
+    fold_dst = np.repeat(np.arange(V, dtype=np.int64), extra_of)
+
     key_fwd = np.full(N, -1, dtype=np.int64)
     key_fwd[src] = tpos
     used_tgt = np.zeros(N, dtype=bool)
@@ -160,8 +205,10 @@ def build_exchange_plan(
     return ExchangePlan(
         key_fwd=jnp.asarray(key_fwd, dtype=jnp.int32),
         key_inv=jnp.asarray(key_inv, dtype=jnp.int32),
+        fold_dst=jnp.asarray(fold_dst, dtype=jnp.int32),
         C=C,
         Vp=Vp,
+        Vx=Vx,
     )
 
 
@@ -584,27 +631,45 @@ USE_PERM_EXCHANGE = os.environ.get("BDD_TPU_PERM_EXCHANGE", "1") != "0"
 def _exchange_perm(
     plan: ExchangePlan, mm_flat: jnp.ndarray, delta_reduce=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Static-permutation exchange: sort into the [C, Vp] layout, dense sum
-    over C, broadcast back, inverse sort. Returns flat (din_lo, din_hi) [E];
-    entries at invalid slots are unspecified (consumers mask by layer_valid /
-    alpha=0)."""
+    """Static-permutation exchange: sort into the [C, Vx] layout, dense sum
+    over C (+ fold of the extra columns for heavy variables), broadcast back,
+    inverse sort. Returns flat (din_lo, din_hi) [E]; entries at invalid slots
+    are unspecified (consumers mask by layer_valid / alpha=0)."""
     E = mm_flat.shape[0]
     N = plan.key_fwd.shape[0]
-    CV = plan.C * plan.Vp
-    lo_c = jnp.maximum(-mm_flat, 0.0)
-    hi_c = jnp.maximum(mm_flat, 0.0)
+    CV = plan.C * plan.Vx
+    n_extra = plan.fold_dst.shape[0]
+    mm_p = mm_flat
     if N > E:
-        pad = jnp.zeros((N - E,), dtype=mm_flat.dtype)
-        lo_c = jnp.concatenate([lo_c, pad])
-        hi_c = jnp.concatenate([hi_c, pad])
-    _, lo_s, hi_s = jax.lax.sort((plan.key_fwd, lo_c, hi_c), num_keys=1)
-    dlo = jnp.sum(lo_s[:CV].reshape(plan.C, plan.Vp), axis=0)
-    dhi = jnp.sum(hi_s[:CV].reshape(plan.C, plan.Vp), axis=0)
+        mm_p = jnp.concatenate(
+            [mm_flat, jnp.zeros((N - E,), dtype=mm_flat.dtype)]
+        )
+    # single-payload sort: the (lo, hi) contributions are both derived from
+    # mm, so permute mm once and split afterwards (1/3 less sort traffic)
+    _, mm_s = jax.lax.sort((plan.key_fwd, mm_p), num_keys=1)
+    mm_cv = mm_s[:CV].reshape(plan.C, plan.Vx)
+    dlo = jnp.sum(jnp.maximum(-mm_cv, 0.0), axis=0)
+    dhi = jnp.sum(jnp.maximum(mm_cv, 0.0), axis=0)
+    if n_extra:
+        # fold heavy variables' extra-column partial sums into their primary
+        # column (tiny scatter-add), then re-expand for the broadcast-back
+        dlo = dlo[: plan.Vp].at[plan.fold_dst].add(
+            dlo[plan.Vp : plan.Vp + n_extra]
+        )
+        dhi = dhi[: plan.Vp].at[plan.fold_dst].add(
+            dhi[plan.Vp : plan.Vp + n_extra]
+        )
+    else:
+        dlo, dhi = dlo[: plan.Vp], dhi[: plan.Vp]
     if delta_reduce is not None:
         d = delta_reduce(jnp.stack([dlo, dhi], axis=-1))  # [Vp, 2]
         dlo, dhi = d[:, 0], d[:, 1]
-    t_lo = jnp.broadcast_to(dlo, (plan.C, plan.Vp)).reshape(CV)
-    t_hi = jnp.broadcast_to(dhi, (plan.C, plan.Vp)).reshape(CV)
+    if n_extra:
+        pad_x = jnp.zeros((plan.Vx - plan.Vp - n_extra,), dtype=mm_flat.dtype)
+        dlo = jnp.concatenate([dlo, dlo[plan.fold_dst], pad_x])
+        dhi = jnp.concatenate([dhi, dhi[plan.fold_dst], pad_x])
+    t_lo = jnp.broadcast_to(dlo, (plan.C, plan.Vx)).reshape(CV)
+    t_hi = jnp.broadcast_to(dhi, (plan.C, plan.Vx)).reshape(CV)
     if N > CV:
         pad = jnp.zeros((N - CV,), dtype=mm_flat.dtype)
         t_lo = jnp.concatenate([t_lo, pad])

@@ -22,7 +22,12 @@ from bdd_tpu.native import NativeHost
 from bdd_tpu.solver import uniform as uf
 from bdd_tpu.solver.flatten import flatten_collection
 from bdd_tpu.solver.ref_solver import RefSolver
-from bdd_tpu.utils.problems import grid_mrf, set_cover, graph_matching
+from bdd_tpu.utils.problems import (
+    grid_mrf,
+    quadratic_assignment,
+    set_cover,
+    graph_matching,
+)
 
 
 def sync(s):
@@ -90,6 +95,7 @@ def main():
         return
     bench_instance("grid-mrf-24x24x8", grid_mrf(24, 24, 8, seed=0).write_lp(),
                    numpy_iters=5)
+    time_to_gap("grid-mrf-24x24x8", grid_mrf(24, 24, 8, seed=0).write_lp())
     bench_instance("set-cover-3000x6000",
                    set_cover(3000, 6000, density=0.004, seed=0).write_lp(),
                    numpy_iters=5)
@@ -99,6 +105,9 @@ def main():
         graph_matching(120, 120, seed=0, candidates=6, nr_quadratic=2000)
     )[0]
     bench_instance("graph-matching-120", gm.write_lp(), numpy_iters=5)
+    bench_instance("qap-18 (Fortet-linearized, dense quadratic)",
+                   quadratic_assignment(18, seed=0, density=0.06).write_lp(),
+                   numpy_iters=5)
 
 
 if __name__ == "__main__":
