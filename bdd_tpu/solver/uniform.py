@@ -109,12 +109,18 @@ class ExchangePlan:
     C: int
     Vp: int
     Vx: int
+    # Optional Benes-network routing (solver/benes.py): 2*log2(Np)-1 swap
+    # masks per direction, Np = N padded to a power of two. Routes the same
+    # permutations with ~10x fewer passes than the bitonic `lax.sort`.
+    benes_fwd: Optional[Tuple[jnp.ndarray, ...]] = None  # bool [Np] each
+    benes_inv: Optional[Tuple[jnp.ndarray, ...]] = None
+    benes_dists: Tuple[int, ...] = ()
 
 
 jax.tree_util.register_dataclass(
     ExchangePlan,
-    data_fields=["key_fwd", "key_inv", "fold_dst"],
-    meta_fields=["C", "Vp", "Vx"],
+    data_fields=["key_fwd", "key_inv", "fold_dst", "benes_fwd", "benes_inv"],
+    meta_fields=["C", "Vp", "Vx", "benes_dists"],
 )
 
 
@@ -202,6 +208,23 @@ def build_exchange_plan(
     key_inv = np.empty(N, dtype=np.int64)
     key_inv[tpos] = src
     key_inv[unused_tgt] = unused_src
+
+    benes_fwd = benes_inv = None
+    benes_dists: Tuple[int, ...] = ()
+    if force_C is None and _use_benes(N):
+        from bdd_tpu.solver import benes as bn
+
+        Np = _pow2(N)
+        ext = np.arange(N, Np, dtype=np.int64)
+        # out[t] = in[argsort(key)[t]] is what the sort computes
+        p1 = np.concatenate([np.argsort(key_fwd, kind="stable"), ext])
+        p2 = np.concatenate([np.argsort(key_inv, kind="stable"), ext])
+        st1 = bn.route_benes(p1)
+        st2 = bn.route_benes(p2)
+        benes_dists = tuple(m for m, _ in st1)
+        benes_fwd = tuple(jnp.asarray(mk) for _, mk in st1)
+        benes_inv = tuple(jnp.asarray(mk) for _, mk in st2)
+
     return ExchangePlan(
         key_fwd=jnp.asarray(key_fwd, dtype=jnp.int32),
         key_inv=jnp.asarray(key_inv, dtype=jnp.int32),
@@ -209,6 +232,9 @@ def build_exchange_plan(
         C=C,
         Vp=Vp,
         Vx=Vx,
+        benes_fwd=benes_fwd,
+        benes_inv=benes_inv,
+        benes_dists=benes_dists,
     )
 
 
@@ -627,6 +653,19 @@ def compute_delta(
 
 USE_PERM_EXCHANGE = os.environ.get("BDD_TPU_PERM_EXCHANGE", "1") != "0"
 
+# Benes routing (solver/benes.py) is a measured DEAD END on current XLA-TPU:
+# correct, 10x fewer passes than the bitonic sort in theory, but the
+# small-distance stages lower to sub-lane shuffles that run ~30x SLOWER than
+# `lax.sort` end to end (191 vs 6.7 ms/iter on the 50k-BDD graph-matching
+# instance). Kept behind BDD_TPU_BENES=1 for future Pallas work (a
+# VMEM-resident applier with a row/lane 3-phase decomposition could revisit
+# this); default off.
+_BENES_MODE = os.environ.get("BDD_TPU_BENES", "0")
+
+
+def _use_benes(N: int) -> bool:
+    return _BENES_MODE == "1"
+
 
 def _exchange_perm(
     plan: ExchangePlan, mm_flat: jnp.ndarray, delta_reduce=None
@@ -639,14 +678,21 @@ def _exchange_perm(
     N = plan.key_fwd.shape[0]
     CV = plan.C * plan.Vx
     n_extra = plan.fold_dst.shape[0]
+    use_benes = plan.benes_fwd is not None
+    Nfull = plan.benes_fwd[0].shape[0] if use_benes else N
     mm_p = mm_flat
-    if N > E:
+    if Nfull > E:
         mm_p = jnp.concatenate(
-            [mm_flat, jnp.zeros((N - E,), dtype=mm_flat.dtype)]
+            [mm_flat, jnp.zeros((Nfull - E,), dtype=mm_flat.dtype)]
         )
-    # single-payload sort: the (lo, hi) contributions are both derived from
-    # mm, so permute mm once and split afterwards (1/3 less sort traffic)
-    _, mm_s = jax.lax.sort((plan.key_fwd, mm_p), num_keys=1)
+    # single-payload routing: the (lo, hi) contributions are both derived
+    # from mm, so permute mm once and split afterwards
+    if use_benes:
+        from bdd_tpu.solver import benes as bn
+
+        (mm_s,) = bn.apply_network_jax(plan.benes_dists, plan.benes_fwd, (mm_p,))
+    else:
+        _, mm_s = jax.lax.sort((plan.key_fwd, mm_p), num_keys=1)
     mm_cv = mm_s[:CV].reshape(plan.C, plan.Vx)
     dlo = jnp.sum(jnp.maximum(-mm_cv, 0.0), axis=0)
     dhi = jnp.sum(jnp.maximum(mm_cv, 0.0), axis=0)
@@ -670,11 +716,16 @@ def _exchange_perm(
         dhi = jnp.concatenate([dhi, dhi[plan.fold_dst], pad_x])
     t_lo = jnp.broadcast_to(dlo, (plan.C, plan.Vx)).reshape(CV)
     t_hi = jnp.broadcast_to(dhi, (plan.C, plan.Vx)).reshape(CV)
-    if N > CV:
-        pad = jnp.zeros((N - CV,), dtype=mm_flat.dtype)
+    if Nfull > CV:
+        pad = jnp.zeros((Nfull - CV,), dtype=mm_flat.dtype)
         t_lo = jnp.concatenate([t_lo, pad])
         t_hi = jnp.concatenate([t_hi, pad])
-    _, din_lo, din_hi = jax.lax.sort((plan.key_inv, t_lo, t_hi), num_keys=1)
+    if use_benes:
+        din_lo, din_hi = bn.apply_network_jax(
+            plan.benes_dists, plan.benes_inv, (t_lo, t_hi)
+        )
+    else:
+        _, din_lo, din_hi = jax.lax.sort((plan.key_inv, t_lo, t_hi), num_keys=1)
     return din_lo[:E], din_hi[:E]
 
 

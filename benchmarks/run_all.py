@@ -105,9 +105,11 @@ def main():
         graph_matching(120, 120, seed=0, candidates=6, nr_quadratic=2000)
     )[0]
     bench_instance("graph-matching-120", gm.write_lp(), numpy_iters=5)
-    bench_instance("qap-18 (Fortet-linearized, dense quadratic)",
-                   quadratic_assignment(18, seed=0, density=0.06).write_lp(),
+    time_to_gap("graph-matching-120", gm.write_lp())
+    qap_lp = quadratic_assignment(18, seed=0, density=0.06).write_lp()
+    bench_instance("qap-18 (Fortet-linearized, dense quadratic)", qap_lp,
                    numpy_iters=5)
+    time_to_gap("qap-18", qap_lp)
 
 
 if __name__ == "__main__":
