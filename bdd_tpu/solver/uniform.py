@@ -238,19 +238,6 @@ def build_exchange_plan(
     )
 
 
-def attach_exchange_plan(geom: "UniformGeom") -> "UniformGeom":
-    """Build + attach an ExchangePlan from a geometry's (host-resident)
-    layer arrays. No-op if a plan is already present."""
-    if geom.exchange is not None:
-        return geom
-    ids = np.concatenate([np.asarray(g.layer_var).ravel() for g in geom.buckets])
-    valid = np.concatenate(
-        [np.asarray(g.layer_valid).ravel() for g in geom.buckets]
-    )
-    plan = build_exchange_plan(ids, valid, geom.V)
-    return geom._replace(exchange=plan)
-
-
 class UniformGeom(NamedTuple):
     buckets: Tuple[BucketGeom, ...]
     num_bdds_per_var: jnp.ndarray  # int32 [V]
