@@ -51,6 +51,29 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+MERGE_WORK = 8192  # buckets below this H*B work merge into the next depth
+
+
+def _merge_small_buckets(groups: Dict[Tuple[int, int], List]) -> Dict[Tuple[int, int], List]:
+    """Coalesce small same-width depth groups upward. Fine depth buckets cut
+    hop padding on big homogeneous families, but tiny groups cost more in
+    per-kernel overhead than they save — merge any group with H * members <
+    MERGE_WORK into the next deeper bucket of the same slot width (mirrors
+    native/bdd_host.cpp merge_small_buckets)."""
+    out: Dict[Tuple[int, int], List] = {}
+    for P in sorted({k[0] for k in groups}):
+        hs = sorted(h for (p, h) in groups if p == P)
+        carry: List = []
+        for i, h in enumerate(hs):
+            mem = carry + groups[(P, h)]
+            if i + 1 < len(hs) and len(mem) * h < MERGE_WORK:
+                carry = mem
+            else:
+                out[(P, h)] = mem
+                carry = []
+    return out
+
+
 class BucketGeom(NamedTuple):
     """Static geometry of one (width, depth) bucket. Shapes noted per leaf."""
 
@@ -299,12 +322,17 @@ def flatten_uniform(
             slots.append(s)
             counts[lvl] = s + 1
         width = max(counts.values())
-        key = (_pow2(width), _pow2(depth))
+        # depth rounded to eighth-of-pow2 steps: <=12.5% hop padding with a
+        # bounded number of distinct bucket shapes (pow2 rounding wasted up
+        # to 2x of the sweep + exchange volume)
+        step = max(1, _pow2(depth) // 8)
+        key = (_pow2(width), _pad_to(depth, step))
         info.append((key, b, levels, lvars, slots, depth))
 
     buckets_members: Dict[Tuple[int, int], List] = {}
     for item in info:
         buckets_members.setdefault(item[0], []).append(item)
+    buckets_members = _merge_small_buckets(buckets_members)
 
     # global per-variable counts
     if counts_override is not None:

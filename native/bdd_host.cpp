@@ -843,8 +843,44 @@ struct Context {
             for (size_t i = 0; i < q.level.size(); ++i)
                 slots[i] = cnt[q.level[i]]++;
             int32_t width = *std::max_element(cnt.begin(), cnt.end());
-            groups[{pow2ceil(width), pow2ceil(depth)}].push_back(
+            // depth rounded to eighth-of-pow2 steps: <=12.5% hop padding and
+            // a bounded bucket count (vs pow2 rounding which wasted up to 2x
+            // of the exchange + sweep volume, e.g. depth-9 BDDs in H=16)
+            int32_t step = std::max(1, pow2ceil(depth) / 8);
+            int32_t hkey = ((depth + step - 1) / step) * step;
+            groups[{pow2ceil(width), hkey}].push_back(
                 {b, depth, width, std::move(slots)});
+        }
+        // coalesce small same-width depth groups upward: a group with
+        // H * members below the work threshold costs more in per-kernel
+        // overhead than its padding saves (mirrors uniform._merge_small_buckets)
+        const int64_t MERGE_WORK = 8192;
+        {
+            std::map<std::pair<int32_t, int32_t>, std::vector<Member>> merged;
+            // std::map iterates keys sorted by (P, H) already
+            for (auto it = groups.begin(); it != groups.end();) {
+                int32_t P = it->first.first;
+                std::vector<std::pair<int32_t, std::vector<Member>*>> hs;
+                auto jt = it;
+                for (; jt != groups.end() && jt->first.first == P; ++jt)
+                    hs.push_back({jt->first.second, &jt->second});
+                std::vector<Member> carry;
+                for (size_t i = 0; i < hs.size(); ++i) {
+                    std::vector<Member> mem = std::move(carry);
+                    carry.clear();
+                    mem.insert(mem.end(),
+                               std::make_move_iterator(hs[i].second->begin()),
+                               std::make_move_iterator(hs[i].second->end()));
+                    if (i + 1 < hs.size() &&
+                        (int64_t)mem.size() * hs[i].first < MERGE_WORK) {
+                        carry = std::move(mem);
+                    } else {
+                        merged[{P, hs[i].first}] = std::move(mem);
+                    }
+                }
+                it = jt;
+            }
+            groups = std::move(merged);
         }
         buckets.clear();
         for (auto& [key, members] : groups) {
