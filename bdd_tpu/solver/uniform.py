@@ -836,6 +836,11 @@ def iteration(
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def iterations(geom: UniformGeom, state: UniformState, n: int, omega=0.5) -> UniformState:
+    # NOTE a "lazy exchange" variant (one consensus per iteration, backward
+    # half accumulating into the deferred ledger) was tried to halve the
+    # dominant exchange cost: the bound stays valid but the dynamics stall
+    # far short of the converged dual (grid 8x8x4: -85.97 vs -72.66) — each
+    # half-sweep needs FRESH consensus. Do not revisit without a damping fix.
     def body(s, _):
         return iteration(geom, s, omega), ()
 

@@ -6,8 +6,10 @@ GNN policy with last-round gradients, evaluate on held-out instances against
 plain isotropic MMA at the SAME dual-iteration budget, and against the
 converged bound (plain MMA, 2000 iterations) as reference.
 
-Usage: python benchmarks/train_doge_demo.py [nodes] [epochs]
-Writes the checkpoint to benchmarks/doge_mis.ckpt and prints a results table.
+Usage: python benchmarks/train_doge_demo.py [size] [epochs] [family]
+family: mis (default; size = #nodes) or qap (QAPLib-style Fortet-linearized,
+size = n; mirrors the reference's DOGEv2 QAPLib protocol, DOGE/README.md:40).
+Writes the checkpoint to benchmarks/doge_<family>.ckpt and prints a table.
 """
 import os
 import sys
@@ -20,12 +22,13 @@ import numpy as np
 from bdd_tpu.learn import DogeTrainer, TrainConfig
 from bdd_tpu.learn.train import Instance, dual_metrics
 from bdd_tpu.solver import uniform as uf
-from bdd_tpu.utils.problems import independent_set
+from bdd_tpu.utils.problems import independent_set, quadratic_assignment
 
 
 def main() -> int:
     nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    family = sys.argv[3] if len(sys.argv) > 3 else "mis"
     n_train, n_test = 4, 2
     cfg = TrainConfig(
         dim=32, nr_rounds=4, iters_per_round=15, grad_rounds=1, lr=1e-3,
@@ -36,7 +39,10 @@ def main() -> int:
     t0 = time.time()
     train_inst, test_inst = [], []
     for i in range(n_train + n_test):
-        ilp = independent_set(nodes, edge_prob=0.08, seed=100 + i)
+        if family == "qap":
+            ilp = quadratic_assignment(nodes, seed=100 + i, density=0.08)
+        else:
+            ilp = independent_set(nodes, edge_prob=0.08, seed=100 + i)
         inst = Instance.from_ilp(ilp)
         (train_inst if i < n_train else test_inst).append(inst)
     print(f"# built {n_train}+{n_test} instances ({nodes} nodes) "
@@ -71,11 +77,13 @@ def main() -> int:
               f"{plain_lb:.4f} gap {100*plain_gap:.2f}% | learned {lbs[-1]:.4f} "
               f"gap {100*m['final_gap']:.2f}%", flush=True)
 
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "doge_mis.ckpt")
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"doge_{family}.ckpt"
+    )
     tr.save(ckpt)
     print(f"# checkpoint -> {ckpt}")
     gaps = np.array([[r[3], r[5]] for r in rows])
-    print(f"RESULT nodes={nodes} budget={budget} train_s={train_s:.0f} "
+    print(f"RESULT family={family} size={nodes} budget={budget} train_s={train_s:.0f} "
           f"plain_gap={100*gaps[:,0].mean():.2f}% "
           f"learned_gap={100*gaps[:,1].mean():.2f}% "
           f"ratio={gaps[:,0].mean()/max(gaps[:,1].mean(),1e-12):.1f}x")
