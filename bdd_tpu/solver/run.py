@@ -37,14 +37,26 @@ def run_solver(
     if verbose:
         bdd_log(f"[bdd solver] initial lower bound = {lb_initial:.6f}")
     it = 0
+    # On the remote TPU backend every lower_bound() is a host sync (~0.1-0.5 s
+    # over the tunnel) while an enqueued iteration block is nearly free, so
+    # the loop doubles the number of blocks between termination checks while
+    # the solve is young (the per-iteration criteria below normalize by n).
+    period = 1
     while it < max_iter:
-        n = min(block_size, max_iter - it)
-        if n > 1 and hasattr(s, "iteration_block"):
-            s.iteration_block(n)
+        n = 0
+        if block_size > 1 and hasattr(s, "iteration_block"):
+            for _ in range(period):
+                b = min(block_size, max_iter - it)
+                if b <= 0:
+                    break
+                s.iteration_block(b)
+                n += b
+                it += b
         else:
-            n = 1
             s.iteration()
-        it += n
+            n = 1
+            it += 1
+        period = min(period * 2, 8)
         lb_prev = lb_post
         lb_post = s.lower_bound()
         if lb_first_iter is None:
