@@ -322,6 +322,9 @@ class BddSolver:
 
 def main(argv=None) -> int:
     """CLI: ``python -m bdd_tpu.api config.json`` (ref: bdd_solver_cl.cpp)."""
+    from bdd_tpu.utils.platform import ensure_device
+
+    ensure_device()
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) != 1:
         print("usage: python -m bdd_tpu.api <config.json | problem.lp>")

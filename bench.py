@@ -23,7 +23,10 @@ import numpy as np
 
 def main() -> int:
     import jax
-    import jax.numpy as jnp
+
+    from bdd_tpu.utils.platform import ensure_device
+
+    print(f"# platform: {ensure_device()}", file=sys.stderr)
 
     from bdd_tpu.bdd.preprocessor import BddPreprocessor
     from bdd_tpu.solver import uniform as js_uf

@@ -15,6 +15,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from bdd_tpu.utils.platform import ensure_device
+
+ensure_device()
 import numpy as np
 
 from bdd_tpu.bdd.preprocessor import BddPreprocessor

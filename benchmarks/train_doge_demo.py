@@ -26,6 +26,9 @@ from bdd_tpu.utils.problems import independent_set, quadratic_assignment
 
 
 def main() -> int:
+    from bdd_tpu.utils.platform import ensure_device
+
+    ensure_device()
     nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     family = sys.argv[3] if len(sys.argv) > 3 else "mis"
