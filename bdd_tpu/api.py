@@ -34,7 +34,7 @@ DEFAULT_CONFIG = {
     "normalize constraints": True,
     "precision": "float",  # float|double (float is TPU-native; double matches the reference CPU default)
     "relaxation solver": "uniform mma",
-    "split chunk size": None,  # cap BDD depth (sequence parallelism)
+    "split chunk size": None,  # cap BDD depth (sequence parallelism); int or "auto"
     "termination criteria": {
         "maximum iterations": 1000,
         "improvement slope": 1e-6,

@@ -20,7 +20,7 @@ convert_pb_to_bdd.h:29-34 — same feasible set).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple, Union
 
 from bdd_tpu.bdd.collection import BddCollection
 from bdd_tpu.bdd.lineq import ALWAYS_FALSE, ALWAYS_TRUE, bdd_from_inequality
@@ -35,7 +35,7 @@ class BddPreprocessor:
     def __init__(
         self,
         ilp: ILPInput,
-        split_chunk_size: Optional[int] = None,
+        split_chunk_size: Union[int, str, None] = None,
         add_free_variable_bdds: bool = True,
         coefficient_decomposition_threshold: int = 1 << 20,
     ) -> None:
@@ -110,6 +110,8 @@ class BddPreprocessor:
                 if v not in covered and ilp.objective_coeff(v) != 0.0:
                     self.collection.add_bdd([(v, -1, -1)])  # lo=hi=TOP
 
+        if split_chunk_size == "auto":
+            split_chunk_size = self._auto_split_chunk_size()
         if split_chunk_size is not None:
             self._split_long_bdds(split_chunk_size)
 
@@ -214,6 +216,66 @@ class BddPreprocessor:
             for cv in lst:
                 out.add_linear_constraint([1, -1], [v, cv], Ineq.EQ, 0)
         return out
+
+    def _auto_split_chunk_size(self) -> Optional[int]:
+        """Split-length selection by a TPU cost model (the analog of the
+        reference's GPU occupancy model, bdd_preprocessor.cpp:32-121, which
+        picks the largest chunk keeping avg kernel occupancy >= 0.5).
+
+        On TPU the scan over hops is the serial axis, so the tallest bucket
+        sets the sequential depth: one scan step is worth ~PACK_LAMBDA padded
+        layer slots of vector work (measured; see uniform.PACK_LAMBDA).
+        Splitting a depth-d BDD into chunks of length c removes serial steps
+        but each of the ceil(d/c) - 1 cuts adds the w one-hot auxiliary
+        coupling variables as w extra layers on BOTH adjacent chunks (2*w
+        depth overhead per interior chunk, measured exactly), where w is the
+        frontier width at the cut. For each target height L (power-of-two
+        multiple of PACK_H_CAP, so the chunks stay Pallas-eligible at
+        L = PACK_H_CAP) the chunk length is c = L - 2*w_max; minimize
+        L * PACK_LAMBDA + total coupling slots. Returns None when nothing
+        exceeds PACK_H_CAP (no split — short splits only add coupling
+        overhead, same spirit as the reference's min split length of 200)."""
+        from bdd_tpu.solver.uniform import PACK_H_CAP, PACK_LAMBDA
+
+        depths: List[int] = []
+        mean_widths: List[float] = []
+        max_widths: List[int] = []
+        for b in range(self.collection.nr_bdds()):
+            levels = self.collection.node_levels(b)
+            if not levels:
+                depths.append(0)
+                mean_widths.append(0.0)
+                max_widths.append(0)
+                continue
+            depth = max(levels) + 1
+            counts: Dict[int, int] = {}
+            for lvl in levels:
+                counts[lvl] = counts.get(lvl, 0) + 1
+            depths.append(depth)
+            mean_widths.append(len(levels) / depth)
+            max_widths.append(max(counts.values()))
+        d_max = max(depths, default=0)
+        if d_max <= PACK_H_CAP:
+            return None
+        best: Optional[Tuple[float, Optional[int]]] = (d_max * PACK_LAMBDA, None)
+        L = PACK_H_CAP
+        while L < d_max:
+            w_max = max(
+                (w for d, w in zip(depths, max_widths) if d > L), default=0
+            )
+            chunk = L - 2 * w_max
+            if chunk >= max(L // 2, 2):
+                # 2w layer slots per cut land in the exchange + sweeps
+                cut_slots = sum(
+                    ((d + chunk - 1) // chunk - 1) * 2.0 * w
+                    for d, w in zip(depths, mean_widths)
+                    if d > chunk
+                )
+                cost = L * PACK_LAMBDA + cut_slots
+                if cost < best[0]:
+                    best = (cost, chunk)
+            L *= 2
+        return best[1]
 
     def _split_long_bdds(self, chunk_size: int) -> None:
         assert chunk_size >= 2

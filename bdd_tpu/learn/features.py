@@ -37,10 +37,10 @@ class GraphSpec(NamedTuple):
 
 def graph_spec(host: uf.UniformHost) -> GraphSpec:
     lv, lb, lval = [], [], []
-    for g, cols in zip(host.geom.buckets, host.bdd_of_col):
+    for g, lbdd in zip(host.geom.buckets, host.layer_bdd):
         lv.append(np.asarray(g.layer_var).ravel())
         valid = np.asarray(g.layer_valid)
-        bdd = np.broadcast_to(np.asarray(cols)[None, :], valid.shape).copy()
+        bdd = np.asarray(lbdd).copy()
         bdd[~valid] = host.nr_bdds
         bdd[bdd < 0] = host.nr_bdds
         lb.append(bdd.ravel())
@@ -92,11 +92,13 @@ def compute_features(
     deg_b = seg_b(jnp.ones((E,), lo.dtype))
     obj = jnp.concatenate([objective.astype(lo.dtype), jnp.zeros((1,), lo.dtype)])
 
-    lbs = ln.per_bdd_lower_bound(geom, state)
+    lbs = ln.per_bdd_lower_bound(geom, state)  # per bucket [H, B] root costs
     lb_per_bdd = jnp.zeros((nb + 1,), lo.dtype)
-    for g, cft_lb, cols in zip(geom.buckets, lbs, host.bdd_of_col):
-        ids = jnp.asarray(np.where(np.asarray(cols) < 0, nb, np.asarray(cols)), jnp.int32)
-        lb_per_bdd = lb_per_bdd.at[ids].add(cft_lb)
+    for g, cft_lb, lbdd in zip(geom.buckets, lbs, host.layer_bdd):
+        roots = np.asarray(uf.root_rows(g))
+        ids_np = np.where(roots & (np.asarray(lbdd) >= 0), np.asarray(lbdd), nb)
+        ids = jnp.asarray(ids_np.ravel(), jnp.int32)
+        lb_per_bdd = lb_per_bdd.at[ids].add(cft_lb.ravel())
     lb_per_bdd = lb_per_bdd.at[nb].set(0.0)
 
     c = lambda x: jnp.clip(x, -_CLIP, _CLIP)

@@ -237,8 +237,11 @@ class NativeHost:
         return col
 
 
-    def make_uniform_host(self, dtype=None):
-        """Assemble a solver-ready UniformHost from the native bucket arrays."""
+    def make_uniform_host(self, dtype=None, pack=None):
+        """Assemble a solver-ready UniformHost from the native bucket arrays.
+
+        ``pack``: vertical column packing (uniform.pack_uniform_host);
+        defaults to on for float32 (off for float64 bit-parity runs)."""
         import jax.numpy as jnp
 
         from bdd_tpu.solver import uniform as uf
@@ -252,10 +255,14 @@ class NativeHost:
             np.add.at(counts, a["layer_var"][a["layer_valid"]], 1)
         counts_safe = np.maximum(counts, 1)
         geoms = []
+        layer_bdds = []
         for a in raw:
             alpha = np.zeros(a["layer_var"].shape)
             m = a["layer_valid"]
             alpha[m] = 1.0 / counts_safe[a["layer_var"][m]]
+            lbdd = np.broadcast_to(a["bdd_of_col"][None, :], m.shape).copy()
+            lbdd[~m] = -1
+            layer_bdds.append(lbdd)
             geoms.append(
                 uf.BucketGeom(
                     node_valid=jnp.asarray(a["node_valid"]),
@@ -268,23 +275,22 @@ class NativeHost:
                     alpha=jnp.asarray(alpha, dtype=dtype),
                 )
             )
-        plan = None
-        if raw:
-            plan = uf.build_exchange_plan(
-                np.concatenate([a["layer_var"].ravel() for a in raw]),
-                np.concatenate([a["layer_valid"].ravel() for a in raw]),
-                V,
-            )
         geom = uf.UniformGeom(
             buckets=tuple(geoms),
             num_bdds_per_var=jnp.asarray(counts, dtype=jnp.int32),
-            exchange=plan,
+            exchange=None,
         )
-        return uf.UniformHost(
+        host = uf.UniformHost(
             geom=geom,
             bdd_of_col=tuple(a["bdd_of_col"] for a in raw),
             depths=tuple(a["depths"] for a in raw),
             nr_vars=V,
             nr_primal_vars=V,
             nr_bdds=self.nr_bdds(),
+            layer_bdd=tuple(layer_bdds),
         )
+        if pack is None:
+            pack = dtype == jnp.float32
+        if pack and raw:
+            host = uf.pack_uniform_host(host, dtype=dtype)
+        return uf.attach_exchange_plan(host)

@@ -131,10 +131,11 @@ def distribute_delta_learned(
 def per_bdd_lower_bound(
     geom: uf.UniformGeom, state: uf.UniformState
 ) -> Tuple[jnp.ndarray, ...]:
-    """Per-BDD root costs of the current cft, per bucket [B] (0 at padding)
+    """Per-BDD-root costs of the current cft, per bucket [H, B] (0 away from
+    roots; with column packing a column hosts several roots)
     (ref: ComputeLowerBoundperBDD, bdd_cuda_torch.py:339-401)."""
     return tuple(
-        jnp.where(g.layer_valid[0], cft[0, 0, :], 0.0)
+        jnp.where(uf.root_rows(g), cft[:, 0, :], 0.0)
         for g, cft in zip(geom.buckets, state.cft)
     )
 

@@ -107,17 +107,23 @@ def _forward_kernel(
     din_hi_ref,
     alpha_ref,
     lval_ref,
+    root_ref,
     omega_ref,
     out_lo_ref,
     out_hi_ref,
     out_mm_ref,
     out_cfr_ref,
 ):
-    cfr = [
-        jnp.where(nvalid_ref[0, p] != 0, 0.0, BIG) for p in range(P)
-    ]  # P x [BT]
+    cfr = [jnp.full_like(lo_ref[0], BIG) for _ in range(P)]  # P x [BT]
     for h in range(H):
         nvalid = [nvalid_ref[h, p] != 0 for p in range(P)]
+        # root restart (column packing): exact, since the carry entering a
+        # restart row is all-BIG (the previous BDD's last layer has only
+        # terminal arcs); also provides the hop-0 init (roots sit at slot 0)
+        root = root_ref[h] != 0
+        cfr = [
+            jnp.where(root, 0.0 if p == 0 else BIG, cfr[p]) for p in range(P)
+        ]
         lo_k = [lo_k_ref[h, p] for p in range(P)]
         lo_s = [lo_s_ref[h, p] for p in range(P)]
         hi_k = [hi_k_ref[h, p] for p in range(P)]
@@ -256,11 +262,13 @@ def bucket_forward_iteration_pallas(
         jax.ShapeDtypeStruct((H, B), lo.dtype),
         jax.ShapeDtypeStruct((H, P, B), lo.dtype),
     )
+    from bdd_tpu.solver.uniform import root_rows
+
     new_lo, new_hi, mm, cfr = pl.pallas_call(
         kern,
         grid=(B // BT,),
         in_specs=[node, node, node, node, node, layer, layer, node, layer,
-                  layer, layer, layer, layer],
+                  layer, layer, layer, layer, layer],
         out_specs=(layer, layer, layer, node),
         out_shape=out_shapes,
         interpret=_use_interpret(),
@@ -277,6 +285,7 @@ def bucket_forward_iteration_pallas(
         _prep_costs(din_hi),
         alpha,
         g.layer_valid.astype(jnp.int32),
+        root_rows(g).astype(jnp.int32),
         omega_arr,
     )
     return _clean_inf(new_lo), _clean_inf(new_hi), _clean_inf(mm), _clean_inf(cfr)

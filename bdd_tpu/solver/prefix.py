@@ -41,6 +41,10 @@ _BIG = 1e30
 
 def _transfer_matrices(g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray):
     """Augmented per-hop transfer matrices [H, P+1(p), P+1(k), B]."""
+    # packed columns (uniform.pack_uniform_host) would need a restart at each
+    # segment-start row, but the affine lane P accumulates finished-path
+    # costs across segments — use an unpacked host (flatten_uniform(pack=False))
+    assert g.root_mask is None, "prefix sweeps require an unpacked bucket layout"
     P, B, H = g.P, g.B, g.H
     # k runs over axis 2
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P, 1), 2)

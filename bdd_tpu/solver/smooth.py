@@ -8,7 +8,10 @@ which lower-bounds the hard min and converges to it as T -> 0. Used for
 smoothed lower bounds, sum marginals, soft solutions (sigmoid of marginal
 differences) and the differentiable features of the learned solver.
 
-Temperature ``smoothing`` is a scalar or a per-BDD vector [B] per bucket.
+Temperature ``smoothing`` is a scalar or a per-column vector [B] per bucket.
+With packed columns (uniform.pack_uniform_host) several BDDs share a column,
+so a per-column temperature applies to all of them; per-BDD temperatures
+require an unpacked host (flatten_uniform(pack=False)).
 """
 from __future__ import annotations
 
@@ -24,6 +27,7 @@ from bdd_tpu.solver.uniform import (
     BucketGeom,
     UniformGeom,
     UniformState,
+    root_rows,
 )
 
 INF = jnp.inf
@@ -86,6 +90,7 @@ def bucket_smooth_forward_run(
     P = g.P
     T = jnp.broadcast_to(jnp.asarray(smoothing, lo.dtype), (g.B,))
     cfr0 = jnp.where(g.node_valid[0], 0.0, INF).astype(lo.dtype)
+    packed = g.root_mask is not None
 
     def relax(vals, kind, slot, valid):
         iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
@@ -93,7 +98,14 @@ def bucket_smooth_forward_run(
         return jnp.where(mask, vals[None], INF)  # [P(k), P(p), B]
 
     def step(cfr_row, xs):
-        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row) = xs
+        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row, root_row) = xs
+        if packed:
+            # root restart (column packing): exact — the carry entering a
+            # restart row is all-INF, the previous segment's last layer has
+            # only terminal arcs (see uniform._restart_cfr)
+            iota0 = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) == 0
+            root_init = jnp.where(iota0, 0.0, INF).astype(cfr_row.dtype)
+            cfr_row = jnp.where(root_row[None, :], root_init, cfr_row)
         cand = jnp.concatenate(
             [
                 relax(cfr_row + lo_row[None], lo_k, lo_s, nvalid),
@@ -104,7 +116,8 @@ def bucket_smooth_forward_run(
         nxt = _smin(cand, 1, T[None])
         return nxt, cfr_row
 
-    xs = (g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot, lo, hi)
+    xs = (g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot, lo, hi,
+          root_rows(g))
     _, cfr = jax.lax.scan(step, cfr0, xs)
     return cfr
 
@@ -141,8 +154,9 @@ def smooth_lower_bound(geom: UniformGeom, state: UniformState, smoothing) -> jnp
     lb = jnp.asarray(0.0, dtype=state.lo[0].dtype)
     for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
         cft = bucket_smooth_backward_run(g, lo, hi, smoothing)
-        root = cft[0, 0, :]
-        lb = lb + jnp.sum(jnp.where(g.layer_valid[0], root, 0.0))
+        # one root (slot 0) per segment-start row (packed columns hold
+        # several BDDs stacked vertically)
+        lb = lb + jnp.sum(jnp.where(root_rows(g), cft[:, 0, :], 0.0))
     return lb
 
 

@@ -75,7 +75,14 @@ def _merge_small_buckets(groups: Dict[Tuple[int, int], List]) -> Dict[Tuple[int,
 
 
 class BucketGeom(NamedTuple):
-    """Static geometry of one (width, depth) bucket. Shapes noted per leaf."""
+    """Static geometry of one (width, depth) bucket. Shapes noted per leaf.
+
+    ``root_mask`` (column packing): several BDDs may share one column
+    vertically, each occupying a contiguous row range; True marks rows where
+    a new BDD's root (always slot 0) starts. ``None`` means the classic
+    one-BDD-per-column layout (root at hop 0 only). Restarting is exact
+    because a QBDD's last layer has only terminal arcs — nothing propagates
+    across a segment boundary in either sweep direction."""
 
     node_valid: jnp.ndarray  # bool [H, P, B]
     lo_kind: jnp.ndarray  # int32 [H, P, B]
@@ -85,6 +92,7 @@ class BucketGeom(NamedTuple):
     layer_valid: jnp.ndarray  # bool [H, B]
     layer_var: jnp.ndarray  # int32 [H, B]  (pad -> V sentinel)
     alpha: jnp.ndarray  # [H, B]
+    root_mask: Optional[jnp.ndarray] = None  # bool [H, B]
 
     @property
     def H(self) -> int:
@@ -279,14 +287,20 @@ class UniformState(NamedTuple):
 
 
 class UniformHost(NamedTuple):
-    """Host-side bookkeeping for import/export."""
+    """Host-side bookkeeping for import/export.
+
+    With column packing, one column holds several BDDs stacked vertically;
+    ``bdd_of_col``/``depths`` then describe only the FIRST segment of each
+    column — per-slot exports must use ``layer_bdd`` (always filled by the
+    flatteners; empty only in the sharded representative host)."""
 
     geom: UniformGeom
-    bdd_of_col: Tuple[np.ndarray, ...]  # per bucket [B] original bdd nr (-1 pad)
-    depths: Tuple[np.ndarray, ...]  # per bucket [B]
+    bdd_of_col: Tuple[np.ndarray, ...]  # per bucket [B] first-segment bdd (-1 pad)
+    depths: Tuple[np.ndarray, ...]  # per bucket [B] first-segment depth
     nr_vars: int
     nr_primal_vars: int
     nr_bdds: int
+    layer_bdd: Tuple[np.ndarray, ...] = ()  # per bucket [H, B] bdd nr (-1 pad)
 
 
 def flatten_uniform(
@@ -298,6 +312,7 @@ def flatten_uniform(
     counts_override: Optional[np.ndarray] = None,
     keep_bdds: Optional[Sequence[int]] = None,
     build_plan: bool = True,
+    pack: Optional[bool] = None,
 ) -> UniformHost:
     """Build bucketed uniform arrays from a QBDD collection.
 
@@ -347,8 +362,7 @@ def flatten_uniform(
     bucket_geoms: List[BucketGeom] = []
     bdd_of_cols: List[np.ndarray] = []
     depths_l: List[np.ndarray] = []
-    flat_ids: List[np.ndarray] = []
-    flat_valid: List[np.ndarray] = []
+    layer_bdds: List[np.ndarray] = []
     for key in sorted(buckets_members.keys()):
         members = buckets_members[key]
         P, H = key
@@ -364,6 +378,7 @@ def flatten_uniform(
         layer_var = np.full((H, B), nr_vars, dtype=np.int32)
         bdd_of_col = np.full(B, -1, dtype=np.int64)
         depths = np.zeros(B, dtype=np.int32)
+        layer_bdd = np.full((H, B), -1, dtype=np.int64)
         for col, (_, b, levels, lvars, slots, depth) in enumerate(members):
             bdd_of_col[col] = b
             depths[col] = depth
@@ -371,6 +386,7 @@ def flatten_uniform(
             for h in range(depth):
                 layer_valid[h, col] = True
                 layer_var[h, col] = lvars[h]
+                layer_bdd[h, col] = b
             for i_local, (lvl, slot) in enumerate(zip(levels, slots)):
                 node_valid[lvl, slot, col] = True
                 n_abs = s0 + i_local
@@ -402,26 +418,215 @@ def flatten_uniform(
         )
         bdd_of_cols.append(bdd_of_col)
         depths_l.append(depths)
-        flat_ids.append(layer_var.ravel())
-        flat_valid.append(layer_valid.ravel())
+        layer_bdds.append(layer_bdd)
 
-    plan = None
-    if build_plan and flat_ids:
-        plan = build_exchange_plan(
-            np.concatenate(flat_ids), np.concatenate(flat_valid), nr_vars
-        )
     geom = UniformGeom(
         buckets=tuple(bucket_geoms),
         num_bdds_per_var=jnp.asarray(counts_global, dtype=jnp.int32),
-        exchange=plan,
+        exchange=None,
     )
-    return UniformHost(
+    host = UniformHost(
         geom=geom,
         bdd_of_col=tuple(bdd_of_cols),
         depths=tuple(depths_l),
         nr_vars=nr_vars,
         nr_primal_vars=nr_primal_vars,
         nr_bdds=len(bdd_nrs),
+        layer_bdd=tuple(layer_bdds),
+    )
+    if pack is None:
+        # packing reorders float reductions — keep the f64 path bit-identical
+        # to the oracle, and the sharded path (counts_override) on uniform
+        # global bucket keys
+        pack = dtype == jnp.float32 and counts_override is None
+    if pack:
+        host = pack_uniform_host(host, dtype=dtype)
+    if build_plan:
+        host = attach_exchange_plan(host)
+    return host
+
+
+def attach_exchange_plan(host: UniformHost) -> UniformHost:
+    """(Re)build the static-permutation exchange plan for a host's layout."""
+    geom = host.geom
+    if not geom.buckets:
+        return host
+    plan = build_exchange_plan(
+        np.concatenate([np.asarray(g.layer_var).ravel() for g in geom.buckets]),
+        np.concatenate([np.asarray(g.layer_valid).ravel() for g in geom.buckets]),
+        host.nr_vars,
+    )
+    return host._replace(geom=geom._replace(exchange=plan))
+
+
+# One serial scan step costs ~0.5us on-chip vs ~5ns/slot of exchange+sweep
+# volume (measured, local v5e) -> weight a step at ~100 slot-equivalents.
+# E (the padded slot count) is the dominant term: the per-variable delta
+# exchange is ~95% of iteration time at scale and is linear in E.
+PACK_LAMBDA = 128
+PACK_H_CAP = 256  # Pallas eligibility bound (pallas_uniform.enabled)
+
+
+def _ffd_pack(depths: np.ndarray, cap: int):
+    """Worst-fit-decreasing column packing. Returns (column, row0) per
+    segment (input order) and the number of columns."""
+    import heapq
+
+    order = np.argsort(-depths, kind="stable")
+    col = np.zeros(depths.size, dtype=np.int64)
+    row0 = np.zeros(depths.size, dtype=np.int64)
+    heap: List[Tuple[int, int]] = []  # (fill, column)
+    ncols = 0
+    for i in order:
+        d = int(depths[i])
+        if heap and heap[0][0] + d <= cap:
+            fill, c = heapq.heappop(heap)
+        else:
+            fill, c = 0, ncols
+            ncols += 1
+        col[i] = c
+        row0[i] = fill
+        heapq.heappush(heap, (fill + d, c))
+    return col, row0, ncols
+
+
+def pack_uniform_host(host: UniformHost, dtype=jnp.float32) -> UniformHost:
+    """Vertical column packing: stack several BDDs into one column of one
+    bucket per (width, depth-tier) class, with ``root_mask`` marking segment
+    starts. Cuts the number of buckets (fewer kernel launches / XLA ops), the
+    total serial scan steps, and the padded slot count E (exchange volume).
+    Per width class the column height is chosen by a cost model
+    E_padded + PACK_LAMBDA * height over FFD trials; BDDs deeper than
+    PACK_H_CAP go to a separate (non-Pallas) bucket so the shallow majority
+    keeps the fused kernels."""
+    geom = host.geom
+    assert host.layer_bdd, "pack_uniform_host needs layer_bdd bookkeeping"
+    assert all(g.root_mask is None for g in geom.buckets), "already packed"
+
+    # collect segments per width class
+    classes: Dict[int, List[Tuple[int, int, int, int]]] = {}
+    bufs = []
+    for k, g in enumerate(geom.buckets):
+        bufs.append(
+            dict(
+                node_valid=np.asarray(g.node_valid),
+                lo_kind=np.asarray(g.lo_kind),
+                lo_slot=np.asarray(g.lo_slot),
+                hi_kind=np.asarray(g.hi_kind),
+                hi_slot=np.asarray(g.hi_slot),
+                layer_valid=np.asarray(g.layer_valid),
+                layer_var=np.asarray(g.layer_var),
+                alpha=np.asarray(g.alpha),
+                layer_bdd=np.asarray(host.layer_bdd[k]),
+            )
+        )
+        deps = np.asarray(host.depths[k])
+        cols = np.asarray(host.bdd_of_col[k])
+        for c in np.nonzero(deps > 0)[0]:
+            classes.setdefault(int(g.P), []).append(
+                (int(deps[c]), k, int(c), int(cols[c]))
+            )
+
+    new_buckets: List[BucketGeom] = []
+    new_bdd_of_col: List[np.ndarray] = []
+    new_depths: List[np.ndarray] = []
+    new_layer_bdd: List[np.ndarray] = []
+    for P in sorted(classes):
+        segs = classes[P]
+        tiers = [
+            [s for s in segs if s[0] <= PACK_H_CAP],
+            [s for s in segs if s[0] > PACK_H_CAP],
+        ]
+        for tier in tiers:
+            if not tier:
+                continue
+            deps = np.array([s[0] for s in tier], dtype=np.int64)
+            max_d = int(deps.max())
+            # candidate column heights: multiples of the deepest member
+            # (deeper columns pack tighter but add serial scan latency)
+            cands = sorted(
+                {
+                    min(m * max_d, max(PACK_H_CAP, max_d))
+                    for m in (1, 2, 3, 4)
+                }
+            ) if max_d <= PACK_H_CAP else [max_d]
+            best = None
+            for cap in cands:
+                col, row0, nc = _ffd_pack(deps, cap)
+                H = int((row0 + deps).max())
+                B = _pad_to(nc, 128 if nc >= 128 else 8)
+                cost = H * B + PACK_LAMBDA * H
+                if best is None or cost < best[0]:
+                    best = (cost, col, row0, H, B)
+            _, col, row0, H, B = best
+            node_valid = np.zeros((H, P, B), dtype=bool)
+            lo_kind = np.full((H, P, B), ARC_BOT, dtype=np.int32)
+            lo_slot = np.zeros((H, P, B), dtype=np.int32)
+            hi_kind = np.full((H, P, B), ARC_BOT, dtype=np.int32)
+            hi_slot = np.zeros((H, P, B), dtype=np.int32)
+            layer_valid = np.zeros((H, B), dtype=bool)
+            layer_var = np.full((H, B), host.nr_vars, dtype=np.int32)
+            alpha = np.zeros((H, B))
+            root_mask = np.zeros((H, B), dtype=bool)
+            layer_bdd = np.full((H, B), -1, dtype=np.int64)
+            bdd_of_col = np.full(B, -1, dtype=np.int64)
+            depths_col = np.zeros(B, dtype=np.int32)
+            # vectorized copy, grouped by source bucket
+            by_src: Dict[int, List[int]] = {}
+            for i, (_, k, _, _) in enumerate(tier):
+                by_src.setdefault(k, []).append(i)
+            for k, idxs in by_src.items():
+                d = deps[idxs]
+                sc = np.array([tier[i][2] for i in idxs], dtype=np.int64)
+                bdd = np.array([tier[i][3] for i in idxs], dtype=np.int64)
+                dc = col[idxs]
+                r0 = row0[idxs]
+                h_idx = np.concatenate([np.arange(x) for x in d])
+                src_c = np.repeat(sc, d)
+                dst_r = np.concatenate([r + np.arange(x) for r, x in zip(r0, d)])
+                dst_c = np.repeat(dc, d)
+                src = bufs[k]
+                for dst3, name in (
+                    (node_valid, "node_valid"),
+                    (lo_kind, "lo_kind"),
+                    (lo_slot, "lo_slot"),
+                    (hi_kind, "hi_kind"),
+                    (hi_slot, "hi_slot"),
+                ):
+                    dst3[dst_r, :, dst_c] = src[name][h_idx, :, src_c]
+                for dst2, name in (
+                    (layer_valid, "layer_valid"),
+                    (layer_var, "layer_var"),
+                    (alpha, "alpha"),
+                    (layer_bdd, "layer_bdd"),
+                ):
+                    dst2[dst_r, dst_c] = src[name][h_idx, src_c]
+                root_mask[r0, dc] = True
+                first = r0 == 0
+                bdd_of_col[dc[first]] = bdd[first]
+                depths_col[dc[first]] = d[first]
+            new_buckets.append(
+                BucketGeom(
+                    node_valid=jnp.asarray(node_valid),
+                    lo_kind=jnp.asarray(lo_kind),
+                    lo_slot=jnp.asarray(lo_slot),
+                    hi_kind=jnp.asarray(hi_kind),
+                    hi_slot=jnp.asarray(hi_slot),
+                    layer_valid=jnp.asarray(layer_valid),
+                    layer_var=jnp.asarray(layer_var),
+                    alpha=jnp.asarray(alpha, dtype=dtype),
+                    root_mask=jnp.asarray(root_mask),
+                )
+            )
+            new_bdd_of_col.append(bdd_of_col)
+            new_depths.append(depths_col)
+            new_layer_bdd.append(layer_bdd)
+
+    return host._replace(
+        geom=geom._replace(buckets=tuple(new_buckets), exchange=None),
+        bdd_of_col=tuple(new_bdd_of_col),
+        depths=tuple(new_depths),
+        layer_bdd=tuple(new_layer_bdd),
     )
 
 
@@ -450,6 +655,24 @@ def _backward_all(geom: UniformGeom, lo, hi):
     return tuple(
         bucket_backward_run(g, l, h) for g, l, h in zip(geom.buckets, lo, hi)
     )
+
+
+def root_rows(g: BucketGeom) -> jnp.ndarray:
+    """[H, B] bool: rows where a BDD root (slot 0) sits."""
+    if g.root_mask is not None:
+        return g.root_mask
+    return jnp.concatenate(
+        [g.layer_valid[:1], jnp.zeros_like(g.layer_valid[1:])], axis=0
+    )
+
+
+def _restart_cfr(cfr, root_row, P):
+    """Reset restarted columns' frontier to the root initial condition
+    (0 at slot 0, INF elsewhere). Exact: the carry entering a restart row is
+    all-INF (the previous BDD's last layer has no internal arcs)."""
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) == 0
+    root_init = jnp.where(iota0, 0.0, INF).astype(cfr.dtype)
+    return jnp.where(root_row[None, :], root_init, cfr)
 
 
 # ------------------------------------------------------------ bucket kernels
@@ -514,16 +737,20 @@ def bucket_backward_run(g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.
 def bucket_forward_run(g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     P = g.P
     cfr0 = jnp.where(g.node_valid[0], 0.0, INF).astype(lo.dtype)
+    packed = g.root_mask is not None
 
     def step(cfr_row, xs):
-        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row) = xs
+        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row, root_row) = xs
+        if packed:
+            cfr_row = _restart_cfr(cfr_row, root_row, P)
         nxt = jnp.minimum(
             _relax_next(cfr_row + lo_row[None], lo_k, lo_s, nvalid, P),
             _relax_next(cfr_row + hi_row[None], hi_k, hi_s, nvalid, P),
         )
         return nxt, cfr_row
 
-    xs = (g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot, lo, hi)
+    xs = (g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot, lo, hi,
+          root_rows(g))
     _, cfr = jax.lax.scan(step, cfr0, xs)
     return cfr
 
@@ -581,9 +808,13 @@ def bucket_forward_iteration(
     )
     cfr0 = jnp.where(g.node_valid[0], 0.0, INF).astype(lo.dtype)
     omega_arr = jnp.broadcast_to(jnp.asarray(omega, dtype=lo.dtype), lo.shape)
+    packed = g.root_mask is not None
 
     def step(cfr_row, xs):
-        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row, om, al, dlo, dhi, lval, cftn) = xs
+        (nvalid, lo_k, lo_s, hi_k, hi_s, lo_row, hi_row, om, al, dlo, dhi, lval,
+         cftn, root_row) = xs
+        if packed:
+            cfr_row = _restart_cfr(cfr_row, root_row, P)
         t_lo = _child_cft(lo_k, lo_s, cftn, P)
         t_hi = _child_cft(hi_k, hi_s, cftn, P)
         lo_path = jnp.where(nvalid, cfr_row + lo_row[None] + t_lo, INF)
@@ -600,6 +831,7 @@ def bucket_forward_iteration(
     xs = (
         g.node_valid, g.lo_kind, g.lo_slot, g.hi_kind, g.hi_slot,
         lo, hi, omega_arr, alpha, din_lo, din_hi, g.layer_valid, cft_next,
+        root_rows(g),
     )
     _, (new_lo, new_hi, new_mm, cfr) = jax.lax.scan(step, cfr0, xs)
     return new_lo, new_hi, new_mm, cfr
@@ -851,8 +1083,11 @@ def iterations(geom: UniformGeom, state: UniformState, n: int, omega=0.5) -> Uni
 def lower_bound_from_cft(geom: UniformGeom, cft: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
     lb = jnp.asarray(0.0, dtype=cft[0].dtype)
     for g, c in zip(geom.buckets, cft):
-        root = c[0, 0, :]  # root slot 0, hop 0
-        lb = lb + jnp.sum(jnp.where(g.layer_valid[0], root, 0.0))
+        if g.root_mask is None:
+            root = c[0, 0, :]  # root slot 0, hop 0
+            lb = lb + jnp.sum(jnp.where(g.layer_valid[0], root, 0.0))
+        else:  # packed columns: one root (slot 0) per segment start row
+            lb = lb + jnp.sum(jnp.where(g.root_mask, c[:, 0, :], 0.0))
     return lb
 
 

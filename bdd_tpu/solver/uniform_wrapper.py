@@ -70,13 +70,14 @@ class UniformSolver:
 
     def lower_bound_per_bdd(self) -> np.ndarray:
         out = np.zeros(self.host.nr_bdds)
-        for g, cft, cols in zip(
-            self.geom.buckets, self.state.cft, self.host.bdd_of_col
+        for g, cft, lbdd in zip(
+            self.geom.buckets, self.state.cft, self.host.layer_bdd
         ):
-            root = np.asarray(cft[0, 0, :])
-            for col, b in enumerate(cols):
-                if b >= 0:
-                    out[b] = root[col]
+            roots = np.asarray(uf.root_rows(g))
+            vals = np.asarray(cft[:, 0, :])
+            bdds = np.asarray(lbdd)
+            m = roots & (bdds >= 0)
+            out[bdds[m]] = vals[m]
         return out
 
     # -------------------------------------------------------------- marginals

@@ -10,16 +10,71 @@ either image unchanged.
 from __future__ import annotations
 
 
-def ensure_device() -> str:
-    """Return the active platform name, repairing a broken default backend."""
+def _sanitize_tpu_env() -> None:
+    # The image's TPU auto-detection is flaky: in some processes it sets
+    # TPU_WORKER_HOSTNAMES / TPU_ACCELERATOR_TYPE to a literal
+    # "WARNING: could not determine ..." string, which makes libtpu init fail
+    # and silently demotes benchmarks to CPU. Detection happens lazily at
+    # backend init, so deleting the vars is not enough — pre-set the known
+    # single-chip values (detection respects existing values). Only done on
+    # this image (signature: PALLAS_AXON_TPU_GEN present).
+    import os
+
+    def poisoned(k):
+        v = os.environ.get(k)
+        return v is not None and (" " in v or "WARNING" in v.upper())
+
+    if os.environ.get("PALLAS_AXON_TPU_GEN") == "v5e":
+        for k, v in (
+            ("TPU_ACCELERATOR_TYPE", "v5litepod-4"),
+            ("TPU_WORKER_HOSTNAMES", "localhost"),
+            ("TPU_TOPOLOGY", "1x1"),
+        ):
+            if k not in os.environ or poisoned(k):
+                os.environ[k] = v
+    else:
+        for k in ("TPU_WORKER_HOSTNAMES", "TPU_ACCELERATOR_TYPE"):
+            if poisoned(k):
+                del os.environ[k]
+
+
+def ensure_device(tpu_retries: int = 0, retry_s: float = 10.0) -> str:
+    """Return the active platform name, repairing a broken default backend.
+
+    ``tpu_retries``: when the configured backend fails and a TPU seems to be
+    present, retry TPU init this many times before falling back to CPU — a
+    chip held by a just-killed process frees up within seconds, and a silent
+    CPU fallback would let benchmarks report garbage numbers.
+    """
+    import os
+    import sys
+    import time
+
     import jax
 
+    _sanitize_tpu_env()
     try:
         return jax.devices()[0].platform
     except RuntimeError:
+        pass
+    p = None
+    for attempt in range(max(tpu_retries, 0) + 1):
         jax.config.update("jax_platforms", "tpu,cpu")
         try:
-            return jax.devices()[0].platform
+            p = jax.devices()[0].platform
         except RuntimeError:
-            jax.config.update("jax_platforms", "cpu")
-            return jax.devices()[0].platform
+            p = None
+        if p == "tpu" or attempt == tpu_retries:
+            break
+        print(
+            f"# ensure_device: got {p!r}, retrying TPU init "
+            f"({attempt + 1}/{tpu_retries})",
+            file=sys.stderr,
+        )
+        # jax only re-initializes backends when the config value changes
+        jax.config.update("jax_platforms", "cpu")
+        time.sleep(retry_s)
+    if p is not None:
+        return p
+    jax.config.update("jax_platforms", "cpu")
+    return jax.devices()[0].platform

@@ -26,7 +26,7 @@ def main() -> int:
 
     from bdd_tpu.utils.platform import ensure_device
 
-    print(f"# platform: {ensure_device()}", file=sys.stderr)
+    print(f"# platform: {ensure_device(tpu_retries=8)}", file=sys.stderr)
 
     from bdd_tpu.bdd.preprocessor import BddPreprocessor
     from bdd_tpu.solver import uniform as js_uf

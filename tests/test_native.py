@@ -113,7 +113,8 @@ def test_bucket_shapes_match_python():
     ilp2.normalize()
     pre = BddPreprocessor(ilp2)
     host = uf.flatten_uniform(
-        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables,
+        pack=False,  # compare against the raw (unpacked) native buckets
     )
     py_shapes = sorted(
         (g.H, g.P, int(np.sum(np.asarray(b) >= 0)))

@@ -132,14 +132,15 @@ def test_uniform_bdds_solution_matches_dense():
     sol_ref = ref.bdds_solution()
     # aggregate per (bdd, var): uniform layout
     votes_u = {}
-    for g, s, cols in zip(us.geom.buckets, sols, us.host.bdd_of_col):
+    for g, s, lbdd in zip(us.geom.buckets, sols, us.host.layer_bdd):
         s = np.asarray(s)
         lvar = np.asarray(g.layer_var)
         lval = np.asarray(g.layer_valid)
+        lbdd = np.asarray(lbdd)
         for h in range(g.H):
             for c in range(g.B):
                 if lval[h, c]:
-                    votes_u[(int(cols[c]), int(lvar[h, c]))] = int(s[h, c])
+                    votes_u[(int(lbdd[h, c]), int(lvar[h, c]))] = int(s[h, c])
     votes_r = {}
     valid = flat.valid_layer_mask()
     for li in np.nonzero(valid)[0]:

@@ -43,17 +43,18 @@ def brute_force_smooth_lb(ilp, pre, host, state, T):
     total = 0.0
     # recover per-layer costs by (bdd, var)
     costs = {}
-    for g, lo, hi, cols in zip(
-        host.geom.buckets, state.lo, state.hi, host.bdd_of_col
+    for g, lo, hi, lbdd in zip(
+        host.geom.buckets, state.lo, state.hi, host.layer_bdd
     ):
         lo = np.asarray(lo)
         hi = np.asarray(hi)
         lvar = np.asarray(g.layer_var)
         lval = np.asarray(g.layer_valid)
+        lbdd = np.asarray(lbdd)
         for h in range(g.H):
             for c in range(g.B):
                 if lval[h, c]:
-                    costs[(int(cols[c]), int(lvar[h, c]))] = (lo[h, c], hi[h, c])
+                    costs[(int(lbdd[h, c]), int(lvar[h, c]))] = (lo[h, c], hi[h, c])
     for b in range(col.nr_bdds()):
         support = col.level_variables(b)
         acc = 0.0
@@ -189,3 +190,46 @@ def test_learned_training_step_improves_bound():
     l1 = float(loss_fn(params))
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 <= l0 + 1e-9
+
+
+def test_smooth_packed_matches_unpacked():
+    """Column packing (root-restart masks) must not change smoothed values:
+    lb and per-slot solution probabilities agree with the unpacked layout.
+    set_cover(30, 60) produces heterogeneous depths -> multi-segment columns."""
+    from bdd_tpu.utils.problems import set_cover
+
+    ilp = set_cover(30, 60, seed=3)
+    pre = BddPreprocessor(ilp)
+    args = (pre.collection, pre.total_nr_variables(), pre.nr_primal_variables)
+    hp = uf.flatten_uniform(*args, dtype=jnp.float32, pack=True)
+    hu = uf.flatten_uniform(*args, dtype=jnp.float32, pack=False)
+    assert any(
+        g.root_mask is not None and bool(np.asarray(g.root_mask)[1:].any())
+        for g in hp.geom.buckets
+    ), "fixture must produce multi-segment packed columns"
+    obj = pre.objective_vector()
+    sp = uf.iterations(hp.geom, uf.init_uniform_state(hp, obj), 10, 0.5)
+    su = uf.iterations(hu.geom, uf.init_uniform_state(hu, obj), 10, 0.5)
+    for T in (1.0, 0.1):
+        lbp = float(sm.smooth_lower_bound(hp.geom, sp, T))
+        lbu = float(sm.smooth_lower_bound(hu.geom, su, T))
+        assert lbp == pytest.approx(lbu, rel=1e-5, abs=1e-5)
+    # per-(bdd, var) smoothed solution probabilities
+    def probs(host, state):
+        out = {}
+        for g, lbdd, p in zip(
+            host.geom.buckets, host.layer_bdd,
+            sm.smooth_solution(host.geom, state, 0.5),
+        ):
+            lval = np.asarray(g.layer_valid)
+            lvar = np.asarray(g.layer_var)
+            lb = np.asarray(lbdd)
+            p = np.asarray(p)
+            for h, c in np.argwhere(lval):
+                out[(int(lb[h, c]), int(lvar[h, c]))] = p[h, c]
+        return out
+
+    pp, pu = probs(hp, sp), probs(hu, su)
+    assert pp.keys() == pu.keys()
+    for k in pp:
+        assert pp[k] == pytest.approx(pu[k], abs=1e-4), k

@@ -74,3 +74,40 @@ End"""
     # plain relaxation stuck at the fractional LP value -1.5; the meld is exact
     assert lb1 == pytest.approx(-1.5, abs=1e-4)
     assert lb2 == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_auto_split_chunk_size():
+    """"auto" split length: no split when every BDD is shallower than the
+    Pallas depth cap; deep cardinality chains get split to a power-of-two
+    chunk chosen by the TPU cost model (serial scan steps vs coupling slots)."""
+    from bdd_tpu.ilp.model import ILPInput, Ineq
+    from bdd_tpu.solver.uniform import PACK_H_CAP
+
+    # shallow instance -> auto is a no-op
+    pre = BddPreprocessor(set_cover(12, 14, density=0.3, seed=7),
+                          split_chunk_size="auto")
+    assert pre.nr_aux_variables == 0
+
+    # one cardinality constraint over 600 vars -> depth 600 > PACK_H_CAP
+    ilp = ILPInput()
+    n = 600
+    for i in range(n):
+        ilp.add_new_variable(f"x{i}")
+    ilp.objective_ = [((i * 7919) % 13) - 6.0 for i in range(n)]
+    ilp.add_linear_constraint([1] * n, list(range(n)), Ineq.GEQ, 2)
+    pre = BddPreprocessor(parse_lp_string(ilp.write_lp()),
+                          split_chunk_size="auto")
+    assert pre.nr_aux_variables > 0  # split happened
+    # every chunk stays Pallas-eligible (depth <= PACK_H_CAP incl. the
+    # 2*w coupling-layer overhead the auto model accounts for)
+    for b in range(pre.collection.nr_bdds()):
+        levels = pre.collection.node_levels(b)
+        assert max(levels) + 1 <= PACK_H_CAP
+
+    # the split relaxation still reaches the LP bound of the plain problem
+    # (a single >=2-of-n constraint: LP = ILP = two cheapest costs)
+    lb = solve_uniform(pre, 400)
+    opt = sum(sorted(x for x in ilp.objective_)[:2])
+    opt = min(opt, sum(x for x in ilp.objective_ if x < 0))
+    assert lb <= opt + 1e-6
+    assert lb >= opt - abs(opt) * 0.05 - 1e-6
