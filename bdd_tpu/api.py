@@ -35,6 +35,7 @@ DEFAULT_CONFIG = {
     "precision": "float",  # float|double (float is TPU-native; double matches the reference CPU default)
     "relaxation solver": "uniform mma",
     "split chunk size": None,  # cap BDD depth (sequence parallelism); int or "auto"
+    "split implication": False,  # redundant cross-chunk implication BDD (ref bdd_solver.cpp:108-120)
     "termination criteria": {
         "maximum iterations": 1000,
         "improvement slope": 1e-6,
@@ -123,7 +124,9 @@ class BddSolver:
 
     def transform_to_bdds(self):
         self.pre = BddPreprocessor(
-            self.ilp, split_chunk_size=self.config["split chunk size"]
+            self.ilp,
+            split_chunk_size=self.config["split chunk size"],
+            split_implication_bdd=self.config["split implication"],
         )
         self.flat = flatten_collection(
             self.pre.collection,
@@ -188,16 +191,19 @@ class BddSolver:
 
     # ------------------------------------------------------------------ solve
     def solve_dual(self, verbose: bool = True) -> float:
+        from bdd_tpu.utils.logging import device_trace
+
         t = self.config["termination criteria"]
-        lb = run_solver(
-            self.solver,
-            max_iter=t["maximum iterations"],
-            tolerance=t["minimum improvement"],
-            improvement_slope=t["improvement slope"],
-            time_limit=t["time limit"],
-            verbose=verbose,
-            block_size=getattr(self.solver, "default_block_size", 1),
-        )
+        with device_trace(label="solve_dual"):  # BDD_TPU_TRACE=dir to capture
+            lb = run_solver(
+                self.solver,
+                max_iter=t["maximum iterations"],
+                tolerance=t["minimum improvement"],
+                improvement_slope=t["improvement slope"],
+                time_limit=t["time limit"],
+                verbose=verbose,
+                block_size=getattr(self.solver, "default_block_size", 1),
+            )
         if math.isinf(lb):
             self.infeasible = True
         return lb

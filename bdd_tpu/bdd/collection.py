@@ -395,6 +395,7 @@ class BddCollection:
         chunk_size: int,
         aux_var_start: int,
         out: Optional["BddCollection"] = None,
+        with_implication_bdd: bool = False,
     ) -> Tuple[List[int], int]:
         """Split a long QBDD into depth-<=~chunk_size chunks coupled by one-hot
         auxiliary variables (ref semantics: bdd_collection.cpp:507-780).
@@ -406,6 +407,16 @@ class BddCollection:
         Feasible joint assignments of both chunks therefore correspond exactly
         to paths of the original BDD. Returns (new bdd numbers, next free aux
         variable index).
+
+        ``with_implication_bdd`` (ref: bdd_collection.cpp:806-935) additionally
+        appends ONE redundant BDD over the auxiliary variables that encodes the
+        reachability structure between cut frontiers (exactly-one per cut plus,
+        for every pair of cuts and every frontier node, "this node's aux var
+        implies some aux var of a frontier node connected to it by a directed
+        path" — both directions). It is implied by the chunk conjunction but
+        propagates dual information across chunks faster. Omitted when every
+        such implication is trivial (all nodes mutually reachable) or when
+        there are fewer than two cuts.
         """
         if out is None:
             out = self
@@ -423,6 +434,8 @@ class BddCollection:
         new_bdds: List[int] = []
         next_aux = aux_var_start
         cut_starts = list(range(0, d, chunk_size))
+        # per cut: (boundary level, frontier node list, node -> aux var)
+        cuts: List[Tuple[int, List[int], Dict[int, int]]] = []
         entry_aux: Optional[Dict[int, int]] = None  # frontier node -> aux var
         for ci, p0 in enumerate(cut_starts):
             p1 = min(p0 + chunk_size, d)
@@ -431,6 +444,7 @@ class BddCollection:
             if frontier_next:
                 exit_aux = {n: next_aux + k for k, n in enumerate(frontier_next)}
                 next_aux += len(frontier_next)
+                cuts.append((p1, frontier_next, exit_aux))
 
             nodes: List[Tuple[int, int, int]] = []
 
@@ -482,7 +496,81 @@ class BddCollection:
                 root_id = cur
             new_bdds.append(out.add_bdd(_topo_sort(nodes, root_id)))
             entry_aux = exit_aux
+        if with_implication_bdd and len(cuts) >= 2:
+            impl = self._implication_bdd(local, by_pos, d, cuts, out)
+            if impl is not None:
+                new_bdds.append(impl)
         return new_bdds, next_aux
+
+    def _implication_bdd(
+        self,
+        local: List[Tuple[int, int, int]],
+        by_pos: List[List[int]],
+        d: int,
+        cuts: List[Tuple[int, List[int], Dict[int, int]]],
+        out: "BddCollection",
+    ) -> Optional[int]:
+        """Build the redundant cross-chunk implication BDD for split_qbdd
+        (ref: bdd_collection.cpp:806-935). The reference materialises the full
+        transitive closure of the BDD DAG; here one forward bitmask sweep per
+        cut yields the frontier-to-frontier reachability matrices, which give
+        both the forward clauses (rows) and the reverse clauses (columns).
+        Returns the appended BDD number, or None when every clause is trivial.
+        """
+        from bdd_tpu.bdd.manager import BddMgr
+
+        mgr = BddMgr()
+        clauses: List[int] = []
+        for _, frontier, aux in cuts:
+            clauses.append(mgr.simplex(sorted(aux.values())))
+        nontrivial = 0
+        for i, (p_i, f_i, aux_i) in enumerate(cuts):
+            # reach[n] = bitmask over positions of f_i that reach node n
+            reach: Dict[int, int] = {n: 1 << k for k, n in enumerate(f_i)}
+            w_i = len(f_i)
+            full_i = (1 << w_i) - 1
+            for p in range(p_i, d - 1):
+                for n in by_pos[p]:
+                    m = reach.get(n)
+                    if not m:
+                        continue
+                    _, lo, hi = local[n]
+                    if not is_terminal(lo):
+                        reach[lo] = reach.get(lo, 0) | m
+                    if not is_terminal(hi):
+                        reach[hi] = reach.get(hi, 0) | m
+            for p_j, f_j, aux_j in cuts[i + 1 :]:
+                masks = [reach.get(n2, 0) for n2 in f_j]
+                # forward: aux(n1) -> OR of aux(n2) reachable from n1
+                for k, n1 in enumerate(f_i):
+                    r = [n2 for n2, m in zip(f_j, masks) if (m >> k) & 1]
+                    if len(r) == len(f_j):
+                        continue
+                    nontrivial += 1
+                    cl = mgr.neg_projection(aux_i[n1])
+                    for n2 in r:
+                        cl = mgr.or_(cl, mgr.projection(aux_j[n2]))
+                    clauses.append(cl)
+                # reverse: aux(n2) -> OR of aux(n1) that reach n2
+                for n2, m in zip(f_j, masks):
+                    if m == full_i:
+                        continue
+                    nontrivial += 1
+                    cl = mgr.neg_projection(aux_j[n2])
+                    for k, n1 in enumerate(f_i):
+                        if (m >> k) & 1:
+                            cl = mgr.or_(cl, mgr.projection(aux_i[n1]))
+                    clauses.append(cl)
+        if nontrivial == 0:
+            return None
+        f = mgr.multi_and(clauses)
+        # build + qbdd-normalise in a scratch collection so no intermediate
+        # BDD leaks into `out` (the solver flattens every BDD it holds)
+        scratch = BddCollection()
+        nr = mgr.add_to_collection(f, scratch)
+        if not scratch.is_qbdd(nr):
+            nr = scratch.make_qbdd(nr)
+        return out.add_bdd(scratch.local_nodes(nr))
 
     def export_graphviz(self, bdd_nr: int) -> str:
         """DOT export (ref: bdd_collection graphviz export)."""

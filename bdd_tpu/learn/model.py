@@ -61,13 +61,26 @@ class MessagePassingLayer(nn.Module):
 
 class DogePredictor(nn.Module):
     """Predicts (alpha logits, omega logits) per layer
-    (ref: DOGEPredictor.forward, model.py:262-401)."""
+    (ref: DOGEPredictor.forward, model.py:262-401).
+
+    ``use_lstm_var`` mirrors the reference's per-variable LSTM over dual
+    rounds (model.py:244-247, 278-282): an LSTMCell consumes the round's
+    learned variable features with hidden state carried ACROSS rounds by the
+    caller, and the new hidden state is concatenated into the prediction-head
+    variable features. Pass ``lstm_state=(c, h)`` (arrays [nr_vars+1, dim]);
+    the call then returns ``(alpha_logits, omega_logits, new_lstm_state)``.
+    """
 
     dim: int = 32
     nr_rounds: int = 2
+    use_lstm_var: bool = False
+
+    def zero_lstm_state(self, nr_vars: int, dtype=jnp.float32):
+        z = jnp.zeros((nr_vars + 1, self.dim), dtype)
+        return (z, z)
 
     @nn.compact
-    def __call__(self, spec: GraphSpec, var_f, bdd_f, edge_f):
+    def __call__(self, spec: GraphSpec, var_f, bdd_f, edge_f, lstm_state=None):
         var_e = nn.relu(nn.Dense(self.dim)(var_f))
         bdd_e = nn.relu(nn.Dense(self.dim)(bdd_f))
         edge_e = nn.relu(nn.Dense(self.dim)(edge_f))
@@ -75,10 +88,20 @@ class DogePredictor(nn.Module):
             var_e, bdd_e, edge_e = MessagePassingLayer(self.dim)(
                 spec, var_e, bdd_e, edge_e
             )
+        var_head = var_e
+        new_lstm_state = None
+        if self.use_lstm_var:
+            assert lstm_state is not None, "use_lstm_var needs a carried state"
+            new_lstm_state, h = nn.OptimizedLSTMCell(features=self.dim)(
+                lstm_state, var_e
+            )
+            var_head = jnp.concatenate([var_e, h], axis=-1)
         head_in = jnp.concatenate(
-            [edge_e, var_e[spec.layer_var], bdd_e[spec.layer_bdd]], axis=-1
+            [edge_e, var_head[spec.layer_var], bdd_e[spec.layer_bdd]], axis=-1
         )
         out = MLP([self.dim, 2])(head_in)
         alpha_logits = out[:, 0]
         omega_logits = out[:, 1]
+        if self.use_lstm_var:
+            return alpha_logits, omega_logits, new_lstm_state
         return alpha_logits, omega_logits

@@ -37,6 +37,7 @@ class TrainConfig:
     epochs: int = 5
     smoothing: float = 1.0
     seed: int = 0
+    use_lstm_var: bool = False  # per-variable LSTM over rounds (ref model.py:244-247)
 
 
 class Instance:
@@ -64,6 +65,24 @@ class Instance:
         obj = pre.objective_vector()
         return cls(host, obj, dtype=dtype)
 
+    @classmethod
+    def from_ilps(cls, ilps, dtype=jnp.float32):
+        """Batch several ILPs into ONE training instance (the reference
+        concatenates layer ranges of several pickled solvers per batch,
+        bdd_cuda_torch.py:102-133; here the batching is structural: disjoint
+        variable spaces in one collection, so the GNN message passing and the
+        delta exchange never mix instances and the loss is the sum of the
+        per-instance dual losses)."""
+        from bdd_tpu.utils.batching import BatchedInstances
+
+        for ilp in ilps:
+            ilp.normalize()
+        bi = BatchedInstances(ilps)
+        host = uf.flatten_uniform(
+            bi.collection, bi.nr_vars, bi.nr_vars, dtype=dtype
+        )
+        return cls(host, bi.objective, dtype=dtype)
+
 
 class ReplayBuffer:
     """Stores per-instance solver states keyed by round so later epochs can
@@ -89,30 +108,44 @@ class ReplayBuffer:
 class DogeTrainer:
     def __init__(self, config: TrainConfig = TrainConfig()):
         self.cfg = config
-        self.model = DogePredictor(dim=config.dim)
+        self.model = DogePredictor(
+            dim=config.dim, use_lstm_var=config.use_lstm_var
+        )
         self.params = None
         self.opt = optax.adam(config.lr)
         self.opt_state = None
 
     # ----------------------------------------------------------------- setup
+    def _zero_lstm(self, instance: Instance):
+        if not self.cfg.use_lstm_var:
+            return None
+        return self.model.zero_lstm_state(instance.spec.nr_vars)
+
     def init(self, instance: Instance) -> None:
         rng = jax.random.PRNGKey(self.cfg.seed)
         var_f, bdd_f, edge_f = ft.compute_features(
             instance.host, instance.spec, instance.state0, instance.objective,
             self.cfg.smoothing,
         )
-        self.params = self.model.init(rng, instance.spec, var_f, bdd_f, edge_f)
+        self.params = self.model.init(
+            rng, instance.spec, var_f, bdd_f, edge_f,
+            lstm_state=self._zero_lstm(instance),
+        )
         self.opt_state = self.opt.init(self.params)
 
     # ------------------------------------------------------------- internals
-    def _predict(self, params, instance: Instance, state):
+    def _predict(self, params, instance: Instance, state, lstm=None):
         var_f, bdd_f, edge_f = ft.compute_features(
             instance.host, instance.spec, state, instance.objective,
             self.cfg.smoothing,
         )
-        a_logits, o_logits = self.model.apply(
-            params, instance.spec, var_f, bdd_f, edge_f
+        out = self.model.apply(
+            params, instance.spec, var_f, bdd_f, edge_f, lstm_state=lstm
         )
+        if self.cfg.use_lstm_var:
+            a_logits, o_logits, lstm = out
+        else:
+            a_logits, o_logits = out
         raw = ft.split_like(instance.host, jnp.exp(jnp.clip(a_logits, -10, 10)))
         alphas = ln.normalize_alpha(
             instance.host.geom,
@@ -125,17 +158,17 @@ class DogeTrainer:
             jax.nn.sigmoid(o)
             for o in ft.split_like(instance.host, o_logits)
         )
-        return alphas, omegas
+        return alphas, omegas, lstm
 
-    def _round_loss(self, params, instance: Instance, state):
-        alphas, omegas = self._predict(params, instance, state)
+    def _round_loss(self, params, instance: Instance, state, lstm=None):
+        alphas, omegas, lstm = self._predict(params, instance, state, lstm)
         loss = ln.dual_loss(
             instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
         )
         new_state = ln.learned_iterations(
             instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
         )
-        return loss, new_state
+        return loss, new_state, lstm
 
     # ---------------------------------------------------------------- training
     def _get_jitted(self, instance: Instance):
@@ -150,18 +183,20 @@ class DogeTrainer:
             return cached[key]
         cfg = self.cfg
 
-        def step(params, opt_state, state0):
-            state = state0
+        def step(params, opt_state, state0, lstm0):
+            state, lstm = state0, lstm0
             for _ in range(cfg.nr_rounds - cfg.grad_rounds):
-                _, state = self._round_loss(params, instance, state)
+                _, state, lstm = self._round_loss(params, instance, state, lstm)
             state = jax.lax.stop_gradient(state)
+            if lstm is not None:
+                lstm = jax.lax.stop_gradient(lstm)
 
             def loss_fn(p):
-                s = state
+                s, l = state, lstm
                 total = 0.0
                 for _ in range(cfg.grad_rounds):
-                    l, s = self._round_loss(p, instance, s)
-                    total = total + l
+                    loss, s, l = self._round_loss(p, instance, s, l)
+                    total = total + loss
                 return total
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -169,13 +204,13 @@ class DogeTrainer:
             params = optax.apply_updates(params, updates)
             return loss, params, opt_state
 
-        def rollout_round(params, state):
-            alphas, omegas = self._predict(params, instance, state)
+        def rollout_round(params, state, lstm):
+            alphas, omegas, lstm = self._predict(params, instance, state, lstm)
             state = ln.learned_iterations(
                 instance.host.geom, state, alphas, omegas, cfg.iters_per_round
             )
             lb = uf.lower_bound_with_deferred(instance.host.geom, state)
-            return state, lb
+            return state, lb, lstm
 
         fns = (jax.jit(step), jax.jit(rollout_round))
         cached[key] = fns
@@ -185,7 +220,8 @@ class DogeTrainer:
         """One epoch on one instance: advance rounds, backprop last rounds."""
         step, _ = self._get_jitted(instance)
         loss, self.params, self.opt_state = step(
-            self.params, self.opt_state, instance.state0
+            self.params, self.opt_state, instance.state0,
+            self._zero_lstm(instance),
         )
         return {"loss": float(loss)}
 
@@ -196,9 +232,10 @@ class DogeTrainer:
         each round (DualMetrics per-round lb, ref: DOGE/metrics/dual_metrics.py)."""
         _, rollout = self._get_jitted(instance)
         state = instance.state0
+        lstm = self._zero_lstm(instance)
         lbs = []
         for _ in range(nr_rounds or self.cfg.nr_rounds):
-            state, lb = rollout(self.params, state)
+            state, lb, lstm = rollout(self.params, state, lstm)
             lbs.append(float(lb))
         return lbs
 
@@ -221,7 +258,9 @@ class DogeTrainer:
         with open(path, "rb") as fh:
             blob = pickle.load(fh)
         self.cfg = TrainConfig(**blob["config"])
-        self.model = DogePredictor(dim=self.cfg.dim)
+        self.model = DogePredictor(
+            dim=self.cfg.dim, use_lstm_var=self.cfg.use_lstm_var
+        )
         self.init(example_instance)
         self.params = serialization.from_bytes(self.params, blob["params"])
 

@@ -900,6 +900,18 @@ def compute_delta(
 
 USE_PERM_EXCHANGE = os.environ.get("BDD_TPU_PERM_EXCHANGE", "1") != "0"
 
+# POLICY: float64 configs keep the segment-sum exchange by default so every
+# f64 run stays bit-identical to the numpy oracle (the f64 path is the
+# correctness anchor of the whole test suite; the permutation exchange
+# reassociates the per-variable sums). Opt in to the faster permutation
+# exchange for f64 production runs where bit-parity with the oracle is not
+# required:
+_PERM_EXCHANGE_F64 = os.environ.get("BDD_TPU_PERM_EXCHANGE_F64", "0") == "1"
+
+
+def _perm_exchange_ok(dtype) -> bool:
+    return dtype == jnp.float32 or (_PERM_EXCHANGE_F64 and dtype == jnp.float64)
+
 # Benes routing (solver/benes.py) is a measured DEAD END on current XLA-TPU:
 # correct, 10x fewer passes than the bitonic sort in theory, but the
 # small-distance stages lower to sub-lane shuffles that run ~30x SLOWER than
@@ -987,7 +999,7 @@ def exchange_delta(
     if (
         USE_PERM_EXCHANGE
         and geom.exchange is not None
-        and mm_flat.dtype == jnp.float32
+        and _perm_exchange_ok(mm_flat.dtype)
     ):
         din_lo_f, din_hi_f = _exchange_perm(geom.exchange, mm_flat, delta_reduce)
         out_lo, out_hi = [], []
@@ -1081,14 +1093,24 @@ def iterations(geom: UniformGeom, state: UniformState, n: int, omega=0.5) -> Uni
 
 
 def lower_bound_from_cft(geom: UniformGeom, cft: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
-    lb = jnp.asarray(0.0, dtype=cft[0].dtype)
+    """Sum of per-BDD root costs. Selective precision: when x64 is enabled
+    the accumulation runs in float64 even for f32 solvers (one tiny reduction
+    per termination check while the sweeps stay f32); without x64 XLA's tree
+    reduction already keeps the f32 error at ~eps*log2(B). Cast back to the
+    state dtype either way."""
+    acc_t = jnp.float64 if jax.config.jax_enable_x64 else cft[0].dtype
+    lb = jnp.asarray(0.0, dtype=acc_t)
     for g, c in zip(geom.buckets, cft):
         if g.root_mask is None:
             root = c[0, 0, :]  # root slot 0, hop 0
-            lb = lb + jnp.sum(jnp.where(g.layer_valid[0], root, 0.0))
+            lb = lb + jnp.sum(
+                jnp.where(g.layer_valid[0], root, 0.0), dtype=acc_t
+            )
         else:  # packed columns: one root (slot 0) per segment start row
-            lb = lb + jnp.sum(jnp.where(g.root_mask, c[:, 0, :], 0.0))
-    return lb
+            lb = lb + jnp.sum(
+                jnp.where(g.root_mask, c[:, 0, :], 0.0), dtype=acc_t
+            )
+    return lb.astype(cft[0].dtype)
 
 
 def distribute_delta(geom: UniformGeom, state: UniformState, delta_reduce=None) -> UniformState:

@@ -4,6 +4,12 @@ Mirrors the reference's joint console/file stream (include/bdd_logging.h:8-33)
 and the cumulative per-function timing report of
 MEASURE_CUMULATIVE_FUNCTION_EXECUTION_TIME (include/time_measure_util.h:24-71):
 timers accumulate per label and can be dumped at exit / on demand.
+
+Device-level profiling: set BDD_TPU_TRACE=/path/to/dir (or call
+``device_trace``) to capture a jax.profiler trace (viewable in
+TensorBoard/Perfetto) around the solve — the TPU-native analogue of the
+reference's cudaDeviceSynchronize-bracketed kernel timing in debug builds
+(bdd_cuda_parallel_mma.cu:130-132).
 """
 from __future__ import annotations
 
@@ -55,6 +61,26 @@ def scoped_timer(label: str, log: bool = False):
         _counts[label] += 1
         if log:
             bdd_log(f"[timer] {label}: {dt:.3f} s")
+
+
+@contextlib.contextmanager
+def device_trace(trace_dir: Optional[str] = None, label: str = "solve"):
+    """Capture a jax.profiler trace of the enclosed block. ``trace_dir``
+    defaults to $BDD_TPU_TRACE; a no-op (plus a scoped_timer) when unset."""
+    import os
+
+    trace_dir = trace_dir or os.environ.get("BDD_TPU_TRACE")
+    if not trace_dir:
+        with scoped_timer(label):
+            yield
+        return
+    import jax
+
+    bdd_log(f"[trace] capturing jax.profiler trace of '{label}' to {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        with jax.profiler.TraceAnnotation(label):
+            with scoped_timer(label):
+                yield
 
 
 def timing_report() -> str:

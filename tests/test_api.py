@@ -57,3 +57,20 @@ def test_variable_reordering_invariance():
         s.construct_solver()
         lbs.append(s.solve_dual(verbose=False))
     assert max(lbs) - min(lbs) < 1e-4
+
+
+def test_device_trace_captures_profile(tmp_path):
+    """BDD_TPU_TRACE / device_trace wraps a block in a jax.profiler trace
+    (SURVEY §5 tracing parity: the reference brackets kernels with
+    cudaDeviceSynchronize timing in debug builds)."""
+    import jax.numpy as jnp
+
+    from bdd_tpu.utils.logging import device_trace
+
+    with device_trace(str(tmp_path), label="unit"):
+        float(jnp.arange(8.0).sum())
+    produced = list(tmp_path.rglob("*"))
+    assert any(p.is_file() for p in produced), produced
+    # unset dir -> plain timer, no error
+    with device_trace(None, label="unit2"):
+        pass

@@ -219,3 +219,69 @@ End"""
     pre = BddPreprocessor(ilp)
     assert pre.nr_primal_variables == 3  # x, y, prod
     assert pre.collection.nr_bdds() >= 3
+
+
+def test_split_qbdd_implication_bdd():
+    """with_implication_bdd appends one redundant BDD over the aux variables
+    (ref: bdd_collection.cpp:806-935): it must not cut any joint chunk
+    solution, and for a cardinality constraint it must encode non-trivial
+    frontier reachability (reject some exactly-one aux assignment that the
+    per-cut simplexes alone would allow)."""
+    n = 8
+    c = Constraint(coefficients=[1] * n, monomials=[(i,) for i in range(n)],
+                   ineq=Ineq.EQ, rhs=2)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    q = col.make_qbdd(b)
+    support = col.variables(q)
+    chunks, _ = col.split_qbdd(q, 3, 100)
+    with_impl, _ = col.split_qbdd(q, 3, 100, with_implication_bdd=True)
+    assert len(with_impl) == len(chunks) + 1  # implication BDD was appended
+    impl = with_impl[-1]
+    body = with_impl[:-1]
+
+    aux_vars = sorted(
+        set(v for ch in with_impl for v in col.variables(ch)) - set(support)
+    )
+    assert set(col.variables(impl)) <= set(aux_vars)
+    width = max(aux_vars + support) + 1
+    all_vars = support + aux_vars
+    orig = {tuple(s[v] for v in support) for s in col.solutions(q)}
+    joint, impl_rejects_onehot = set(), False
+    for bits in range(2 ** len(all_vars)):
+        full = [0] * width
+        for i, v in enumerate(all_vars):
+            full[v] = (bits >> i) & 1
+        if all(col.evaluate(ch, full) for ch in body):
+            # implied: every joint chunk solution satisfies the implication BDD
+            assert col.evaluate(impl, full)
+            joint.add(tuple(full[v] for v in support))
+        elif not col.evaluate(impl, full):
+            impl_rejects_onehot = True
+    assert joint == orig
+    assert impl_rejects_onehot
+
+
+def test_split_implication_end_to_end():
+    """Solving with the implication BDD keeps a valid lower bound and does not
+    worsen it (the extra BDD is implied, so the relaxation only tightens)."""
+    from bdd_tpu.api import BddSolver
+
+    from bdd_tpu.utils.problems import set_cover
+
+    ilp = set_cover(8, 16, seed=3)
+    lp_text = ilp.write_lp()
+    lbs = {}
+    for impl in (False, True):
+        s = BddSolver(
+            config={
+                "split chunk size": 4,
+                "split implication": impl,
+                "termination criteria": {"maximum iterations": 300},
+            }
+        )
+        s.read_ilp(lp_string=lp_text)
+        s.transform_to_bdds()
+        s.construct_solver()
+        lbs[impl] = s.solve_dual(verbose=False)
+    assert lbs[True] >= lbs[False] - 1e-3

@@ -91,3 +91,61 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_dual_metrics():
     m = dual_metrics([-10.0, -8.0, -7.5], reference_lb=-7.0)
     assert m["final_gap"] == pytest.approx(0.5 / 7.0)
+
+
+def test_batched_training_instance():
+    """Several ILPs batched into one Instance (ref batches solvers by layer
+    ranges): training runs, and the batched dual loss at init equals the sum
+    of the single-instance losses (disjoint variable spaces never mix)."""
+    from bdd_tpu.solver import learned as ln
+
+    ilps = [independent_set(12, 0.3, seed=s) for s in (0, 1)]
+    singles = [Instance.from_ilp(parse_lp_string(i.write_lp())) for i in ilps]
+    batched = Instance.from_ilps([parse_lp_string(i.write_lp()) for i in ilps])
+
+    def init_lb(inst):
+        return float(
+            uf.lower_bound_with_deferred(inst.host.geom, inst.state0)
+        )
+
+    assert init_lb(batched) == pytest.approx(
+        sum(init_lb(s) for s in singles), abs=1e-4
+    )
+    tr = DogeTrainer(TrainConfig(dim=16, nr_rounds=2, iters_per_round=2, epochs=1))
+    tr.init(batched)
+    metrics = tr.train_step(batched)
+    assert np.isfinite(metrics["loss"])
+    lbs = tr.run_learned_rounds(batched)
+    assert all(np.isfinite(l) for l in lbs)
+    for a, b in zip(lbs, lbs[1:]):
+        assert b >= a - 1e-4
+
+
+def test_lstm_var_hidden_state_over_rounds():
+    """use_lstm_var (ref DOGE model.py:244-247, 278-282): a per-variable LSTM
+    cell whose hidden state is carried across dual rounds and concatenated
+    into the prediction head. Training and rollout must run, and the carried
+    state must actually change the per-round predictions (round 2 differs
+    from a fresh-state round 2)."""
+    import jax.numpy as jnp
+
+    inst = Instance.from_ilp(parse_lp_string(independent_set(12, 0.3, seed=2).write_lp()))
+    tr = DogeTrainer(TrainConfig(
+        dim=16, nr_rounds=3, iters_per_round=2, epochs=1, use_lstm_var=True
+    ))
+    tr.init(inst)
+    assert np.isfinite(tr.train_step(inst)["loss"])
+    lbs = tr.run_learned_rounds(inst)
+    assert all(np.isfinite(l) for l in lbs)
+    for a, b in zip(lbs, lbs[1:]):
+        assert b >= a - 1e-4
+
+    # the hidden state evolves and feeds back into the policy
+    lstm0 = tr._zero_lstm(inst)
+    a0, o0, lstm1 = tr._predict(tr.params, inst, inst.state0, lstm0)
+    assert float(jnp.abs(lstm1[1]).max()) > 0.0
+    a1, o1, _ = tr._predict(tr.params, inst, inst.state0, lstm1)
+    diff = max(
+        float(jnp.abs(x - y).max()) for x, y in zip(o0, o1)
+    )
+    assert diff > 0.0

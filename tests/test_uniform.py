@@ -205,3 +205,29 @@ def test_perm_exchange_matches_segment_exchange():
         lb_a = float(uf.lower_bound_with_deferred(host_a.geom, st_a))
         lb_b = float(uf.lower_bound_with_deferred(host_b.geom, st_b))
         assert lb_b == pytest.approx(lb_a, abs=1e-4)
+
+
+def test_perm_exchange_f64_opt_in(monkeypatch):
+    """BDD_TPU_PERM_EXCHANGE_F64 routes float64 through the permutation
+    exchange; bounds agree with the default (bit-parity) segment path to
+    reassociation-level tolerance."""
+    from bdd_tpu.bdd import BddPreprocessor
+    from bdd_tpu.utils.problems import set_cover
+
+    ilp = set_cover(20, 40, seed=5)
+    pre = BddPreprocessor(ilp)
+    host = uf.flatten_uniform(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables,
+        dtype=jnp.float64,
+    )
+    state0 = uf.init_uniform_state(host, pre.objective_vector(), dtype=jnp.float64)
+    out_seg = uf.iterations(host.geom, state0, 30, 0.5)
+    lb_seg = float(uf.lower_bound_with_deferred(host.geom, out_seg))
+    monkeypatch.setattr(uf, "_PERM_EXCHANGE_F64", True)
+    uf.iterations._clear_cache()
+    try:
+        out_perm = uf.iterations(host.geom, state0, 30, 0.5)
+        lb_perm = float(uf.lower_bound_with_deferred(host.geom, out_perm))
+    finally:
+        uf.iterations._clear_cache()
+    assert lb_perm == pytest.approx(lb_seg, rel=1e-12, abs=1e-10)
