@@ -32,7 +32,14 @@ BIG = 1e30  # stand-in for +inf inside kernels (inf arithmetic is avoided)
 
 def _use_interpret() -> bool:
     # real Mosaic compilation on TPU-like backends (incl. the remote axon
-    # plugin); interpreter elsewhere (CPU tests)
+    # plugin); interpreter elsewhere (CPU tests). BDD_TPU_PALLAS_INTERPRET
+    # forces the interpreter regardless of the default backend — needed when
+    # the computation targets CPU devices of a multi-platform process whose
+    # default backend is a TPU (e.g. the driver's virtual-mesh dryrun).
+    import os
+
+    if os.environ.get("BDD_TPU_PALLAS_INTERPRET"):
+        return True
     return jax.default_backend() in ("cpu",)
 
 
