@@ -490,7 +490,48 @@ def _ffd_pack(depths: np.ndarray, cap: int):
     return col, row0, ncols
 
 
-def pack_uniform_host(host: UniformHost, dtype=jnp.float32) -> UniformHost:
+def choose_pack_caps(
+    depths_by_class: Dict[int, np.ndarray]
+) -> Dict[Tuple[int, int], int]:
+    """Pick the packed-column height per (width class P, depth tier) with the
+    same cost model as :func:`pack_uniform_host`, but from a POOLED multiset
+    of segment depths. The sharded backend pools the depths of ALL shards and
+    passes the result back via ``caps`` so every shard packs with identical
+    column heights (required for the per-shard buckets to stack on the device
+    axis of the mesh)."""
+    caps: Dict[Tuple[int, int], int] = {}
+    for P, deps_all in depths_by_class.items():
+        deps_all = np.asarray(deps_all, dtype=np.int64)
+        for ti, sel in enumerate(
+            (deps_all <= PACK_H_CAP, deps_all > PACK_H_CAP)
+        ):
+            deps = deps_all[sel]
+            if deps.size == 0:
+                continue
+            max_d = int(deps.max())
+            if max_d > PACK_H_CAP:
+                caps[(int(P), ti)] = max_d
+                continue
+            cands = sorted(
+                {min(m * max_d, max(PACK_H_CAP, max_d)) for m in (1, 2, 3, 4)}
+            )
+            best = None
+            for cap in cands:
+                col, row0, nc = _ffd_pack(deps, cap)
+                H = int((row0 + deps).max())
+                B = _pad_to(nc, 128 if nc >= 128 else 8)
+                cost = H * B + PACK_LAMBDA * H
+                if best is None or cost < best[0]:
+                    best = (cost, cap)
+            caps[(int(P), ti)] = best[1]
+    return caps
+
+
+def pack_uniform_host(
+    host: UniformHost,
+    dtype=jnp.float32,
+    caps: Optional[Dict[Tuple[int, int], int]] = None,
+) -> UniformHost:
     """Vertical column packing: stack several BDDs into one column of one
     bucket per (width, depth-tier) class, with ``root_mask`` marking segment
     starts. Cuts the number of buckets (fewer kernel launches / XLA ops), the
@@ -498,7 +539,9 @@ def pack_uniform_host(host: UniformHost, dtype=jnp.float32) -> UniformHost:
     Per width class the column height is chosen by a cost model
     E_padded + PACK_LAMBDA * height over FFD trials; BDDs deeper than
     PACK_H_CAP go to a separate (non-Pallas) bucket so the shallow majority
-    keeps the fused kernels."""
+    keeps the fused kernels. ``caps`` overrides the per-class height choice
+    (one value per (P, tier) key from :func:`choose_pack_caps`) — used by the
+    sharded backend to pack every shard identically."""
     geom = host.geom
     assert host.layer_bdd, "pack_uniform_host needs layer_bdd bookkeeping"
     assert all(g.root_mask is None for g in geom.buckets), "already packed"
@@ -537,19 +580,24 @@ def pack_uniform_host(host: UniformHost, dtype=jnp.float32) -> UniformHost:
             [s for s in segs if s[0] <= PACK_H_CAP],
             [s for s in segs if s[0] > PACK_H_CAP],
         ]
-        for tier in tiers:
+        for ti, tier in enumerate(tiers):
             if not tier:
                 continue
             deps = np.array([s[0] for s in tier], dtype=np.int64)
             max_d = int(deps.max())
+            if caps is not None:
+                cands = [max(caps.get((int(P), ti), max_d), max_d)]
             # candidate column heights: multiples of the deepest member
             # (deeper columns pack tighter but add serial scan latency)
-            cands = sorted(
-                {
-                    min(m * max_d, max(PACK_H_CAP, max_d))
-                    for m in (1, 2, 3, 4)
-                }
-            ) if max_d <= PACK_H_CAP else [max_d]
+            elif max_d <= PACK_H_CAP:
+                cands = sorted(
+                    {
+                        min(m * max_d, max(PACK_H_CAP, max_d))
+                        for m in (1, 2, 3, 4)
+                    }
+                )
+            else:
+                cands = [max_d]
             best = None
             for cap in cands:
                 col, row0, nc = _ffd_pack(deps, cap)

@@ -24,28 +24,40 @@ from bdd_tpu.solver import uniform as uf
 from bdd_tpu.solver.sharding import partition_bdds
 
 
-def _pad_bucket(g: uf.BucketGeom, B: int, nr_vars: int, dtype) -> uf.BucketGeom:
-    """Pad a bucket's column axis to B."""
-    if g.B == B:
+def _pad_bucket(
+    g: uf.BucketGeom, B: int, nr_vars: int, dtype, H: Optional[int] = None
+) -> uf.BucketGeom:
+    """Pad a bucket's column axis to B and (optionally) its row axis to H.
+    Padded rows/columns are fully invalid, so sweeps pass through them; with
+    a packed layout the padded root_mask stays False (no segment starts)."""
+    H = int(H) if H is not None else int(g.node_valid.shape[0])
+    dH = H - int(g.node_valid.shape[0])
+    dB = B - g.B
+    if dH == 0 and dB == 0:
         return g
 
-    def padn(x, fill):
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, B - x.shape[-1])]
-        return jnp.pad(x, pad, constant_values=fill)
+    def pad3(x, fill):
+        return jnp.pad(x, ((0, dH), (0, 0), (0, dB)), constant_values=fill)
+
+    def pad2(x, fill):
+        return jnp.pad(x, ((0, dH), (0, dB)), constant_values=fill)
 
     return uf.BucketGeom(
-        node_valid=padn(g.node_valid, False),
-        lo_kind=padn(g.lo_kind, uf.ARC_BOT),
-        lo_slot=padn(g.lo_slot, 0),
-        hi_kind=padn(g.hi_kind, uf.ARC_BOT),
-        hi_slot=padn(g.hi_slot, 0),
-        layer_valid=padn(g.layer_valid, False),
-        layer_var=padn(g.layer_var, nr_vars),
-        alpha=padn(g.alpha, 0.0),
+        node_valid=pad3(g.node_valid, False),
+        lo_kind=pad3(g.lo_kind, uf.ARC_BOT),
+        lo_slot=pad3(g.lo_slot, 0),
+        hi_kind=pad3(g.hi_kind, uf.ARC_BOT),
+        hi_slot=pad3(g.hi_slot, 0),
+        layer_valid=pad2(g.layer_valid, False),
+        layer_var=pad2(g.layer_var, nr_vars),
+        alpha=pad2(g.alpha, 0.0),
+        root_mask=None if g.root_mask is None else pad2(g.root_mask, False),
     )
 
 
-def _empty_bucket(key: Tuple[int, int], B: int, nr_vars: int, dtype) -> uf.BucketGeom:
+def _empty_bucket(
+    key: Tuple[int, int], B: int, nr_vars: int, dtype, packed: bool = False
+) -> uf.BucketGeom:
     P_, H = key
     return uf.BucketGeom(
         node_valid=jnp.zeros((H, P_, B), dtype=bool),
@@ -56,6 +68,7 @@ def _empty_bucket(key: Tuple[int, int], B: int, nr_vars: int, dtype) -> uf.Bucke
         layer_valid=jnp.zeros((H, B), dtype=bool),
         layer_var=jnp.full((H, B), nr_vars, dtype=jnp.int32),
         alpha=jnp.zeros((H, B), dtype=dtype),
+        root_mask=jnp.zeros((H, B), dtype=bool) if packed else None,
     )
 
 
@@ -73,6 +86,7 @@ class ShardedUniformSolver:
         nr_primal_vars: Optional[int] = None,
         dtype=jnp.float32,
         omega: float = 0.5,
+        pack: Optional[bool] = None,
     ) -> None:
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("b",))
@@ -102,22 +116,57 @@ class ShardedUniformSolver:
             else None
             for p in parts
         ]
-        # global bucket key set
+        # vertical column packing (f32 default, matching the single-device
+        # policy): pool all shards' segment depths, choose ONE cap per
+        # (width, tier) class, pack every shard with it, then pad rows to the
+        # class-global H so the per-shard buckets stack on the device axis
+        if pack is None:
+            pack = dtype == jnp.float32
+        packed = False
+        if pack:
+            pooled: dict = {}
+            for h in hosts:
+                if h is None:
+                    continue
+                for k, g in enumerate(h.geom.buckets):
+                    deps = np.asarray(h.depths[k])
+                    pooled.setdefault(int(g.P), []).extend(
+                        int(x) for x in deps[deps > 0]
+                    )
+            if pooled:
+                caps = uf.choose_pack_caps(
+                    {p: np.asarray(v) for p, v in pooled.items()}
+                )
+                hosts = [
+                    uf.pack_uniform_host(h, dtype=dtype, caps=caps)
+                    if h is not None
+                    else None
+                    for h in hosts
+                ]
+                packed = True
+
+        # global bucket key set: (P, H) unpacked (H is a per-BDD-class
+        # property, equal across shards); (P, depth tier) packed (each
+        # shard's FFD may stop below the cap -> rows padded to the class max)
+        def key_of(g):
+            H = int(g.node_valid.shape[0])
+            if packed:
+                return (int(g.P), -1 - int(H > uf.PACK_H_CAP))
+            return (int(g.P), H)
+
         def keys_of(h):
-            return [(g.P, g.H) for g in h.geom.buckets] if h else []
+            return [key_of(g) for g in h.geom.buckets] if h else []
 
         all_keys = sorted({k for h in hosts for k in keys_of(h)})
-        B_per_key = {
-            k: max(
-                (
-                    h.geom.buckets[keys_of(h).index(k)].B
-                    for h in hosts
-                    if h and k in keys_of(h)
-                ),
-                default=8,
-            )
-            for k in all_keys
-        }
+        H_per_key: dict = {}
+        B_per_key: dict = {}
+        for h in hosts:
+            for g in h.geom.buckets if h else ():
+                k = key_of(g)
+                H_per_key[k] = max(
+                    H_per_key.get(k, 0), int(g.node_valid.shape[0])
+                )
+                B_per_key[k] = max(B_per_key.get(k, 0), g.B)
         geoms = []
         self._shard_hosts = hosts
         for h in hosts:
@@ -127,11 +176,23 @@ class ShardedUniformSolver:
                 if h and k in hk:
                     bl.append(
                         _pad_bucket(
-                            h.geom.buckets[hk.index(k)], B_per_key[k], nr_vars, dtype
+                            h.geom.buckets[hk.index(k)],
+                            B_per_key[k],
+                            nr_vars,
+                            dtype,
+                            H=H_per_key[k],
                         )
                     )
                 else:
-                    bl.append(_empty_bucket(k, B_per_key[k], nr_vars, dtype))
+                    bl.append(
+                        _empty_bucket(
+                            (k[0], H_per_key[k]),
+                            B_per_key[k],
+                            nr_vars,
+                            dtype,
+                            packed=packed,
+                        )
+                    )
             geoms.append(
                 uf.UniformGeom(
                     buckets=tuple(bl),

@@ -107,3 +107,41 @@ def test_sharded_perm_exchange_parity(n_dev):
         assert s.lower_bound() == pytest.approx(
             ref.lower_bound_with_deferred(), abs=2e-3
         ), f"iter {it}"
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_column_packing_parity(n_dev):
+    """f32 sharded shards pack their columns with globally-pooled caps
+    (uniform.choose_pack_caps), so the per-shard buckets still stack on the
+    device axis; bounds must match the unpacked sharded path and packing must
+    actually reduce the serial step count."""
+    from bdd_tpu.utils.problems import set_cover
+
+    ilp = set_cover(40, 80, seed=11)
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+
+    def build(pack):
+        return ShardedUniformSolver(
+            pre.collection,
+            pre.total_nr_variables(),
+            pre.objective_vector(),
+            mesh=mesh,
+            nr_primal_vars=pre.nr_primal_variables,
+            dtype=jnp.float32,
+            pack=pack,
+        )
+
+    sp, su = build(True), build(False)
+    g0 = jax.tree.map(lambda x: x[0], sp.geom_stacked)
+    assert all(g.root_mask is not None for g in g0.buckets)
+    gu = jax.tree.map(lambda x: x[0], su.geom_stacked)
+    steps = lambda geom: sum(int(g.node_valid.shape[0]) for g in geom.buckets)
+    assert steps(g0) <= steps(gu)
+    for it in range(6):
+        sp.iteration()
+        su.iteration()
+        assert sp.lower_bound() == pytest.approx(
+            su.lower_bound(), abs=2e-4
+        ), f"iter {it}"
