@@ -38,6 +38,34 @@ def _sanitize_tpu_env() -> None:
                 del os.environ[k]
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX at an on-disk compilation cache so separate processes reuse
+    each other's TPU executables. Without it every CLI invocation pays the
+    full compile bill (measured: 12x12x4 solve+round = 0.4 s + 1.6 s compute
+    but ~38 s of per-process compiles). BDD_TPU_COMPILE_CACHE overrides the
+    location; set to 0 to disable."""
+    import os
+
+    import jax
+
+    d = os.environ.get(
+        "BDD_TPU_COMPILE_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "bdd_tpu_jax",
+        ),
+    )
+    if not d or d == "0":
+        return
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these flags: in-memory cache only
+
+
 def ensure_device(tpu_retries: int = 0, retry_s: float = 10.0) -> str:
     """Return the active platform name, repairing a broken default backend.
 
@@ -53,6 +81,7 @@ def ensure_device(tpu_retries: int = 0, retry_s: float = 10.0) -> str:
     import jax
 
     _sanitize_tpu_env()
+    _enable_persistent_compile_cache()
     try:
         return jax.devices()[0].platform
     except RuntimeError:
