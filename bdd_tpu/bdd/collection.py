@@ -143,23 +143,52 @@ class BddCollection:
             n = self.hi[n] if assignment[self.var[n]] else self.lo[n]
         return n == TOP
 
-    def nr_solutions(self, bdd_nr: int) -> int:
-        """Count accepting assignments over the BDD's support variables.
-        Requires an ordered BDD (each variable at one level; skips allowed)."""
+    def nr_solutions(
+        self,
+        bdd_nr: int,
+        positive_variables: Sequence[int] = (),
+        negative_variables: Sequence[int] = (),
+    ) -> int:
+        """Count accepting assignments over the BDD's support variables,
+        optionally restricted to assignments forcing the given variables to
+        1 / 0 (ref: bdd_collection.h:148 ``bdd_nr_solutions`` — declared but
+        never defined there; implemented here). Requires an ordered BDD (each
+        variable at one level; skips allowed)."""
         support = self.variables(bdd_nr)
         pos = {v: i for i, v in enumerate(support)}
         d = len(support)
+        force: Dict[int, int] = {}
+        for v in positive_variables:
+            force[v] = 1
+        for v in negative_variables:
+            assert force.get(v, 0) == 0, f"variable {v} forced both ways"
+            force[v] = 0
+        # free_before[i] = #unforced support vars at positions < i
+        free_before = [0] * (d + 1)
+        for i, v in enumerate(support):
+            free_before[i + 1] = free_before[i] + (0 if v in force else 1)
+
+        def span(a: int, b: int) -> int:
+            return 2 ** (free_before[b] - free_before[a])
+
         memo: Dict[int, int] = {}
 
         def count(n: int, depth: int) -> int:
             if n == TOP:
-                return 2 ** (d - depth)
+                return span(depth, d)
             if n == BOT:
                 return 0
-            npos = pos[self.var[n]]
-            scale = 2 ** (npos - depth)
+            v = self.var[n]
+            npos = pos[v]
+            scale = span(depth, npos)
             if n not in memo:
-                memo[n] = count(self.lo[n], npos + 1) + count(self.hi[n], npos + 1)
+                if v in force:
+                    child = self.hi[n] if force[v] else self.lo[n]
+                    memo[n] = count(child, npos + 1)
+                else:
+                    memo[n] = count(self.lo[n], npos + 1) + count(
+                        self.hi[n], npos + 1
+                    )
             return scale * memo[n]
 
         return count(self.root(bdd_nr), 0)
@@ -258,38 +287,34 @@ class BddCollection:
         """Append the canonically reduced ROBDD of ``bdd_nr``."""
         if out is None:
             out = self
-        local = self.local_nodes(bdd_nr)
-        n = len(local)
-        red: Dict[int, int] = {}
-        cons: Dict[Tuple[int, int, int], int] = {}
-        new_nodes: List[Tuple[int, int, int]] = []
+        return out.add_bdd(_reduce_local(self.local_nodes(bdd_nr)))
 
-        def resolve(c: int) -> int:
-            return c if is_terminal(c) else red[c]
-
-        for i in range(n - 1, -1, -1):
-            v, lo, hi = local[i]
-            lo_r, hi_r = resolve(lo), resolve(hi)
-            if lo_r == hi_r:
-                red[i] = lo_r
-                continue
-            key = (v, lo_r, hi_r)
-            if key not in cons:
-                new_nodes.append(key)
-                cons[key] = len(new_nodes) - 1
-            red[i] = cons[key]
-        root = red[0]
-        if is_terminal(root):
-            raise ValueError("BDD reduced to a terminal")
-        return out.add_bdd(_topo_sort(new_nodes, root))
-
-    # -------------------------------------------------------------------- and
+    # ---------------------------------------------------------------- and / or
     def bdd_and(
         self, bdd_nrs: Sequence[int], out: Optional["BddCollection"] = None
     ) -> int:
         """Conjunction (melding) of several BDDs via product construction over
         the shared ascending-variable order. Returns the new BDD number.
         (ref: bdd_collection.h:495-600 multi-way meld)"""
+        return self._product(bdd_nrs, out, absorb=BOT, ident=TOP)
+
+    def bdd_or(
+        self, bdd_nrs: Sequence[int], out: Optional["BddCollection"] = None
+    ) -> int:
+        """Disjunction of several BDDs (ref: bdd_collection.h:138 ``bdd_or`` —
+        declared there but never defined; implemented here as the dual meld)."""
+        return self._product(bdd_nrs, out, absorb=TOP, ident=BOT)
+
+    def _product(
+        self,
+        bdd_nrs: Sequence[int],
+        out: Optional["BddCollection"],
+        absorb: int,
+        ident: int,
+    ) -> int:
+        """Multi-way product construction; ``absorb`` is the terminal that
+        short-circuits the result (BOT for and, TOP for or), ``ident`` the
+        neutral terminal."""
         if out is None:
             out = self
         assert len(bdd_nrs) >= 1
@@ -309,40 +334,35 @@ class BddCollection:
                 if key in memo:
                     stack.pop()
                     continue
-                if any(n == BOT for n in state):
-                    memo[key] = BOT
+                if any(n == absorb for n in state):
+                    memo[key] = absorb
                     stack.pop()
                     continue
-                live = [n for n in state if n != TOP]
+                live = [n for n in state if n != ident]
                 if not live:
-                    memo[key] = TOP
+                    memo[key] = ident
                     stack.pop()
                     continue
                 v = min(self.var[n] for n in live)
                 lo_state = tuple(
-                    self.lo[n] if (n != TOP and self.var[n] == v) else n
+                    self.lo[n] if (not is_terminal(n) and self.var[n] == v) else n
                     for n in state
                 )
                 hi_state = tuple(
-                    self.hi[n] if (n != TOP and self.var[n] == v) else n
+                    self.hi[n] if (not is_terminal(n) and self.var[n] == v) else n
                     for n in state
                 )
                 lo_key = tuple(sorted(lo_state))
                 hi_key = tuple(sorted(hi_state))
-                missing = [
-                    s
-                    for s, k in ((lo_state, lo_key), (hi_state, hi_key))
-                    if k not in memo and not any(n == BOT for n in s)
-                ]
                 # pre-resolve trivial children
                 ready = True
                 for s, k in ((lo_state, lo_key), (hi_state, hi_key)):
                     if k in memo:
                         continue
-                    if any(n == BOT for n in s):
-                        memo[k] = BOT
-                    elif all(n == TOP for n in s):
-                        memo[k] = TOP
+                    if any(n == absorb for n in s):
+                        memo[k] = absorb
+                    elif all(n == ident for n in s):
+                        memo[k] = ident
                     else:
                         stack.append(s)
                         ready = False
@@ -362,9 +382,9 @@ class BddCollection:
 
         root = prod(tuple(self.root(b) for b in bdd_nrs))
         if root == BOT:
-            raise ValueError("bdd_and: conjunction is unsatisfiable")
+            raise ValueError("bdd product: result is unsatisfiable")
         if root == TOP:
-            raise ValueError("bdd_and: conjunction is trivially true")
+            raise ValueError("bdd product: result is trivially true")
         return out.add_bdd(_topo_sort(new_nodes, root))
 
     # ------------------------------------------------------------------ rebase
@@ -387,6 +407,96 @@ class BddCollection:
             for (v, lo, hi) in local
         ]
         return out.add_bdd(flipped)
+
+    def bdd_or_var(
+        self,
+        bdd_nr: int,
+        positive_variables: Sequence[int],
+        negative_variables: Sequence[int] = (),
+        out: Optional["BddCollection"] = None,
+    ) -> int:
+        """Append the relaxation f ∨ (⋁_{v∈pos} x_v) ∨ (⋁_{v∈neg} ¬x_v).
+        Used by cut tightening to weaken a constraint on selected variables
+        (ref: bdd_collection.h:603-646). The reference reroutes hi arcs to the
+        topsink, which is exact only when every accepting-or-rejecting path
+        tests the relaxed variables (its test relaxes a prefix of a simplex),
+        and its negative case is flagged 'possible bug here' and disabled.
+        Here: exact disjunction with a literal-clause BDD via the product
+        construction, both polarities supported."""
+        if out is None:
+            out = self
+        pos, neg = set(positive_variables), set(negative_variables)
+        assert not (pos & neg), "a variable cannot be both positive and negative"
+        if not pos and not neg:
+            return self.reduce(bdd_nr, out)
+        scratch = BddCollection()
+        f = scratch.add_bdd(self.local_nodes(bdd_nr))
+        lits = sorted(pos | neg)
+        nodes: List[Tuple[int, int, int]] = []
+        for i, v in enumerate(lits):
+            rest = i + 1 if i + 1 < len(lits) else BOT
+            nodes.append((v, rest, TOP) if v in pos else (v, TOP, rest))
+        clause = scratch.add_bdd(nodes)
+        return scratch.bdd_or([f, clause], out)
+
+    def invert(self, bdd_nr: int, variables) -> None:
+        """Substitute x_v ← ¬x_v for the given variables by swapping lo/hi
+        children in place (ref: bdd_collection.cpp:2029-2037)."""
+        vs = {variables} if isinstance(variables, int) else set(variables)
+        s, e = self.node_range(bdd_nr)
+        for i in range(s, e):
+            if self.var[i] in vs:
+                self.lo[i], self.hi[i] = self.hi[i], self.lo[i]
+
+    def remove(self, bdd_nrs) -> None:
+        """Delete the given BDDs and renumber the survivors (ref:
+        bdd_collection.cpp:1387-1427). Child indices are intra-BDD, so the
+        surviving slices just shift."""
+        drop = {bdd_nrs} if isinstance(bdd_nrs, int) else set(bdd_nrs)
+        nv: List[int] = []
+        nl: List[int] = []
+        nh: List[int] = []
+        nd: List[int] = [0]
+        for b in range(self.nr_bdds()):
+            if b in drop:
+                continue
+            s, e = self.node_range(b)
+            shift = len(nv) - s
+            nv.extend(self.var[s:e])
+            nl.extend(c + shift if c >= 0 else c for c in self.lo[s:e])
+            nh.extend(c + shift if c >= 0 else c for c in self.hi[s:e])
+            nd.append(len(nv))
+        self.var, self.lo, self.hi, self.delim = nv, nl, nh, nd
+
+    # --------------------------------------------------- constraint constructors
+    # Direct builders mirroring bdd_collection.h:247-250 (impls at
+    # bdd_collection.cpp:2039-2200); here via the managed builders + import.
+    def simplex_constraint(self, n: int) -> int:
+        """Exactly-one over variables 0..n-1."""
+        from .manager import BddMgr
+
+        m = BddMgr()
+        return m.add_to_collection(m.simplex(list(range(n))), self)
+
+    def not_all_false_constraint(self, n: int) -> int:
+        """At-least-one over variables 0..n-1 (ref: bdd_collection.cpp:2105)."""
+        from .manager import BddMgr
+
+        m = BddMgr()
+        return m.add_to_collection(m.at_least(list(range(n)), 1), self)
+
+    def all_equal_constraint(self, n: int) -> int:
+        from .manager import BddMgr
+
+        m = BddMgr()
+        return m.add_to_collection(m.all_equal(list(range(n))), self)
+
+    def cardinality_constraint(self, n: int, k: int) -> int:
+        """Exactly-k over variables 0..n-1."""
+        from .manager import BddMgr
+
+        m = BddMgr()
+        return m.add_to_collection(m.cardinality(list(range(n)), k, k), self)
 
     # ------------------------------------------------------------- split_qbdd
     def split_qbdd(
@@ -630,6 +740,36 @@ class BddCollection:
 
     def __repr__(self) -> str:
         return f"BddCollection(nr_bdds={self.nr_bdds()}, nr_nodes={len(self.var)})"
+
+
+def _reduce_local(
+    local: Sequence[Tuple[int, int, int]]
+) -> List[Tuple[int, int, int]]:
+    """Canonical ROBDD reduction of local (var, lo, hi) triples (children after
+    parents, root at 0). Returns topo-sorted triples of the reduced BDD."""
+    n = len(local)
+    red: Dict[int, int] = {}
+    cons: Dict[Tuple[int, int, int], int] = {}
+    new_nodes: List[Tuple[int, int, int]] = []
+
+    def resolve(c: int) -> int:
+        return c if is_terminal(c) else red[c]
+
+    for i in range(n - 1, -1, -1):
+        v, lo, hi = local[i]
+        lo_r, hi_r = resolve(lo), resolve(hi)
+        if lo_r == hi_r:
+            red[i] = lo_r
+            continue
+        key = (v, lo_r, hi_r)
+        if key not in cons:
+            new_nodes.append(key)
+            cons[key] = len(new_nodes) - 1
+        red[i] = cons[key]
+    root = red[0]
+    if is_terminal(root):
+        raise ValueError("BDD reduced to a terminal")
+    return _topo_sort(new_nodes, root)
 
 
 def _topo_sort(

@@ -285,3 +285,128 @@ def test_split_implication_end_to_end():
         s.construct_solver()
         lbs[impl] = s.solve_dual(verbose=False)
     assert lbs[True] >= lbs[False] - 1e-3
+
+
+def test_bdd_or():
+    # (x0+x1+x2 == 1) OR (x0+x1+x2 >= 2) == (x0+x1+x2 >= 1)
+    c1 = Constraint([1, 1, 1], [(0,), (1,), (2,)], Ineq.EQ, 1)
+    c2 = Constraint([1, 1, 1], [(0,), (1,), (2,)], Ineq.GEQ, 2)
+    col = BddCollection()
+    b1 = bdd_from_inequality(c1, col)
+    b2 = bdd_from_inequality(c2, col)
+    b_or = col.bdd_or([b1, b2])
+    expected = Constraint([1, 1, 1], [(0,), (1,), (2,)], Ineq.GEQ, 1)
+    check_bdd_matches_constraint(col, b_or, expected, 3)
+    assert col.nr_solutions(b_or) == 7
+
+
+def test_bdd_or_random():
+    rng = random.Random(7)
+    for _ in range(20):
+        n = rng.randint(2, 5)
+        cs = [
+            fixtures.random_inequality(rng, n)
+            for _ in range(rng.randint(2, 3))
+        ]
+        col = BddCollection()
+        bs = [bdd_from_inequality(c, col) for c in cs]
+        if any(b == ALWAYS_TRUE for b in bs):
+            continue
+        bs = [b for b in bs if b != ALWAYS_FALSE]
+        if not bs:
+            continue
+        try:
+            b_or = col.bdd_or(bs)
+        except ValueError:
+            # trivially true disjunction: verify directly
+            assert any(
+                any(
+                    c.evaluate([(bits >> i) & 1 for i in range(n)])
+                    for c in cs
+                )
+                for bits in range(2**n)
+            )
+            continue
+        for bits in range(2**n):
+            x = [(bits >> i) & 1 for i in range(n)]
+            assert col.evaluate(b_or, x) == any(c.evaluate(x) for c in cs)
+
+
+def test_bdd_or_var():
+    # relax a 4-var simplex on x2: accept also any assignment with x2 = 1
+    # (ref: test/bdd/test_bdd_collection_or_var.cpp)
+    col = BddCollection()
+    simplex = col.simplex_constraint(4)
+    relaxed = col.bdd_or_var(simplex, positive_variables=[2])
+    for bits in range(2**4):
+        x = [(bits >> i) & 1 for i in range(4)]
+        expected = (sum(x) == 1) or (x[2] == 1)
+        assert col.evaluate(relaxed, x) == expected
+    # negative relaxation (the case the reference flags as buggy and skips)
+    relaxed_neg = col.bdd_or_var(simplex, [], negative_variables=[1])
+    for bits in range(2**4):
+        x = [(bits >> i) & 1 for i in range(4)]
+        expected = (sum(x) == 1) or (x[1] == 0)
+        assert col.evaluate(relaxed_neg, x) == expected
+
+
+def test_invert():
+    c = Constraint([1, 1, 1], [(0,), (1,), (2,)], Ineq.EQ, 1)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    col.invert(b, 1)
+    # x1 <- not x1: exactly-one becomes x0 + (1-x1) + x2 == 1
+    for bits in range(2**3):
+        x = [(bits >> i) & 1 for i in range(3)]
+        assert col.evaluate(b, x) == (x[0] + (1 - x[1]) + x[2] == 1)
+    col.invert(b, [1])  # invert back
+    check_bdd_matches_constraint(col, b, c, 3)
+
+
+def test_remove():
+    col = BddCollection()
+    b0 = col.simplex_constraint(3)
+    b1 = col.cardinality_constraint(4, 2)
+    b2 = col.not_all_false_constraint(3)
+    assert (b0, b1, b2) == (0, 1, 2)
+    col.remove(1)
+    assert col.nr_bdds() == 2
+    assert col.nr_solutions(0) == 3  # simplex survives as bdd 0
+    assert col.nr_solutions(1) == 7  # not-all-false shifted down
+    for bits in range(2**3):
+        x = [(bits >> i) & 1 for i in range(3)]
+        assert col.evaluate(0, x) == (sum(x) == 1)
+        assert col.evaluate(1, x) == (sum(x) >= 1)
+
+
+def test_constraint_constructors():
+    col = BddCollection()
+    import math
+
+    assert col.nr_solutions(col.simplex_constraint(5)) == 5
+    assert col.nr_solutions(col.not_all_false_constraint(5)) == 2**5 - 1
+    assert col.nr_solutions(col.all_equal_constraint(5)) == 2
+    assert col.nr_solutions(col.cardinality_constraint(6, 2)) == math.comb(6, 2)
+
+
+def test_nr_solutions_forced():
+    rng = random.Random(11)
+    for _ in range(20):
+        n = rng.randint(2, 5)
+        c = fixtures.random_inequality(rng, n)
+        col = BddCollection()
+        b = bdd_from_inequality(c, col)
+        support = col.variables(b)
+        k = rng.randint(1, len(support))
+        forced = rng.sample(support, k)
+        pos = [v for v in forced if rng.random() < 0.5]
+        neg = [v for v in forced if v not in pos]
+        brute = 0
+        for bits in range(2 ** len(support)):
+            x = [0] * n
+            a = {v: (bits >> i) & 1 for i, v in enumerate(support)}
+            for v, val in a.items():
+                x[v] = val
+            if all(a[v] == 1 for v in pos) and all(a[v] == 0 for v in neg):
+                brute += int(col.evaluate(b, x))
+        assert col.nr_solutions(b, pos, neg) == brute
