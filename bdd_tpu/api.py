@@ -90,7 +90,38 @@ class BddSolver:
         elif lp_string is not None:
             self._lp_text = lp_string  # python parse deferred (native path)
         elif path is not None:
-            if path.endswith(".opb"):
+            # Specialized problem frontends (ref: the dedicated solver CLIs
+            # src/specialized_solvers/{mrf,graph_matching,multi_graph_matching}
+            # _solver_cl.cpp, each a bdd_solver subclass overriding read_ILP,
+            # mrf_solver.h:5-11). Here one CLI: the "input type" config key or
+            # the file extension selects the frontend.
+            input_type = str(self.config.get("input type", "")).lower()
+            if input_type in ("uai", "mrf", "uai mrf") or (
+                not input_type and path.endswith(".uai")
+            ):
+                from bdd_tpu.frontends.mrf_uai import parse_uai_file
+
+                self._ilp = parse_uai_file(path).convert_to_ilp()
+            elif input_type in ("graph matching", "gm") or (
+                not input_type and path.endswith(".dd")
+            ):
+                from bdd_tpu.frontends.graph_matching import (
+                    parse_graph_matching_file,
+                )
+
+                self._ilp = parse_graph_matching_file(path)
+            elif input_type in ("multi graph matching", "mgm") or (
+                not input_type and path.endswith(".mgm")
+            ):
+                from bdd_tpu.frontends.multi_graph_matching import (
+                    construct_multi_graph_matching_ilp,
+                    parse_mgm_file,
+                )
+
+                self._ilp = construct_multi_graph_matching_ilp(
+                    parse_mgm_file(path)
+                )
+            elif path.endswith(".opb"):
                 from bdd_tpu.ilp.opb_parser import parse_opb_file
 
                 self._ilp = parse_opb_file(path)

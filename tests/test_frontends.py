@@ -302,3 +302,34 @@ def test_mps_cli_round_trip(tmp_path):
     back = parse_lp_string(out.stdout)
     assert back.nr_variables() == ilp.nr_variables()
     assert np.allclose(back.objective(), ilp.objective())
+
+
+def test_specialized_input_dispatch(tmp_path):
+    """CLI-level specialized frontends via 'input type' / extension
+    (ref: src/specialized_solvers/*_solver_cl.cpp)."""
+    from bdd_tpu.api import BddSolver
+
+    uai = tmp_path / "chain.uai"
+    uai.write_text(UAI_CHAIN)
+    s = BddSolver(
+        {
+            "input": str(uai),
+            "relaxation solver": "parallel mma",
+            "termination criteria": {"maximum iterations": 40},
+        }
+    )
+    res = s.solve(verbose=False)
+    assert "lower_bound" in res
+
+    dd = tmp_path / "small.dd"
+    dd.write_text(DD_SMALL)
+    s2 = BddSolver(
+        {
+            "input": str(dd),
+            "input type": "graph matching",
+            "relaxation solver": "parallel mma",
+            "termination criteria": {"maximum iterations": 40},
+        }
+    )
+    res2 = s2.solve(verbose=False)
+    assert "lower_bound" in res2
