@@ -223,3 +223,26 @@ def jax_tree_to_numpy(tree):
     import jax
 
     return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+
+def lagrange_constraint_matrix(s):
+    """Sparse variable × dual-layer incidence of the Lagrange decomposition:
+    entry (v, c) = 1 iff dual layer c duplicates primal variable v (ref:
+    bdd_parallel_mma_base.cpp ``Lagrange_constraint_matrix``, exposed to
+    Python by bdd_mp_py.cpp:27). Columns enumerate the valid layers in the
+    solver's own flat layer order; rows span all (primal + auxiliary split)
+    variables."""
+    import scipy.sparse as sp
+
+    f = s.f
+    lv = np.asarray(f.layer_var)
+    if hasattr(f, "valid_layer_mask"):
+        valid = np.asarray(f.valid_layer_mask()).astype(bool)
+    else:
+        valid = lv < f.nr_vars  # terminal layers carry the sentinel nr_vars
+    rows = lv[valid].astype(np.int64)
+    cols = np.arange(rows.size, dtype=np.int64)
+    return sp.coo_matrix(
+        (np.ones(rows.size, dtype=np.float64), (rows, cols)),
+        shape=(int(f.nr_vars), int(rows.size)),
+    )

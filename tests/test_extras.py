@@ -120,3 +120,22 @@ def test_wedelin_per_layer_on_uniform():
     x = list(int(v) for v in sol[: ilp.nr_variables()])
     opt, _ = fixtures.brute_force_ilp_optimum(ilp)
     assert ilp.evaluate(x) == pytest.approx(opt, abs=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["ref", "uniform"])
+def test_lagrange_constraint_matrix(backend):
+    from bdd_tpu.solver.extras import lagrange_constraint_matrix
+
+    ilp, pre, flat, s = build(fixtures.TWO_SIMPLEX, backend)
+    A = lagrange_constraint_matrix(s)
+    assert A.shape[0] == pre.total_nr_variables()
+    # every column is one layer: exactly one variable per layer
+    assert (np.asarray(A.sum(axis=0)).ravel() == 1).all()
+    # row sums = number of dual layers duplicating each variable
+    row_sums = np.asarray(A.sum(axis=1)).ravel()
+    expected = np.zeros(pre.total_nr_variables())
+    col = pre.collection
+    for b in range(col.nr_bdds()):
+        for v in col.variables(b):
+            expected[v] += 1
+    assert (row_sums == expected).all()
