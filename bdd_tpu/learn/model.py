@@ -74,6 +74,7 @@ class DogePredictor(nn.Module):
     dim: int = 32
     nr_rounds: int = 2
     use_lstm_var: bool = False
+    free_update: bool = False  # direct dual step head (ref model.py:318-334)
 
     def zero_lstm_state(self, nr_vars: int, dtype=jnp.float32):
         z = jnp.zeros((nr_vars + 1, self.dim), dtype)
@@ -99,9 +100,32 @@ class DogePredictor(nn.Module):
         head_in = jnp.concatenate(
             [edge_e, var_head[spec.layer_var], bdd_e[spec.layer_bdd]], axis=-1
         )
-        out = MLP([self.dim, 2])(head_in)
+        out = MLP([self.dim, 2 + int(self.free_update)])(head_in)
         alpha_logits = out[:, 0]
         omega_logits = out[:, 1]
+        rets = [alpha_logits, omega_logits]
+        if self.free_update:
+            # per-layer direct dual step on the hi costs, scaled by a learned
+            # step size and projected to zero mean per primal variable so the
+            # decomposition stays dual-feasible (ref model.py:318-322: update
+            # -= scatter_mean(update, var)[var])
+            step = self.param(
+                "free_update_step", nn.initializers.constant(1e-3), (1,)
+            )
+            u = out[:, 2] * jnp.abs(step[0])
+            valid = spec.layer_valid
+            u = jnp.where(valid, u, 0.0)
+            tot = jax.ops.segment_sum(
+                u, spec.layer_var, num_segments=spec.nr_vars + 1
+            )
+            cnt = jax.ops.segment_sum(
+                valid.astype(u.dtype),
+                spec.layer_var,
+                num_segments=spec.nr_vars + 1,
+            )
+            mean = tot / jnp.maximum(cnt, 1.0)
+            u = jnp.where(valid, u - mean[spec.layer_var], 0.0)
+            rets.append(u)
         if self.use_lstm_var:
-            return alpha_logits, omega_logits, new_lstm_state
-        return alpha_logits, omega_logits
+            rets.append(new_lstm_state)
+        return tuple(rets)

@@ -38,6 +38,7 @@ class TrainConfig:
     smoothing: float = 1.0
     seed: int = 0
     use_lstm_var: bool = False  # per-variable LSTM over rounds (ref model.py:244-247)
+    free_update: bool = False  # direct zero-sum dual step head (ref model.py:318-334)
 
 
 class Instance:
@@ -109,7 +110,9 @@ class DogeTrainer:
     def __init__(self, config: TrainConfig = TrainConfig()):
         self.cfg = config
         self.model = DogePredictor(
-            dim=config.dim, use_lstm_var=config.use_lstm_var
+            dim=config.dim,
+            use_lstm_var=config.use_lstm_var,
+            free_update=config.free_update,
         )
         self.params = None
         self.opt = optax.adam(config.lr)
@@ -142,10 +145,13 @@ class DogeTrainer:
         out = self.model.apply(
             params, instance.spec, var_f, bdd_f, edge_f, lstm_state=lstm
         )
+        out = list(out)
+        a_logits, o_logits = out[0], out[1]
+        update = None
+        if self.cfg.free_update:
+            update = ft.split_like(instance.host, out[2])
         if self.cfg.use_lstm_var:
-            a_logits, o_logits, lstm = out
-        else:
-            a_logits, o_logits = out
+            lstm = out[-1]
         raw = ft.split_like(instance.host, jnp.exp(jnp.clip(a_logits, -10, 10)))
         alphas = ln.normalize_alpha(
             instance.host.geom,
@@ -158,10 +164,24 @@ class DogeTrainer:
             jax.nn.sigmoid(o)
             for o in ft.split_like(instance.host, o_logits)
         )
-        return alphas, omegas, lstm
+        return alphas, omegas, update, lstm
+
+    @staticmethod
+    def _apply_free_update(state, update):
+        """hi_costs += zero-sum-per-variable direct step (ref model.py:329).
+        The per-variable net cost is unchanged, so the state stays a valid
+        reparametrization of the same Lagrange dual."""
+        if update is None:
+            return state
+        return state._replace(
+            hi=tuple(h + u for h, u in zip(state.hi, update))
+        )
 
     def _round_loss(self, params, instance: Instance, state, lstm=None):
-        alphas, omegas, lstm = self._predict(params, instance, state, lstm)
+        alphas, omegas, update, lstm = self._predict(
+            params, instance, state, lstm
+        )
+        state = self._apply_free_update(state, update)
         loss = ln.dual_loss(
             instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
         )
@@ -205,7 +225,10 @@ class DogeTrainer:
             return loss, params, opt_state
 
         def rollout_round(params, state, lstm):
-            alphas, omegas, lstm = self._predict(params, instance, state, lstm)
+            alphas, omegas, update, lstm = self._predict(
+                params, instance, state, lstm
+            )
+            state = self._apply_free_update(state, update)
             state = ln.learned_iterations(
                 instance.host.geom, state, alphas, omegas, cfg.iters_per_round
             )
@@ -259,7 +282,9 @@ class DogeTrainer:
             blob = pickle.load(fh)
         self.cfg = TrainConfig(**blob["config"])
         self.model = DogePredictor(
-            dim=self.cfg.dim, use_lstm_var=self.cfg.use_lstm_var
+            dim=self.cfg.dim,
+            use_lstm_var=self.cfg.use_lstm_var,
+            free_update=self.cfg.free_update,
         )
         self.init(example_instance)
         self.params = serialization.from_bytes(self.params, blob["params"])

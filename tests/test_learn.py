@@ -142,10 +142,41 @@ def test_lstm_var_hidden_state_over_rounds():
 
     # the hidden state evolves and feeds back into the policy
     lstm0 = tr._zero_lstm(inst)
-    a0, o0, lstm1 = tr._predict(tr.params, inst, inst.state0, lstm0)
+    a0, o0, _, lstm1 = tr._predict(tr.params, inst, inst.state0, lstm0)
     assert float(jnp.abs(lstm1[1]).max()) > 0.0
-    a1, o1, _ = tr._predict(tr.params, inst, inst.state0, lstm1)
+    a1, o1, _, _ = tr._predict(tr.params, inst, inst.state0, lstm1)
     diff = max(
         float(jnp.abs(x - y).max()) for x, y in zip(o0, o1)
     )
     assert diff > 0.0
+
+
+def test_free_update_head():
+    """Free-update head (ref model.py:318-334): per-layer direct dual step,
+    zero-sum per primal variable, so the dual bound stays valid."""
+    inst = make_instance(fixtures.MATCHING_3x3)
+    tr = DogeTrainer(
+        TrainConfig(dim=16, nr_rounds=2, iters_per_round=3, free_update=True)
+    )
+    tr.init(inst)
+    _, _, update, _ = tr._predict(tr.params, inst, inst.state0)
+    assert update is not None
+    # zero-sum per variable over valid layers
+    flat = np.concatenate([np.asarray(u).ravel() for u in update])
+    lv = np.asarray(inst.spec.layer_var)
+    valid = np.asarray(inst.spec.layer_valid)
+    assert np.all(flat[~valid] == 0)
+    sums = np.zeros(inst.spec.nr_vars + 1)
+    np.add.at(sums, lv[valid], flat[valid])
+    assert np.allclose(sums, 0.0, atol=1e-5)
+    # net per-variable cost is unchanged by the update -> same dual problem
+    before = inst.state0
+    after = tr._apply_free_update(before, update)
+    for g, hb, ha in zip(inst.host.geom.buckets, before.hi, after.hi):
+        d = np.asarray(ha - hb)
+        assert np.all(np.abs(d[~np.asarray(g.layer_valid)]) == 0)
+    # training still runs and the bound stays a (finite) lower bound
+    m = tr.train_step(inst)
+    assert np.isfinite(m["loss"])
+    lbs = tr.run_learned_rounds(inst, nr_rounds=2)
+    assert all(np.isfinite(lbs))
