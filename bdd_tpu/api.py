@@ -210,7 +210,20 @@ class BddSolver:
             if name.startswith("lbfgs"):
                 from bdd_tpu.solver.lbfgs import LbfgsSolver
 
-                base = LbfgsSolver(base, **self.config.get("lbfgs", {}))
+                # accept the reference's spaced JSON keys (README.md:71-76)
+                rename = {
+                    "history size": "history_size",
+                    "initial step size": "init_step_size",
+                    "required relative lb increase":
+                        "required_relative_lb_increase",
+                    "step size decrease factor": "step_size_decrease_factor",
+                    "step size increase factor": "step_size_increase_factor",
+                }
+                lb_cfg = {
+                    rename.get(k, k): v
+                    for k, v in self.config.get("lbfgs", {}).items()
+                }
+                base = LbfgsSolver(base, **lb_cfg)
             elif name == "subgradient":
                 from bdd_tpu.solver.subgradient import SubgradientSolver
 
@@ -241,6 +254,8 @@ class BddSolver:
 
     def round(self, verbose: bool = True) -> Optional[np.ndarray]:
         p = self.config["perturbation rounding"]
+        if p is False:  # dual-only run (rounding disabled)
+            return None
         sol = incremental_mm_rounding(
             self.solver,
             init_delta=p["initial perturbation"],
@@ -305,16 +320,21 @@ class BddSolver:
             return {"status": "infeasible", "lower_bound": math.inf}
         lb = solver.lower_bound_with_deferred()
         p = cfg["perturbation rounding"]
-        from bdd_tpu.solver.rounding_device import incremental_mm_rounding_device
+        if p is False:  # dual-only run (rounding disabled)
+            sol = None
+        else:
+            from bdd_tpu.solver.rounding_device import (
+                incremental_mm_rounding_device,
+            )
 
-        sol = incremental_mm_rounding_device(
-            solver,
-            init_delta=p["initial perturbation"],
-            delta_growth_rate=p["perturbation growth rate"],
-            num_itr_lb=p["inner iterations"],
-            num_rounding_itr=p["outer iterations"],
-            verbose=verbose,
-        )
+            sol = incremental_mm_rounding_device(
+                solver,
+                init_delta=p["initial perturbation"],
+                delta_growth_rate=p["perturbation growth rate"],
+                num_itr_lb=p["inner iterations"],
+                num_rounding_itr=p["outer iterations"],
+                verbose=verbose,
+            )
         result = {"status": "solved", "lower_bound": float(lb) }
         if sol is not None:
             names = nh.var_names()

@@ -74,3 +74,21 @@ def test_device_trace_captures_profile(tmp_path):
     # unset dir -> plain timer, no error
     with device_trace(None, label="unit2"):
         pass
+
+
+def test_rounding_disabled_and_lbfgs_reference_keys():
+    """'perturbation rounding': false -> dual-only; lbfgs accepts the
+    reference's spaced key names (reference README.md:71-76)."""
+    s = BddSolver(
+        {
+            "relaxation solver": "lbfgs parallel mma",
+            "perturbation rounding": False,
+            "lbfgs": {"history size": 3, "initial step size": 1e-5},
+            "termination criteria": {"maximum iterations": 30},
+        }
+    )
+    s.read_ilp(lp_string=fixtures.TWO_SIMPLEX)
+    res = s.solve(verbose=False)
+    assert res["status"] == "solved"
+    assert "solution" not in res
+    assert s.solver.m == 3 and s.solver.step_size == 1e-5
