@@ -195,3 +195,97 @@ def graph_matching(n_left: int, n_right: int, seed: int = 0,
         dr = _math.hypot(pr[ja][0] - pr[jb][0], pr[ja][1] - pr[jb][1])
         inst.quadratic.append(((ia, ib), (ja, jb), abs(dl - dr) - 0.1))
     return inst
+
+
+def cell_tracking(
+    nr_frames: int,
+    cells_per_frame: int,
+    nr_transitions: int = 3,
+    division_prob: float = 0.3,
+    conflict_prob: float = 0.3,
+    seed: int = 0,
+) -> ILPInput:
+    """Cell-tracking ILP in the drosophila-benchmark style (the reference's
+    CT family: regression instance `drosophila.lp`, DOGE config_ct.py):
+    detection hypotheses per frame, transition/division hypotheses between
+    consecutive frames, appearance/disappearance slack, flow-conservation
+    equalities per detection and at-most-one exclusion constraints between
+    spatially conflicting detections.
+
+    Variables (frame t, detection i):
+      d_{t,i}   detection active (negative cost: evidence reward)
+      a_{t,i}   appearance, e_{t,i} disappearance (small positive cost)
+      m_{t,i,j} transition to detection j of frame t+1 (distance-like cost)
+      s_{t,i,j,k} division into detections j<k of frame t+1
+
+    Constraints:
+      incoming:  d_{t,i} = a_{t,i} + sum_j m_{t-1,j,i} + sum div hitting i
+      outgoing:  d_{t,i} = e_{t,i} + sum_j m_{t,i,j} + sum_s s_{t,i,*}
+      conflict:  sum_{i in C} d_{t,i} <= 1 for sampled conflict pairs
+    """
+    rng = random.Random(seed)
+    ilp = ILPInput()
+    F, N = nr_frames, cells_per_frame
+
+    def det(t, i):
+        return f"d_{t}_{i}"
+
+    # detections with evidence reward
+    for t in range(F):
+        for i in range(N):
+            ilp.add_to_objective(-rng.uniform(0.5, 2.0), det(t, i))
+    # transition / division candidates between consecutive frames
+    out_terms = {(t, i): [] for t in range(F) for i in range(N)}
+    in_terms = {(t, i): [] for t in range(F) for i in range(N)}
+    for t in range(F - 1):
+        for i in range(N):
+            cands = rng.sample(range(N), min(nr_transitions, N))
+            for j in cands:
+                v = f"m_{t}_{i}_{j}"
+                ilp.add_to_objective(rng.uniform(0.1, 1.5), v)
+                out_terms[(t, i)].append(v)
+                in_terms[(t + 1, j)].append(v)
+            if len(cands) >= 2 and rng.random() < division_prob:
+                j, k = sorted(rng.sample(cands, 2))
+                v = f"s_{t}_{i}_{j}_{k}"
+                ilp.add_to_objective(rng.uniform(0.5, 2.5), v)
+                out_terms[(t, i)].append(v)
+                in_terms[(t + 1, j)].append(v)
+                in_terms[(t + 1, k)].append(v)
+    # flow conservation with appearance/disappearance slack
+    for t in range(F):
+        for i in range(N):
+            app = f"a_{t}_{i}"
+            dis = f"e_{t}_{i}"
+            ilp.add_to_objective(0.2 if t > 0 else 0.01, app)
+            ilp.add_to_objective(0.2 if t < F - 1 else 0.01, dis)
+            inc = [app] + in_terms[(t, i)]
+            out = [dis] + out_terms[(t, i)]
+            dv = ilp.get_var_index(det(t, i))
+            ilp.add_linear_constraint(
+                [1] * len(inc) + [-1],
+                [ilp.get_var_index(v) for v in inc] + [dv],
+                Ineq.EQ,
+                0,
+            )
+            ilp.add_linear_constraint(
+                [1] * len(out) + [-1],
+                [ilp.get_var_index(v) for v in out] + [dv],
+                Ineq.EQ,
+                0,
+            )
+    # spatial exclusion between sampled detection pairs
+    for t in range(F):
+        for i in range(N):
+            for j in range(i + 1, N):
+                if rng.random() < conflict_prob:
+                    ilp.add_linear_constraint(
+                        [1, 1],
+                        [
+                            ilp.get_var_index(det(t, i)),
+                            ilp.get_var_index(det(t, j)),
+                        ],
+                        Ineq.LEQ,
+                        1,
+                    )
+    return ilp

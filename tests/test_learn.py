@@ -180,3 +180,22 @@ def test_free_update_head():
     assert np.isfinite(m["loss"])
     lbs = tr.run_learned_rounds(inst, nr_rounds=2)
     assert all(np.isfinite(lbs))
+
+
+def test_cell_tracking_family_and_presets():
+    """Cell-tracking generator (reference CT family) trains under the CT
+    preset (free-update-only regime: 1 dual iteration per round)."""
+    from bdd_tpu.learn import config_ct, config_mis
+    from bdd_tpu.utils.problems import cell_tracking
+
+    ilp = cell_tracking(3, 4, seed=1)
+    # the ILP is well-formed and the all-zero solution is feasible
+    assert ilp.feasible([0] * ilp.nr_variables())
+    cfg = config_ct(nr_rounds=3, dim=16)
+    assert cfg.free_update and cfg.iters_per_round == 1
+    assert config_mis().nr_rounds == 20
+    inst = make_instance(ilp=ilp)
+    tr = DogeTrainer(cfg)
+    tr.init(inst)
+    m = tr.train_step(inst)
+    assert np.isfinite(m["loss"])
