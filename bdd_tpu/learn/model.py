@@ -109,8 +109,11 @@ class DogePredictor(nn.Module):
             # step size and projected to zero mean per primal variable so the
             # decomposition stays dual-feasible (ref model.py:318-322: update
             # -= scatter_mean(update, var)[var])
+            # explicit dtype: the constant initializer defaults to float64
+            # under jax_enable_x64, which would promote the whole update
             step = self.param(
-                "free_update_step", nn.initializers.constant(1e-3), (1,)
+                "free_update_step", nn.initializers.constant(1e-3), (1,),
+                out.dtype,
             )
             u = out[:, 2] * jnp.abs(step[0])
             valid = spec.layer_valid

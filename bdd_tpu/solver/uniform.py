@@ -849,7 +849,9 @@ def bucket_forward_iteration(
     isotropic 1/#bdds-per-var weights."""
     if alpha is None:
         alpha = g.alpha
-    alpha = jnp.broadcast_to(alpha, lo.shape)
+    alpha = jnp.broadcast_to(alpha, lo.shape).astype(lo.dtype)
+    din_lo = din_lo.astype(lo.dtype)
+    din_hi = din_hi.astype(lo.dtype)
     P = g.P
     cft_next = jnp.concatenate(
         [cft[1:], jnp.full((1, P, g.B), INF, dtype=lo.dtype)], axis=0
@@ -897,7 +899,9 @@ def bucket_backward_iteration(
 ):
     if alpha is None:
         alpha = g.alpha
-    alpha = jnp.broadcast_to(alpha, lo.shape)
+    alpha = jnp.broadcast_to(alpha, lo.shape).astype(lo.dtype)
+    din_lo = din_lo.astype(lo.dtype)
+    din_hi = din_hi.astype(lo.dtype)
     P = g.P
     omega_arr = jnp.broadcast_to(jnp.asarray(omega, dtype=lo.dtype), lo.shape)
 
