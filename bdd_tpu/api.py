@@ -67,11 +67,32 @@ class BddSolver:
     def __init__(self, config: Optional[dict] = None, **kwargs) -> None:
         config = _merge(DEFAULT_CONFIG, config or {})
         config = _merge(config, kwargs)
+        # Reference-spelled BDD-splitting block (bdd_solver.cpp:108-120):
+        #   "split bdds": {"split length": N, "implication bdd": true}
+        # maps onto our "split chunk size"/"split implication" keys. As in the
+        # reference, "split bdds" without a length means auto-computed length.
+        sb = config.get("split bdds")
+        if sb is not None and sb is not False:
+            sb = sb if isinstance(sb, dict) else {}
+            if not config.get("split chunk size"):
+                config["split chunk size"] = sb.get("split length", "auto")
+            if "implication bdd" in sb or "implication" in sb:
+                config["split implication"] = bool(
+                    sb.get("implication bdd", sb.get("implication"))
+                )
+        if config.get("smoothing"):
+            # the reference accepts-and-ignores this key ("not currently
+            # implemented", bdd_solver.cpp:127-138); the smooth solver here
+            # lives in bdd_tpu.solver.smooth (sum marginals, smoothed lb)
+            bdd_log("[bdd solver] smoothing requested: the MMA relaxation "
+                    "solvers run unsmoothed (as in the reference); use "
+                    "bdd_tpu.solver.smooth for log-sum-exp sweeps")
         self.config = config
         self._ilp = None
         self.solver = None
         self.infeasible = False
         self._lp_text = None
+        self.var_perm = None  # old index per new position (None = identity)
 
     @property
     def ilp(self):
@@ -142,11 +163,11 @@ class BddSolver:
     def process_ilp(self):
         order = self.config["variable order"]
         if order == "bfs":
-            self.ilp.reorder_bfs()
+            self.var_perm = self.ilp.reorder_bfs()
         elif order == "cuthill":
-            self.ilp.reorder_cuthill_mckee()
+            self.var_perm = self.ilp.reorder_cuthill_mckee()
         elif order in ("minimum degree", "mindegree"):
-            self.ilp.reorder_minimum_degree()
+            self.var_perm = self.ilp.reorder_minimum_degree()
         elif order != "input":
             raise ValueError(f"unknown variable order {order!r}")
         if self.config["normalize constraints"]:
@@ -170,6 +191,68 @@ class BddSolver:
             f"{self.flat.nr_vars} variables"
         )
         return self
+
+    # ------------------------------------------------------- export phases
+    # (ref: bdd_solver.cpp solve() pipeline, 477-495: export_lp after
+    # process_ILP; print_statistics / export_bdd_graph / export_bdd_lp after
+    # transform_to_BDDs)
+    def export_lp_file(self) -> None:
+        path = self.config.get("export lp")
+        if not path:
+            return
+        if path.endswith(".opb"):
+            text = self.ilp.write_opb()
+        elif path.endswith(".mps"):
+            text = self.ilp.write_mps()
+        elif path.endswith(".lp"):
+            text = self.ilp.write_lp()
+        else:
+            raise ValueError(
+                f"Cannot recognize file extension of {path!r} for exporting "
+                "problem file (.lp/.opb/.mps)")
+        with open(path, "w") as fh:
+            fh.write(text)
+
+    def print_statistics(self) -> None:
+        """ILP/BDD size statistics (ref: bdd_solver.cpp:382-398)."""
+        if not self.config.get("print statistics"):
+            return
+        ilp = self.ilp
+        counts = np.zeros(ilp.nr_variables(), dtype=np.int64)
+        for c in ilp.constraints():
+            for v in c.variables():
+                counts[v] += 1
+        bdd_log(f"[print_statistics] #variables = {ilp.nr_variables()}")
+        bdd_log(f"[print_statistics] #constraints = {ilp.nr_constraints()}")
+        bdd_log(f"[print_statistics] #BDDs = {self.pre.collection.nr_bdds()}")
+        if len(counts):
+            bdd_log("[print_statistics] minimum num. constraints per var = "
+                    f"{int(counts.min())}")
+            bdd_log("[print_statistics] maximum num. constraints per var = "
+                    f"{int(counts.max())}")
+            bdd_log("[print_statistics] mean num. constraints per var = "
+                    f"{float(counts.mean())}")
+
+    def export_bdd_graph(self) -> None:
+        """One graphviz .dot file per BDD, ``<base>_<nr>.dot``
+        (ref: bdd_solver.cpp:433-466; the reference also shells out to
+        ``dot -Tpng`` — skipped here)."""
+        path = self.config.get("export bdd graph")
+        if not path:
+            return
+        base = path[:-4] if path.endswith(".dot") else path
+        col = self.pre.collection
+        for bdd_nr in range(col.nr_bdds()):
+            with open(f"{base}_{bdd_nr}.dot", "w") as fh:
+                fh.write(col.export_graphviz(bdd_nr))
+
+    def export_bdd_lp_file(self) -> None:
+        path = self.config.get("export bdd lp")
+        if not path:
+            return
+        with open(path, "w") as fh:
+            fh.write(self.pre.collection.write_bdd_lp(
+                self.pre.objective_vector()))
 
     def construct_solver(self):
         name = self.config["relaxation solver"]
@@ -268,6 +351,109 @@ class BddSolver:
             return None
         return sol[: self.ilp.nr_variables()]
 
+    # --------------------------------------------------- solver-level queries
+    # (ref: bdd_solver.h:92-97 lower_bound / min_marginals /
+    #  min_marginals_with_variable_names / fix_variable / export_difficult_core)
+    def lower_bound(self) -> float:
+        if self.infeasible:
+            return math.inf
+        if hasattr(self.solver, "lower_bound_with_deferred"):
+            return float(self.solver.lower_bound_with_deferred())
+        return float(self.solver.lower_bound())
+
+    def _var_names(self):
+        if self._ilp is not None:
+            return [self.ilp.get_var_name(i)
+                    for i in range(self.ilp.nr_variables())]
+        return self._native.var_names()
+
+    def min_marginals(self, original_order: bool = True):
+        """Per-variable stacked min marginals: list over variables of [n_i, 2]
+        arrays (columns m0, m1), one row per BDD containing the variable (ref:
+        bdd_solver::min_marginals, bdd_solver.cpp:497-514, incl. the
+        permute-back-to-input-order step via permute_min_marginals)."""
+        from bdd_tpu.solver.rounding import min_marginals_per_var
+
+        m0, m1 = self.solver.min_marginals()
+        off, m0s, m1s = min_marginals_per_var(self.solver.f, m0, m1)
+        per_var = [
+            np.stack([m0s[off[v]:off[v + 1]], m1s[off[v]:off[v + 1]]], axis=1)
+            for v in range(len(off) - 1)
+        ]
+        if original_order and self.var_perm is not None:
+            n = len(self.var_perm)
+            out = list(per_var)
+            for new, old in enumerate(self.var_perm):
+                out[old] = per_var[new]
+            per_var = out[:n] + per_var[n:]
+        return per_var
+
+    def min_marginals_with_variable_names(self):
+        """(names, mm_lo, mm_hi) flat vectors, one entry per (variable, BDD)
+        layer (ref: export_min_marginals_with_names,
+        min_marginal_utils.h:91-110)."""
+        per_var = self.min_marginals(original_order=False)
+        names = self._var_names()
+        out_names, lo, hi = [], [], []
+        for v, name in enumerate(names):
+            for row in per_var[v]:
+                out_names.append(name)
+                lo.append(float(row[0]))
+                hi.append(float(row[1]))
+        return out_names, lo, hi
+
+    def fix_variable(self, var, value) -> None:
+        """Fix a primal variable (by index or name) to 0/1 in the constructed
+        solver (ref: bdd_solver.cpp:521-541)."""
+        from bdd_tpu.solver.extras import fix_variable
+
+        if isinstance(var, str):
+            if self._ilp is not None:
+                var = self.ilp.get_var_index(var)
+            else:
+                var = self._native.var_names().index(var)
+        fix_variable(self.solver, int(var), int(value))
+
+    def export_difficult_core(self, path: Optional[str] = None,
+                              threshold: Optional[float] = None):
+        """Fix variables whose min-marginal sums agree by more than
+        ``threshold`` and export the reduced 'difficult core' ILP
+        (.lp/.opb/.mps by extension; declared at bdd_solver.h:97 — the
+        reference's implementation is commented out at bdd_solver.cpp:550-578;
+        this follows that commented intent). Returns the reduced ILPInput."""
+        from bdd_tpu.solver.rounding import MM_ONE, MM_ZERO, MmDecoder
+
+        path = path if path is not None else self.config.get(
+            "export difficult core")
+        threshold = threshold if threshold is not None else float(
+            self.config.get("export difficult core th", 1e-6))
+        m0, m1 = self.solver.min_marginals()
+        dec = MmDecoder(self.solver.f, np.asarray(m0), np.asarray(m1))
+        n = self.ilp.nr_variables()
+        one_fix = [v for v in range(n)
+                   if dec.types[v] == MM_ONE
+                   and dec.sum1[v] + threshold <= dec.sum0[v]]
+        zero_fix = [v for v in range(n)
+                    if dec.types[v] == MM_ZERO
+                    and dec.sum0[v] + threshold <= dec.sum1[v]]
+        reduced = self.ilp.reduce(zero_fix, one_fix)
+        bdd_log(f"[bdd solver] Difficult core has {reduced.nr_variables()} "
+                f"variables and {reduced.nr_constraints()} constraints left")
+        if path:
+            if path.endswith(".opb"):
+                text = reduced.write_opb()
+            elif path.endswith(".mps"):
+                text = reduced.write_mps()
+            elif path.endswith(".lp"):
+                text = reduced.write_lp()
+            else:
+                raise ValueError(
+                    f"Cannot recognize file extension of {path!r} for "
+                    "difficult core export file (.lp/.opb/.mps)")
+            with open(path, "w") as fh:
+                fh.write(text)
+        return reduced
+
     def _try_native(self, verbose: bool) -> Optional[Dict]:
         """Native C++ preprocessing fast path (parse + order + BDDs + uniform
         buckets). Returns a result dict when fully handled natively, None to
@@ -275,6 +461,10 @@ class BddSolver:
         cfg = self.config
         if not cfg.get("use native preprocessing", True):
             return None
+        if any(cfg.get(k) for k in ("export lp", "export bdd lp",
+                                    "export bdd graph", "print statistics",
+                                    "export difficult core")):
+            return None  # phases needing the python ILP/collection objects
         if cfg["relaxation solver"] not in ("uniform mma", "cuda parallel mma",
                                             "jax mma", "mma"):
             return None
@@ -355,10 +545,14 @@ class BddSolver:
         if self.ilp is None:
             self.read_ilp()
         self.process_ilp()
+        self.export_lp_file()
         try:
             self.transform_to_bdds()
         except InfeasibleError:
             return {"status": "infeasible", "lower_bound": math.inf}
+        self.print_statistics()
+        self.export_bdd_graph()
+        self.export_bdd_lp_file()
         self.construct_solver()
         lb = self.solve_dual(verbose=verbose)
         if self.infeasible:
@@ -366,6 +560,8 @@ class BddSolver:
         lb = self.solver.lower_bound_with_deferred() if hasattr(
             self.solver, "lower_bound_with_deferred"
         ) else lb
+        if self.config.get("export difficult core"):
+            self.export_difficult_core()
         sol = self.round(verbose=verbose)
         result = {"status": "solved", "lower_bound": float(lb)}
         if sol is not None:

@@ -701,7 +701,25 @@ class BddCollection:
         """Arc-flow LP export of the whole collection: one unit of flow per
         BDD from root to TOP; flow conservation per node; arcs carry the layer
         costs; coupling constraints equate per-variable hi-arc flow across
-        BDDs (ref: bdd_collection.h write_bdd_lp arc-flow export)."""
+        BDDs (ref: bdd_collection.h write_bdd_lp arc-flow export).
+
+        ``costs`` is either a mapping (bdd_nr, var) -> (lo_cost, hi_cost) per
+        layer, or a per-variable objective sequence (the reference's
+        ``write_bdd_lp(stream, cost_begin, cost_end)`` form) — each variable's
+        cost is then placed on its first containing BDD (equivalent under the
+        coupling constraints)."""
+        if not hasattr(costs, "get"):
+            per_var = list(costs)
+            mapping = {}
+            seen = set()
+            for b in range(self.nr_bdds()):
+                s, e = self.node_range(b)
+                for i in range(s, e):
+                    v = self.var[i]
+                    if v not in seen and v < len(per_var):
+                        seen.add(v)
+                        mapping[(b, v)] = (0.0, float(per_var[v]))
+            costs = mapping
         lines_obj, lines_cons = [], []
         var_terms = {}
         for b in range(self.nr_bdds()):

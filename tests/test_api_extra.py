@@ -85,3 +85,84 @@ def test_converter_cli(tmp_path, capsys):
     assert "min:" in capsys.readouterr().out
     assert main(["lp2mps", str(lp)]) == 0
     assert "ENDATA" in capsys.readouterr().out
+
+def test_export_phases_and_statistics(tmp_path, capsys):
+    """Reference export/statistics pipeline phases (bdd_solver.cpp:382-466):
+    'export lp', 'export bdd lp', 'export bdd graph', 'print statistics'."""
+    s = BddSolver(
+        {
+            "relaxation solver": "ref mma",
+            "print statistics": True,
+            "export lp": str(tmp_path / "out.opb"),
+            "export bdd lp": str(tmp_path / "bdd.lp"),
+            "export bdd graph": str(tmp_path / "g.dot"),
+            "termination criteria": {"maximum iterations": 20},
+            "perturbation rounding": False,
+        }
+    )
+    s.read_ilp(lp_string=fixtures.COVERING)
+    r = s.solve(verbose=False)
+    assert r["status"] == "solved"
+    assert (tmp_path / "out.opb").read_text().startswith("min:")
+    assert "Minimize" in (tmp_path / "bdd.lp").read_text()
+    dots = list(tmp_path.glob("g_*.dot"))
+    assert len(dots) == s.pre.collection.nr_bdds()
+    assert "digraph" in dots[0].read_text()
+    out = capsys.readouterr().out
+    assert "[print_statistics] #BDDs" in out
+
+
+def test_solver_level_queries_and_difficult_core(tmp_path):
+    """bdd_solver.h:92-97 surface: lower_bound, min_marginals (+names),
+    fix_variable, export_difficult_core."""
+    import math
+
+    s = BddSolver(
+        {
+            "relaxation solver": "ref mma",
+            "variable order": "bfs",
+            "termination criteria": {"maximum iterations": 200},
+            "perturbation rounding": False,
+        }
+    )
+    s.read_ilp(lp_string=fixtures.MATCHING_3x3)
+    r = s.solve(verbose=False)
+    lb = s.lower_bound()
+    assert lb == pytest.approx(r["lower_bound"])
+    s.solver.distribute_delta()
+    mms = s.min_marginals()
+    n = s.ilp.nr_variables()
+    assert len(mms) >= n
+    # each variable has one (m0, m1) row per BDD containing it
+    import numpy as np
+    for v in range(n):
+        assert mms[v].shape[1] == 2
+        assert np.all(np.isfinite(mms[v]))
+    names, lo, hi = s.min_marginals_with_variable_names()
+    assert len(names) == len(lo) == len(hi) == sum(
+        mms_v.shape[0] for mms_v in s.min_marginals(original_order=False)[:n]
+    )
+    # at the converged matching optimum every name appears per its BDD count
+    assert set(names) <= {s.ilp.get_var_name(i) for i in range(n)}
+    # difficult core: at a converged LP-tight optimum most variables are
+    # decided, so the core shrinks
+    core = s.export_difficult_core(str(tmp_path / "core.lp"), threshold=1e-4)
+    assert core.nr_variables() <= n
+    assert (tmp_path / "core.lp").read_text().startswith("Minimize")
+    # fix a variable and re-solve: bound stays finite and >= previous
+    s.fix_variable(s.ilp.get_var_name(0), 0)
+    for _ in range(50):
+        s.solver.iteration()
+    lb2 = s.solver.lower_bound()
+    assert math.isfinite(lb2) and lb2 >= lb - 1e-4
+
+
+def test_split_bdds_reference_spelling():
+    """'split bdds': {'split length': N, 'implication bdd': b} maps onto the
+    chunking keys (ref bdd_solver.cpp:108-120)."""
+    s = BddSolver({"split bdds": {"split length": 64,
+                                  "implication bdd": True}})
+    assert s.config["split chunk size"] == 64
+    assert s.config["split implication"] is True
+    s2 = BddSolver({"split bdds": {}})
+    assert s2.config["split chunk size"] == "auto"
