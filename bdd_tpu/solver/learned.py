@@ -119,8 +119,16 @@ def distribute_delta_learned(
     for g, lo, hi, al, dl, dh in zip(
         geom.buckets, state.lo, state.hi, alphas, din_lo, din_hi
     ):
-        nl = jnp.where(g.layer_valid, lo + al * dl, 0.0)
-        nh = jnp.where(g.layer_valid, hi + al * dh, 0.0)
+        # double-where: the multiply must never see an infinite primal
+        # (forcing deltas, the ±inf def_mm contract) — its VJP would compute
+        # cotangent 0 x inf = NaN; the infinity is re-added additively instead
+        # (adds pass cotangents through untouched). alpha·inf == inf, so the
+        # forward value is unchanged.
+        fl, fh = jnp.isfinite(dl), jnp.isfinite(dh)
+        dl_c = al * jnp.where(fl, dl, 0.0) + jnp.where(fl, 0.0, dl)
+        dh_c = al * jnp.where(fh, dh, 0.0) + jnp.where(fh, 0.0, dh)
+        nl = jnp.where(g.layer_valid, lo + dl_c, 0.0)
+        nh = jnp.where(g.layer_valid, hi + dh_c, 0.0)
         lo_l.append(nl)
         hi_l.append(nh)
         mm_l.append(jnp.zeros_like(lo))

@@ -7,8 +7,14 @@ plain isotropic MMA at the SAME dual-iteration budget, and against the
 converged bound (plain MMA, 2000 iterations) as reference.
 
 Usage: python benchmarks/train_doge_demo.py [size] [epochs] [family]
-family: mis (default; size = #nodes) or qap (QAPLib-style Fortet-linearized,
-size = n; mirrors the reference's DOGEv2 QAPLib protocol, DOGE/README.md:40).
+family (mirrors the reference's four DOGE dataset configs,
+DOGE/configs/config_{mis,qaplib,ct,gm}.py):
+  mis (default) — Erdos-Renyi independent set, size = #nodes
+  qap           — QAPLib-style Fortet-linearized, size = n
+  ct            — cell-tracking flow ILP (drosophila-style), size =
+                  cells/frame (6 frames); free-update head on (ref config_ct)
+  gm            — geometric graph matching with quadratic terms, size =
+                  #points per side; free-update head on (ref config_gm)
 Writes the checkpoint to benchmarks/doge_<family>.ckpt and prints a table.
 """
 import os
@@ -22,7 +28,12 @@ import numpy as np
 from bdd_tpu.learn import DogeTrainer, TrainConfig
 from bdd_tpu.learn.train import Instance, dual_metrics
 from bdd_tpu.solver import uniform as uf
-from bdd_tpu.utils.problems import independent_set, quadratic_assignment
+from bdd_tpu.utils.problems import (
+    cell_tracking,
+    graph_matching,
+    independent_set,
+    quadratic_assignment,
+)
 
 
 def main() -> int:
@@ -33,9 +44,14 @@ def main() -> int:
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     family = sys.argv[3] if len(sys.argv) > 3 else "mis"
     n_train, n_test = 4, 2
+    # ct/gm use the free-update head as in the reference's config_ct/config_gm
+    # (MODEL.FREE_UPDATE: True); the dual-iteration budget stays 60 across
+    # families so the equal-budget comparison is uniform.
+    free = family in ("ct", "gm")
     cfg = TrainConfig(
-        dim=32, nr_rounds=4, iters_per_round=15, grad_rounds=1, lr=1e-3,
-        epochs=epochs, seed=0,
+        dim=32, nr_rounds=10 if free else 4,
+        iters_per_round=6 if free else 15, grad_rounds=1, lr=1e-3,
+        epochs=epochs, seed=0, free_update=free,
     )
     budget = cfg.nr_rounds * cfg.iters_per_round
 
@@ -44,6 +60,17 @@ def main() -> int:
     for i in range(n_train + n_test):
         if family == "qap":
             ilp = quadratic_assignment(nodes, seed=100 + i, density=0.08)
+        elif family == "ct":
+            ilp = cell_tracking(6, nodes, seed=100 + i)
+        elif family == "gm":
+            from bdd_tpu.frontends.graph_matching import (
+                construct_graph_matching_ilp,
+            )
+
+            ilp, _, _ = construct_graph_matching_ilp(graph_matching(
+                nodes, nodes, seed=100 + i, candidates=5,
+                nr_quadratic=3 * nodes,
+            ))
         else:
             ilp = independent_set(nodes, edge_prob=0.08, seed=100 + i)
         inst = Instance.from_ilp(ilp)

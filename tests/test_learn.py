@@ -199,3 +199,35 @@ def test_cell_tracking_family_and_presets():
     tr.init(inst)
     m = tr.train_step(inst)
     assert np.isfinite(m["loss"])
+
+
+def test_training_with_forced_variables_stays_finite():
+    """Gradients through instances with forced variables (infinite
+    min-marginals, the ±inf def_mm contract) must stay finite: the
+    double-where in uniform._hop_cost_update keeps inf primals out of the
+    alpha/omega multiplies whose VJP would produce NaN (regression: GM
+    instances with forced quadratic vars trained to NaN)."""
+    lp = """Minimize
+x1 + x2 - 2 x3 + x4
+Subject To
+x1 + x2 = 2
+x1 + x3 + x4 <= 2
+x3 + x4 >= 1
+End"""
+    ilp = parse_lp_string(lp)
+    inst = Instance.from_ilp(ilp)
+    # the equality forces x1 = x2 = 1 -> infinite min-marginals appear
+    s = uf.iterations(inst.host.geom, inst.state0, 3, 0.5)
+    m0, _ = uf.min_marginals_all(inst.host.geom, s)[0]
+    valid = np.asarray(inst.host.geom.buckets[0].layer_valid)
+    assert np.isinf(np.asarray(m0)[valid]).any()
+    assert np.isinf(np.asarray(s.def_mm[0])).any()
+    cfg = TrainConfig(nr_rounds=3, iters_per_round=3, dim=8, grad_rounds=1,
+                      free_update=True, epochs=1)
+    tr = DogeTrainer(cfg)
+    tr.init(inst)
+    for _ in range(2):
+        m = tr.train_step(inst)
+        assert np.isfinite(m["loss"])
+    lbs = tr.run_learned_rounds(inst, nr_rounds=2)
+    assert all(np.isfinite(lbs))
