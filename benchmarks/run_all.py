@@ -114,6 +114,12 @@ def main():
     bench_instance("qap-18 (Fortet-linearized, dense quadratic)", qap_lp,
                    numpy_iters=5)
     time_to_gap("qap-18", qap_lp)
+    from bdd_tpu.utils.problems import cell_tracking
+
+    ct_lp = cell_tracking(30, 40, nr_transitions=4, seed=0).write_lp()
+    bench_instance("cell-tracking-30x40 (drosophila-style flow ILP)", ct_lp,
+                   numpy_iters=5)
+    time_to_gap("cell-tracking-30x40", ct_lp)
 
 
 if __name__ == "__main__":
