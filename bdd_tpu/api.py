@@ -535,6 +535,97 @@ class BddSolver:
             )
         return result
 
+    def solve_batch(self, ilps=None, paths=None, verbose: bool = True):
+        """Solve several INDEPENDENT ILPs as one batched device program
+        (TPU-native serving mode; no reference analogue — DOGE's layer-range
+        concatenation, bdd_cuda_torch.py:102-133, is the closest pattern).
+        Instances share the bucketed tensors; the delta exchange never mixes
+        them (disjoint variable spaces). Returns one result dict per ILP,
+        with per-instance lower bounds from the per-BDD decomposition.
+        Config keys (solver must be a uniform-mma variant; rounding/termination
+        apply to the joint program)."""
+        import jax.numpy as jnp
+
+        from bdd_tpu.solver import uniform as uf
+        from bdd_tpu.solver.rounding_device import (
+            incremental_mm_rounding_device,
+        )
+        from bdd_tpu.solver.uniform_wrapper import UniformLayerView, UniformSolver
+        from bdd_tpu.utils.batching import BatchedInstances
+
+        if ilps is None:
+            ilps = []
+            for p in paths:
+                sub = BddSolver(dict(self.config))
+                sub.read_ilp(path=p)
+                ilps.append(sub.ilp)
+        n = len(ilps)
+        results: list = [None] * n
+        pres, live = [], []
+        for k, ilp in enumerate(ilps):
+            if self.config["normalize constraints"]:
+                ilp.normalize()
+            try:
+                pres.append(BddPreprocessor(
+                    ilp,
+                    split_chunk_size=self.config["split chunk size"],
+                    split_implication_bdd=self.config["split implication"],
+                ))
+                live.append(k)
+            except InfeasibleError:
+                results[k] = {"status": "infeasible",
+                              "lower_bound": math.inf}
+        if not live:
+            return results
+        bat = BatchedInstances([ilps[k] for k in live], pres=pres)
+        dt = jnp.float64 if self.config["precision"] == "double" else jnp.float32
+        if self.config["precision"] == "double":
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
+        solver = UniformSolver(bat.collection, bat.nr_vars, bat.objective,
+                               dtype=dt)
+        self.solver = solver
+        lb = self.solve_dual(verbose=verbose)
+        if math.isinf(lb):  # joint infeasibility: attribute per instance below
+            pass
+        # per-instance lower bounds from the per-BDD decomposition
+        solver.distribute_delta()
+        per_bdd = solver.lower_bound_per_bdd()
+        bounds = []
+        for i, k in enumerate(live):
+            b0 = bat.bdd_offsets[i]
+            b1 = (bat.bdd_offsets[i + 1] if i + 1 < len(live)
+                  else bat.collection.nr_bdds())
+            bounds.append(float(np.sum(per_bdd[b0:b1])))
+        p = self.config["perturbation rounding"]
+        sol = None
+        if p is not False:
+            sol = incremental_mm_rounding_device(
+                solver,
+                init_delta=p["initial perturbation"],
+                delta_growth_rate=p["perturbation growth rate"],
+                num_itr_lb=p["inner iterations"],
+                num_rounding_itr=p["outer iterations"],
+                verbose=verbose,
+            )
+        for i, k in enumerate(live):
+            ilp = ilps[k]
+            res = {"status": "solved", "lower_bound": bounds[i]}
+            if math.isinf(bounds[i]):
+                res = {"status": "infeasible", "lower_bound": math.inf}
+            elif sol is not None:
+                xs = bat.slice_solution(np.asarray(sol), i)
+                x = [int(v) for v in xs[: ilp.nr_variables()]]
+                if ilp.feasible(x):
+                    res["solution"] = {
+                        ilp.get_var_name(j): x[j]
+                        for j in range(ilp.nr_variables())
+                    }
+                    res["objective"] = float(ilp.evaluate(x))
+            results[k] = res
+        return results
+
     def solve(self, verbose: bool = True) -> Dict:
         """Full pipeline; returns result dict."""
         if self._ilp is None and self._lp_text is None:
@@ -589,7 +680,10 @@ def main(argv=None) -> int:
         solver = BddSolver(config)
     else:
         solver = BddSolver({"input": arg})
-    result = solver.solve()
+    if solver.config.get("inputs"):  # batched serving mode
+        result = solver.solve_batch(paths=solver.config["inputs"])
+    else:
+        result = solver.solve()
     bdd_log(json.dumps(result, indent=2, default=str))
     return 0
 

@@ -18,15 +18,17 @@ from bdd_tpu.bdd.preprocessor import BddPreprocessor
 
 
 class BatchedInstances:
-    def __init__(self, ilps: Sequence[object]) -> None:
+    def __init__(self, ilps: Sequence[object], pres=None) -> None:
+        """``pres``: optional prebuilt BddPreprocessor per ILP (otherwise
+        built here)."""
         self.pres: List[BddPreprocessor] = []
         self.var_offsets: List[int] = []
         self.bdd_offsets: List[int] = []
         self.collection = BddCollection()
         objective: List[float] = []
         var_off = 0
-        for ilp in ilps:
-            pre = BddPreprocessor(ilp)
+        for idx, ilp in enumerate(ilps):
+            pre = pres[idx] if pres is not None else BddPreprocessor(ilp)
             self.pres.append(pre)
             self.var_offsets.append(var_off)
             self.bdd_offsets.append(self.collection.nr_bdds())

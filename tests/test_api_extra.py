@@ -166,3 +166,46 @@ def test_split_bdds_reference_spelling():
     assert s.config["split implication"] is True
     s2 = BddSolver({"split bdds": {}})
     assert s2.config["split chunk size"] == "auto"
+
+
+def test_solve_batch_serving():
+    """Batched serving: K independent ILPs as one device program with
+    per-instance bounds/solutions; infeasible members flagged."""
+    from bdd_tpu.ilp import parse_lp_string
+
+    lp_feasible = fixtures.COVERING
+    lp_matching = fixtures.MATCHING_3x3
+    lp_infeasible = """Minimize
+x + y
+Subject To
+x + y >= 1
+x + y <= 0
+End"""
+    ilps = [parse_lp_string(t) for t in
+            (lp_feasible, lp_matching, lp_infeasible)]
+    opts = [fixtures.brute_force_ilp_optimum(ilps[0])[0],
+            fixtures.brute_force_ilp_optimum(ilps[1])[0]]
+    s = BddSolver({"termination criteria": {"maximum iterations": 300}})
+    res = s.solve_batch(ilps=ilps, verbose=False)
+    assert len(res) == 3
+    assert res[2]["status"] == "infeasible"
+    for k in (0, 1):
+        assert res[k]["status"] == "solved"
+        # per-instance dual bound is a valid lower bound (weak duality)
+        assert res[k]["lower_bound"] <= opts[k] + 1e-4
+
+
+def test_solve_batch_rounds_feasible():
+    """Without an infeasible member, batched rounding recovers per-instance
+    optimal solutions on LP-tight instances."""
+    from bdd_tpu.ilp import parse_lp_string
+
+    ilps = [parse_lp_string(fixtures.COVERING),
+            parse_lp_string(fixtures.MATCHING_3x3)]
+    opts = [fixtures.brute_force_ilp_optimum(i)[0] for i in ilps]
+    s = BddSolver({"termination criteria": {"maximum iterations": 300}})
+    res = s.solve_batch(ilps=ilps, verbose=False)
+    for k in (0, 1):
+        assert res[k]["status"] == "solved"
+        assert "objective" in res[k]
+        assert res[k]["objective"] == pytest.approx(opts[k], abs=1e-6)
