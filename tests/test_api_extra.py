@@ -209,3 +209,36 @@ def test_solve_batch_rounds_feasible():
         assert res[k]["status"] == "solved"
         assert "objective" in res[k]
         assert res[k]["objective"] == pytest.approx(opts[k], abs=1e-6)
+
+
+def test_serve_jsonl_loop(tmp_path):
+    """Persistent serving mode: JSONL request loop with per-request error
+    isolation, batch requests, and shutdown."""
+    import io
+
+    from bdd_tpu.serve import serve
+
+    lp = tmp_path / "p.lp"
+    lp.write_text(fixtures.COVERING)
+    reqs = [
+        json.dumps({"input": str(lp), "relaxation solver": "ref mma",
+                    "termination criteria": {"maximum iterations": 100}}),
+        "this is not json",
+        json.dumps({"input": str(tmp_path / "missing.lp")}),
+        json.dumps({"inputs": [str(lp), str(lp)],
+                    "termination criteria": {"maximum iterations": 100}}),
+        json.dumps({"shutdown": True}),
+        json.dumps({"input": str(lp)}),  # after shutdown: not served
+    ]
+    out = io.StringIO()
+    n = serve(reqs, out)
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    # bad-json line answered but not counted as a served request; the
+    # post-shutdown request is never served (no 6th line)
+    assert n == 4 and len(lines) == 5
+    assert lines[0]["status"] == "solved" and "wall_s" in lines[0]
+    assert lines[1]["status"] == "error" and "bad json" in lines[1]["message"]
+    assert lines[2]["status"] == "error"
+    assert isinstance(lines[3], list) and len(lines[3]) == 2
+    assert all(r["status"] == "solved" for r in lines[3])
+    assert lines[4]["status"] == "bye"
