@@ -242,3 +242,30 @@ def test_serve_jsonl_loop(tmp_path):
     assert isinstance(lines[3], list) and len(lines[3]) == 2
     assert all(r["status"] == "solved" for r in lines[3])
     assert lines[4]["status"] == "bye"
+
+
+def test_solve_batch_matches_individual_bounds():
+    """Batching is exact: per-instance dual bounds from the batched program
+    equal each instance solved alone (disjoint variable spaces — the exchange
+    never mixes instances)."""
+    import numpy as np
+
+    from bdd_tpu.utils.problems import independent_set, set_cover
+
+    ilps = [independent_set(25, edge_prob=0.15, seed=3),
+            set_cover(15, 30, density=0.2, seed=4),
+            independent_set(20, edge_prob=0.2, seed=5)]
+    individual = []
+    for ilp in ilps:
+        s = BddSolver({"termination criteria": {"maximum iterations": 120},
+                       "perturbation rounding": False,
+                       "use native preprocessing": False})
+        s.read_ilp(lp_string=ilp.write_lp())
+        r = s.solve(verbose=False)
+        individual.append(r["lower_bound"])
+    sb = BddSolver({"termination criteria": {"maximum iterations": 120},
+                    "perturbation rounding": False})
+    res = sb.solve_batch(ilps=list(ilps), verbose=False)
+    for k in range(3):
+        assert res[k]["lower_bound"] == pytest.approx(
+            individual[k], rel=2e-5, abs=2e-4)
