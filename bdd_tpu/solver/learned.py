@@ -54,10 +54,14 @@ def learned_iteration(
     state: uf.UniformState,
     alphas: Tuple[jnp.ndarray, ...],
     omegas: Tuple[jnp.ndarray, ...],
+    delta_reduce=None,
 ) -> uf.UniformState:
     """One dual iteration with per-layer (alpha, omega)
-    (ref: forward/backward_iteration_learned_mm_dist, bdd_cuda_learned_mma.cu:10-171)."""
-    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm)
+    (ref: forward/backward_iteration_learned_mm_dist, bdd_cuda_learned_mma.cu:10-171).
+    ``delta_reduce``: optional cross-shard reduction of the stacked [V+1, 2]
+    delta (psum under shard_map) — multi-chip learned MMA, beyond the
+    reference's single-GPU training."""
+    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm, delta_reduce)
     new_lo, new_hi, new_mm, cfrs = [], [], [], []
     for g, lo, hi, cft, al, om, dl, dh in zip(
         geom.buckets, state.lo, state.hi, state.cft, alphas, omegas, din_lo, din_hi
@@ -72,7 +76,7 @@ def learned_iteration(
     state = uf.UniformState(
         tuple(new_lo), tuple(new_hi), tuple(new_mm), state.cft
     )
-    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm)
+    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm, delta_reduce)
     new_lo, new_hi, new_mm, cfts = [], [], [], []
     for g, lo, hi, cfr, al, om, dl, dh in zip(
         geom.buckets, state.lo, state.hi, cfrs, alphas, omegas, din_lo, din_hi
@@ -87,13 +91,14 @@ def learned_iteration(
     return uf.UniformState(tuple(new_lo), tuple(new_hi), tuple(new_mm), tuple(cfts))
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "delta_reduce"))
 def learned_iterations(
     geom: uf.UniformGeom,
     state: uf.UniformState,
     alphas: Tuple[jnp.ndarray, ...],
     omegas: Tuple[jnp.ndarray, ...],
     n: int,
+    delta_reduce=None,
 ) -> uf.UniformState:
     """n differentiable iterations; per-iteration gradient checkpointing
     bounds memory at one iteration's activations (the reference's
@@ -101,7 +106,7 @@ def learned_iterations(
 
     @jax.checkpoint
     def body(s, _):
-        return learned_iteration(geom, s, alphas, omegas), ()
+        return learned_iteration(geom, s, alphas, omegas, delta_reduce), ()
 
     state, _ = jax.lax.scan(body, state, None, length=n)
     return state
@@ -111,10 +116,11 @@ def distribute_delta_learned(
     geom: uf.UniformGeom,
     state: uf.UniformState,
     alphas: Tuple[jnp.ndarray, ...],
+    delta_reduce=None,
 ) -> uf.UniformState:
     """Fold deferred deltas with learned weights
     (ref: DistributeDeferredDelta, bdd_cuda_torch.py:184-232)."""
-    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm)
+    din_lo, din_hi = uf.exchange_delta(geom, state.def_mm, delta_reduce)
     lo_l, hi_l, mm_l, cft_l = [], [], [], []
     for g, lo, hi, al, dl, dh in zip(
         geom.buckets, state.lo, state.hi, alphas, din_lo, din_hi
@@ -154,11 +160,13 @@ def dual_loss(
     alphas: Tuple[jnp.ndarray, ...],
     omegas: Tuple[jnp.ndarray, ...],
     n: int,
+    delta_reduce=None,
 ) -> jnp.ndarray:
     """-lower_bound after n learned iterations + delta distribution — the
     DOGE training loss (doge.py:356-369)."""
-    out = learned_iterations(geom, state, alphas, omegas, n)
-    out = distribute_delta_learned(geom, out, alphas)
+    out = learned_iterations(geom, state, alphas, omegas, n,
+                             delta_reduce=delta_reduce)
+    out = distribute_delta_learned(geom, out, alphas, delta_reduce)
     lbs = per_bdd_lower_bound(geom, out)
     return -sum(jnp.sum(l) for l in lbs)
 

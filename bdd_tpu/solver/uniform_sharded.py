@@ -353,10 +353,37 @@ class ShardedUniformSolver:
 
             return jax.vmap(per_shard)(geom_s, state_s)
 
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def learned_run(geom_s, state_s, alphas_s, omegas_s, n: int):
+            """n learned-MMA iterations over the mesh: per-layer (alpha,
+            omega) sharded like the state, consensus via the same psum —
+            multi-chip DOGE, beyond the reference's single-GPU training."""
+            from bdd_tpu.solver import learned as ln
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            def fn(geom_blk, state_blk, al_blk, om_blk):
+                geom = jax.tree.map(lambda x: x[0], geom_blk)
+                state = jax.tree.map(lambda x: x[0], state_blk)
+                al = jax.tree.map(lambda x: x[0], al_blk)
+                om = jax.tree.map(lambda x: x[0], om_blk)
+                state = ln.learned_iterations(
+                    geom, state, al, om, n, delta_reduce=psum2
+                )
+                return jax.tree.map(lambda x: x[None], state)
+
+            return fn(geom_s, state_s, alphas_s, omegas_s)
+
         self._run = run
         self._lb = lb
         self._dist = dist
         self._upd = upd
+        self._learned_run = learned_run
 
     # ------------------------------------------------------------- interface
     def iteration(self) -> None:
@@ -367,6 +394,28 @@ class ShardedUniformSolver:
     def iteration_block(self, n: int) -> None:
         self.state_stacked = self._run(
             self.geom_stacked, self.state_stacked, self.omega, n
+        )
+
+    # ------------------------------------------------------- learned (DOGE)
+    def isotropic_alphas(self):
+        """Stacked per-bucket [D, H, B] isotropic distribution weights (the
+        non-learned default) — the template shape for learned parameters."""
+        return tuple(g.alpha for g in self.geom_stacked.buckets)
+
+    def omega_from_per_var(self, omega_vec):
+        """Broadcast a per-variable [V+1] vector to stacked per-layer omegas
+        (differentiable: gradients sum over a variable's layers)."""
+        return tuple(
+            jnp.where(g.layer_valid, omega_vec[g.layer_var], 0.0)
+            for g in self.geom_stacked.buckets
+        )
+
+    def learned_iteration_block(self, alphas, omegas, n: int) -> None:
+        """n learned-MMA iterations with per-layer (alpha, omega) in the
+        stacked [D, H, B] layout (see isotropic_alphas / omega_from_per_var);
+        differentiable through the mesh (jax.grad over the psum consensus)."""
+        self.state_stacked = self._learned_run(
+            self.geom_stacked, self.state_stacked, alphas, omegas, n
         )
 
     def lower_bound(self) -> float:

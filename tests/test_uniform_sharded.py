@@ -145,3 +145,65 @@ def test_sharded_column_packing_parity(n_dev):
         assert sp.lower_bound() == pytest.approx(
             su.lower_bound(), abs=2e-4
         ), f"iter {it}"
+
+
+def test_sharded_learned_iterations_parity_and_grad():
+    """Multi-chip learned MMA (DOGE solver core over the mesh): per-layer
+    omega from a shared [V+1] vector, isotropic alpha. (a) the sharded
+    rollout's bound matches the single-device learned rollout exactly;
+    (b) jax.grad of the post-rollout bound w.r.t. the per-variable omega
+    vector matches between layouts (the psum consensus is differentiable)."""
+    from bdd_tpu.solver import learned as ln
+    from bdd_tpu.solver import uniform as uf
+
+    ilp = grid_mrf(3, 3, 2, seed=7)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    V = pre.total_nr_variables()
+    rng = np.random.RandomState(0)
+    omega_np = 0.2 + 0.6 * rng.rand(V + 1)
+
+    # single-device learned rollout
+    host = uf.flatten_uniform(
+        pre.collection, V, pre.nr_primal_variables, dtype=jnp.float64
+    )
+    state0 = uf.init_uniform_state(host, pre.objective_vector(),
+                                   dtype=jnp.float64)
+
+    def single_lb(ov):
+        omegas = tuple(
+            jnp.where(g.layer_valid, ov[g.layer_var], 0.0)
+            for g in host.geom.buckets
+        )
+        st = ln.learned_iterations(
+            host.geom, state0, ln.isotropic_alpha(host.geom), omegas, 6
+        )
+        st = uf.distribute_delta(host.geom, st)
+        return uf.lower_bound_from_cft(host.geom, st.cft)
+
+    ov = jnp.asarray(omega_np)
+    lb_single, g_single = jax.value_and_grad(single_lb)(ov)
+
+    # sharded learned rollout (4-device mesh)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection, V, pre.objective_vector(), mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables, dtype=jnp.float64,
+    )
+
+    def sharded_lb(ov):
+        omegas = s.omega_from_per_var(ov)
+        out = s._learned_run(
+            s.geom_stacked, s.state_stacked, s.isotropic_alphas(), omegas, 6
+        )
+        return s._lb(s.geom_stacked, out)
+
+    lb_shard, g_shard = jax.value_and_grad(sharded_lb)(ov)
+    assert float(lb_shard) == pytest.approx(float(lb_single), abs=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(g_shard), np.asarray(g_single), atol=1e-9
+    )
+    # the stateful wrapper runs the same program
+    s.learned_iteration_block(s.isotropic_alphas(), s.omega_from_per_var(ov), 6)
+    assert s.lower_bound() == pytest.approx(float(lb_single), abs=1e-9)
