@@ -268,6 +268,25 @@ class BddSolver:
             self.solver = RefSolver(
                 self.flat, obj, dtype=np.float64 if double else np.float32
             )
+        elif name in ("sharded mma", "multi parallel mma"):
+            # BDD-block partition over all visible devices, psum consensus
+            # (the N-way generalization of the reference's 2-way hybrid
+            # CPU/GPU split, bdd_multi_parallel_mma_base.cu:268-455)
+            import jax.numpy as jnp
+
+            from bdd_tpu.solver.uniform_sharded import ShardedUniformSolver
+
+            if double:
+                import jax
+
+                jax.config.update("jax_enable_x64", True)
+            self.solver = ShardedUniformSolver(
+                self.pre.collection,
+                self.pre.total_nr_variables(),
+                obj,
+                nr_primal_vars=self.pre.nr_primal_variables,
+                dtype=jnp.float64 if double else jnp.float32,
+            )
         elif name in ("cuda parallel mma", "jax mma", "mma", "uniform mma",
                       "lbfgs parallel mma", "lbfgs cuda parallel mma",
                       "lbfgs jax mma", "subgradient", "dense mma"):

@@ -207,3 +207,26 @@ def test_sharded_learned_iterations_parity_and_grad():
     # the stateful wrapper runs the same program
     s.learned_iteration_block(s.isotropic_alphas(), s.omega_from_per_var(ov), 6)
     assert s.lower_bound() == pytest.approx(float(lb_single), abs=1e-9)
+
+
+def test_sharded_solver_via_api_config():
+    """'relaxation solver': 'sharded mma' runs the mesh-sharded backend from
+    the JSON pipeline, with rounding, matching the uniform backend's result."""
+    import pytest as _pytest
+
+    from bdd_tpu.api import BddSolver
+
+    lp = fixtures.MATCHING_3x3
+    results = {}
+    for name in ("uniform mma", "sharded mma"):
+        s = BddSolver({
+            "relaxation solver": name,
+            "termination criteria": {"maximum iterations": 150},
+            "use native preprocessing": False,
+        })
+        s.read_ilp(lp_string=lp)
+        results[name] = s.solve(verbose=False)
+    a, b = results["uniform mma"], results["sharded mma"]
+    assert b["status"] == "solved"
+    assert b["lower_bound"] == _pytest.approx(a["lower_bound"], abs=1e-4)
+    assert b["objective"] == _pytest.approx(a["objective"], abs=1e-6)
