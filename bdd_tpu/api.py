@@ -446,6 +446,11 @@ class BddSolver:
             "export difficult core")
         threshold = threshold if threshold is not None else float(
             self.config.get("export difficult core th", 1e-6))
+        # fold pending deferred deltas first: classification from
+        # pre-consensus costs fixes the wrong variables (both rounding paths
+        # distribute before classifying)
+        if hasattr(self.solver, "distribute_delta"):
+            self.solver.distribute_delta()
         m0, m1 = self.solver.min_marginals()
         dec = MmDecoder(self.solver.f, np.asarray(m0), np.asarray(m1))
         n = self.ilp.nr_variables()
@@ -498,6 +503,7 @@ class BddSolver:
                 return None
             order = cfg["variable order"]
             nh = NativeHost(self._lp_text, order if order in ("input", "bfs", "cuthill") else "input")
+            self.var_perm = nh.var_perm()  # for min_marginals(original_order)
         except Exception:
             return None
         if nh.infeasible:
@@ -565,13 +571,17 @@ class BddSolver:
         apply to the joint program)."""
         import jax.numpy as jnp
 
-        from bdd_tpu.solver import uniform as uf
         from bdd_tpu.solver.rounding_device import (
             incremental_mm_rounding_device,
         )
-        from bdd_tpu.solver.uniform_wrapper import UniformLayerView, UniformSolver
+        from bdd_tpu.solver.uniform_wrapper import UniformSolver
         from bdd_tpu.utils.batching import BatchedInstances
 
+        name = self.config["relaxation solver"]
+        if name not in ("uniform mma", "cuda parallel mma", "jax mma", "mma"):
+            raise ValueError(
+                f"solve_batch requires a uniform-mma relaxation solver, "
+                f"got {name!r}")
         if ilps is None:
             ilps = []
             for p in paths:
@@ -581,7 +591,16 @@ class BddSolver:
         n = len(ilps)
         results: list = [None] * n
         pres, live = [], []
+        order = self.config["variable order"]
         for k, ilp in enumerate(ilps):
+            if order == "bfs":
+                ilp.reorder_bfs()
+            elif order == "cuthill":
+                ilp.reorder_cuthill_mckee()
+            elif order in ("minimum degree", "mindegree"):
+                ilp.reorder_minimum_degree()
+            elif order != "input":
+                raise ValueError(f"unknown variable order {order!r}")
             if self.config["normalize constraints"]:
                 ilp.normalize()
             try:
@@ -605,10 +624,10 @@ class BddSolver:
         solver = UniformSolver(bat.collection, bat.nr_vars, bat.objective,
                                dtype=dt)
         self.solver = solver
-        lb = self.solve_dual(verbose=verbose)
-        if math.isinf(lb):  # joint infeasibility: attribute per instance below
-            pass
+        self.solve_dual(verbose=verbose)
         # per-instance lower bounds from the per-BDD decomposition
+        # (a joint-infeasible dual shows up as inf in the affected
+        # instances' per-BDD sums below)
         solver.distribute_delta()
         per_bdd = solver.lower_bound_per_bdd()
         bounds = []

@@ -56,6 +56,8 @@ def load_library():
     lib.bh_objective.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
     lib.bh_var_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.bh_var_name.restype = ctypes.c_char_p
+    lib.bh_var_order.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bh_var_order.restype = ctypes.c_int
     lib.bh_bucket_shape.argtypes = [ctypes.c_void_p, ctypes.c_int] + [
         ctypes.POINTER(ctypes.c_int)
     ] * 4
@@ -152,6 +154,16 @@ class NativeHost:
     def var_names(self) -> List[str]:
         return [
             self._lib.bh_var_name(self._ctx, i).decode()
+            for i in range(self.nr_vars())
+        ]
+
+    def var_perm(self):
+        """Old variable index per new position of the applied reorder, or
+        None when the order was 'input' (identity)."""
+        if self._lib.bh_var_order(self._ctx, 0) < 0:
+            return None
+        return [
+            int(self._lib.bh_var_order(self._ctx, i))
             for i in range(self.nr_vars())
         ]
 

@@ -25,22 +25,38 @@ import sys
 import time
 
 
-def handle_request(config: dict) -> "dict | list":
-    """Solve one request (a JSON solver config) in-process."""
-    from bdd_tpu.api import BddSolver
-
-    if config.get("shutdown"):
-        return {"status": "bye"}
+def handle_request(config) -> "dict | list":
+    """Solve one request (a JSON solver config) in-process. Any failure —
+    including a non-object request — returns an error result; the warm
+    server must never die on a bad request."""
     t0 = time.time()
-    solver = BddSolver(config)
     try:
-        if config.get("inputs"):
-            result = solver.solve_batch(
-                paths=config["inputs"],
-                verbose=bool(config.get("verbose", False)),
-            )
-        else:
-            result = solver.solve(verbose=bool(config.get("verbose", False)))
+        if not isinstance(config, dict):
+            raise TypeError(
+                f"request must be a JSON object, got {type(config).__name__}")
+        if config.get("shutdown"):
+            return {"status": "bye"}
+        import jax
+
+        from bdd_tpu.api import BddSolver
+
+        # 'precision: double' flips the global x64 flag; restore it after
+        # the request so one double request doesn't invalidate the warm
+        # float32 jit cache for every later request
+        x64_before = bool(jax.config.jax_enable_x64)
+        solver = BddSolver(config)
+        try:
+            if config.get("inputs"):
+                result = solver.solve_batch(
+                    paths=config["inputs"],
+                    verbose=bool(config.get("verbose", False)),
+                )
+            else:
+                result = solver.solve(
+                    verbose=bool(config.get("verbose", False)))
+        finally:
+            if bool(jax.config.jax_enable_x64) != x64_before:
+                jax.config.update("jax_enable_x64", x64_before)
     except Exception as exc:  # a bad request must not kill the server
         return {"status": "error", "message": f"{type(exc).__name__}: {exc}"}
     wall = time.time() - t0

@@ -77,8 +77,6 @@ class ShardedUniformSolver:
 
     default_block_size = 25
 
-    default_block_size = 25
-
     def __init__(
         self,
         collection: BddCollection,

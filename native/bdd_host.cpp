@@ -780,6 +780,7 @@ struct Context {
     std::vector<Bucket> buckets;
     std::string err;
     bool infeasible = false;
+    std::vector<int32_t> last_order;  // old index per new position (reorder)
 
     bool build() {
         normalize(ilp);
@@ -964,7 +965,16 @@ int bh_reorder(void* ctx, int mode) {
     if (mode == 0) return 0;
     auto order = bh::bfs_order(c->ilp, mode == 2);
     bh::apply_order(c->ilp, order);
+    c->last_order = order;
     return 0;
+}
+
+// old variable index at new position i of the last reorder; -1 when no
+// reorder was applied (identity) or i out of range
+int bh_var_order(void* ctx, int i) {
+    auto* c = (bh::Context*)ctx;
+    if (i < 0 || i >= (int)c->last_order.size()) return -1;
+    return c->last_order[i];
 }
 
 // returns nr buckets, -1 infeasible, -2 error

@@ -269,3 +269,50 @@ def test_solve_batch_matches_individual_bounds():
     for k in range(3):
         assert res[k]["lower_bound"] == pytest.approx(
             individual[k], rel=2e-5, abs=2e-4)
+
+
+def test_serve_non_object_request_isolated():
+    """A valid-JSON but non-object request must not kill the server loop."""
+    import io
+
+    from bdd_tpu.serve import serve
+
+    reqs = ["42", "[1, 2]", json.dumps({"shutdown": True})]
+    out = io.StringIO()
+    serve(reqs, out)
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert lines[0]["status"] == "error" and "object" in lines[0]["message"]
+    assert lines[1]["status"] == "error"
+    assert lines[2]["status"] == "bye"
+
+
+def test_native_min_marginals_original_order():
+    """With the native fast path + a reorder, min_marginals(original_order=
+    True) permutes back using the native-recorded permutation and matches the
+    python pipeline's result variable-for-variable."""
+    import numpy as np
+
+    lp = fixtures.MATCHING_3x3
+    mms = {}
+    for native in (True, False):
+        s = BddSolver({
+            "relaxation solver": "uniform mma",
+            "variable order": "bfs",
+            "use native preprocessing": native,
+            "termination criteria": {"maximum iterations": 100},
+            "perturbation rounding": False,
+        })
+        s.read_ilp(lp_string=lp)
+        r = s.solve(verbose=False)
+        assert r["status"] == "solved"
+        if native:
+            assert getattr(s, "_native", None) is not None
+            assert s.var_perm is not None  # bh_var_order recorded the reorder
+        s.solver.distribute_delta()
+        mms[native] = s.min_marginals(original_order=True)
+    for v in range(min(len(mms[True]), len(mms[False]))):
+        a, b = mms[True][v], mms[False][v]
+        assert a.shape == b.shape
+        fa, fb = np.isfinite(a), np.isfinite(b)
+        np.testing.assert_array_equal(fa, fb)
+        np.testing.assert_allclose(a[fa], b[fb], atol=5e-4)
