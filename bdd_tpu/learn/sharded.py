@@ -1,0 +1,163 @@
+"""DOGE training over a device mesh — the reference has no multi-GPU
+training story at all (DOGE/doge.py is single-GPU Lightning).
+
+The GNN is tiny and runs replicated on the GLOBAL VIEW of the sharded
+geometry (``ShardedUniformSolver.global_view``: every shard's bucket columns
+side by side — valid because features and predictions are per-column /
+per-(variable, bdd) quantities). The expensive part — the differentiable
+learned-MMA rollout — runs sharded under ``shard_map`` with the psum
+consensus (``ShardedUniformSolver._learned_run``), so gradients flow through
+the mesh collectives.
+
+Per round:
+    view_state  <- concat(state_stacked)          (cheap reshapes)
+    features    <- compute_features(view)          (replicated)
+    alpha/omega <- DogePredictor(features)         (replicated)
+    normalize   <- per-variable over ALL shards    (global view)
+    stacked     <- split back into [D, H, B]
+    rollout     <- sharded learned iterations      (psum consensus)
+loss = -global lower bound after the last round (grad on the last
+``grad_rounds`` rounds, as in DOGE's last-round-gradient protocol,
+doge.py:412-459).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bdd_tpu.learn import features as ft
+from bdd_tpu.learn.model import DogePredictor
+from bdd_tpu.learn.train import TrainConfig
+from bdd_tpu.solver import learned as ln
+
+
+class ShardedDogeTrainer:
+    """Trains a DOGE policy with sharded solver rollouts.
+
+    ``solver``: a ShardedUniformSolver for the training instance.
+    """
+
+    def __init__(self, solver, objective, config: TrainConfig) -> None:
+        self.solver = solver
+        self.cfg = config
+        self.objective = jnp.asarray(np.asarray(objective), solver.dtype)
+        self.view_host = solver.global_view()
+        self.spec = ft.graph_spec(self.view_host)
+        self.model = DogePredictor(
+            dim=config.dim, free_update=config.free_update
+        )
+        self.opt = optax.adam(config.lr)
+        self.params = None
+        self.opt_state = None
+        self.state0 = solver.state_stacked
+
+    # ----------------------------------------------------------------- setup
+    def init(self) -> None:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        var_f, bdd_f, edge_f = self._features(self.state0)
+        self.params = self.model.init(
+            rng, self.spec, var_f, bdd_f, edge_f, lstm_state=None
+        )
+        self.opt_state = self.opt.init(self.params)
+
+    # ------------------------------------------------------------- internals
+    def _features(self, state_stacked):
+        view_state = self._view_state(state_stacked)
+        return ft.compute_features(
+            self.view_host, self.spec, view_state, self.objective,
+            self.cfg.smoothing,
+        )
+
+    def _view_state(self, state_stacked):
+        import bdd_tpu.solver.uniform as uf
+
+        cc = self.solver._concat_cols
+        return uf.UniformState(
+            lo=tuple(cc(x) for x in state_stacked.lo),
+            hi=tuple(cc(x) for x in state_stacked.hi),
+            def_mm=tuple(cc(x) for x in state_stacked.def_mm),
+            cft=tuple(cc(x) for x in state_stacked.cft),
+        )
+
+    def _predict(self, params, state_stacked):
+        var_f, bdd_f, edge_f = self._features(state_stacked)
+        out = self.model.apply(
+            params, self.spec, var_f, bdd_f, edge_f, lstm_state=None
+        )
+        out = list(out)
+        a_logits, o_logits = out[0], out[1]
+        update = None
+        if self.cfg.free_update:
+            update = self.solver.stack_layers(
+                ft.split_like(self.view_host, out[2])
+            )
+        raw = ft.split_like(
+            self.view_host, jnp.exp(jnp.clip(a_logits, -10, 10))
+        )
+        vg = self.view_host.geom
+        alphas_view = ln.normalize_alpha(
+            vg,
+            tuple(jnp.where(g.layer_valid, r, 0.0)
+                  for g, r in zip(vg.buckets, raw)),
+        )
+        alphas = self.solver.stack_layers(alphas_view)
+        omegas = self.solver.stack_layers(tuple(
+            jax.nn.sigmoid(o)
+            for o in ft.split_like(self.view_host, o_logits)
+        ))
+        return alphas, omegas, update
+
+    def _round(self, params, state_stacked):
+        alphas, omegas, update = self._predict(params, state_stacked)
+        if update is not None:
+            state_stacked = state_stacked._replace(
+                hi=tuple(h + u for h, u in zip(state_stacked.hi, update))
+            )
+        state_stacked = self.solver._learned_run(
+            self.solver.geom_stacked, state_stacked, alphas, omegas,
+            self.cfg.iters_per_round,
+        )
+        return state_stacked
+
+    def _loss(self, params, state_stacked):
+        out = self._round(params, state_stacked)
+        return -self.solver._lb(self.solver.geom_stacked, out), out
+
+    # ---------------------------------------------------------------- public
+    def train_step(self):
+        """One epoch over the instance: no-grad rounds, then
+        ``grad_rounds`` rounds with gradients (last-round protocol)."""
+        cfg = self.cfg
+        state = self.state0
+        for _ in range(cfg.nr_rounds - cfg.grad_rounds):
+            state = self._round(self.params, state)
+        state = jax.lax.stop_gradient(state)
+
+        def loss_fn(p):
+            s, total = state, 0.0
+            for _ in range(cfg.grad_rounds):
+                loss, s = self._loss(p, s)
+                total = total + loss
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(self.params)
+        updates, self.opt_state = self.opt.update(
+            grads, self.opt_state, self.params
+        )
+        self.params = optax.apply_updates(self.params, updates)
+        return {"loss": float(loss)}
+
+    def run_learned_rounds(self, nr_rounds=None):
+        """Rollout with the trained policy; returns the global lower bound
+        after each round."""
+        nr_rounds = nr_rounds if nr_rounds is not None else self.cfg.nr_rounds
+        state = self.state0
+        lbs = []
+        for _ in range(nr_rounds):
+            state = self._round(self.params, state)
+            lbs.append(float(
+                self.solver._lb(self.solver.geom_stacked, state)
+            ))
+        return lbs

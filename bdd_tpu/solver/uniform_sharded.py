@@ -169,20 +169,29 @@ class ShardedUniformSolver:
                 B_per_key[k] = max(B_per_key.get(k, 0), g.B)
         geoms = []
         self._shard_hosts = hosts
+        layer_bdd_padded: list = []  # per shard: per bucket [H_key, B_key]
         for h in hosts:
             bl = []
+            lbd = []
             hk = keys_of(h)
             for k in all_keys:
                 if h and k in hk:
+                    idx = hk.index(k)
                     bl.append(
                         _pad_bucket(
-                            h.geom.buckets[hk.index(k)],
+                            h.geom.buckets[idx],
                             B_per_key[k],
                             nr_vars,
                             dtype,
                             H=H_per_key[k],
                         )
                     )
+                    src = np.asarray(h.layer_bdd[idx])
+                    pad = np.full(
+                        (H_per_key[k], B_per_key[k]), -1, dtype=np.int64
+                    )
+                    pad[: src.shape[0], : src.shape[1]] = src
+                    lbd.append(pad)
                 else:
                     bl.append(
                         _empty_bucket(
@@ -193,6 +202,10 @@ class ShardedUniformSolver:
                             packed=packed,
                         )
                     )
+                    lbd.append(np.full(
+                        (H_per_key[k], B_per_key[k]), -1, dtype=np.int64
+                    ))
+            layer_bdd_padded.append(lbd)
             geoms.append(
                 uf.UniformGeom(
                     buckets=tuple(bl),
@@ -225,6 +238,11 @@ class ShardedUniformSolver:
             if all(p is not None for p in plans):
                 geoms = [g._replace(exchange=p) for g, p in zip(geoms, plans)]
         self.geom_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *geoms)
+        # per-bucket GLOBAL-view layer_bdd: shard columns concatenated
+        self._view_layer_bdd = tuple(
+            np.concatenate([lbd[k] for lbd in layer_bdd_padded], axis=-1)
+        for k in range(len(all_keys)))
+        self._nr_bdds_global = collection.nr_bdds()
         self.nr_vars = nr_vars
         self.host = uf.UniformHost(
             geom=geoms[0],  # representative (for shapes only)
@@ -397,6 +415,69 @@ class ShardedUniformSolver:
         )
 
     # ------------------------------------------------------- learned (DOGE)
+    @staticmethod
+    def _concat_cols(x):
+        """[D, ..., B] -> [..., D*B] (shard columns side by side)."""
+        return jnp.concatenate([x[d] for d in range(x.shape[0])], axis=-1)
+
+    def global_view(self):
+        """A single-host ``UniformHost`` view of the sharded geometry: per
+        bucket, every shard's columns concatenated along the column axis.
+        Valid for all PER-COLUMN computations (min marginals, smooth
+        solution, per-BDD lower bounds, features) — columns are independent;
+        the exchange plan is deliberately absent. Cached."""
+        if getattr(self, "_view_host", None) is not None:
+            return self._view_host
+        cc = self._concat_cols
+        buckets = []
+        for g in self.geom_stacked.buckets:
+            buckets.append(uf.BucketGeom(
+                node_valid=cc(g.node_valid),
+                lo_kind=cc(g.lo_kind),
+                lo_slot=cc(g.lo_slot),
+                hi_kind=cc(g.hi_kind),
+                hi_slot=cc(g.hi_slot),
+                layer_valid=cc(g.layer_valid),
+                layer_var=cc(g.layer_var),
+                alpha=cc(g.alpha),
+                root_mask=None if g.root_mask is None else cc(g.root_mask),
+            ))
+        geom = uf.UniformGeom(
+            buckets=tuple(buckets),
+            num_bdds_per_var=self.geom_stacked.num_bdds_per_var[0],
+        )
+        self._view_host = uf.UniformHost(
+            geom=geom,
+            bdd_of_col=tuple(),
+            depths=tuple(),
+            nr_vars=self.nr_vars,
+            nr_primal_vars=self.host.nr_primal_vars,
+            nr_bdds=self._nr_bdds_global,
+            layer_bdd=self._view_layer_bdd,
+        )
+        return self._view_host
+
+    def view_state(self) -> uf.UniformState:
+        """Current sharded state in the global-view layout (see
+        ``global_view``)."""
+        cc = self._concat_cols
+        s = self.state_stacked
+        return uf.UniformState(
+            lo=tuple(cc(x) for x in s.lo),
+            hi=tuple(cc(x) for x in s.hi),
+            def_mm=tuple(cc(x) for x in s.def_mm),
+            cft=tuple(cc(x) for x in s.cft),
+        )
+
+    def stack_layers(self, per_bucket):
+        """Inverse of the view layout for per-layer [H, D*B] arrays: split
+        each bucket's columns back into shard blocks -> stacked [D, H, B]."""
+        D = self.mesh.devices.size
+        out = []
+        for x in per_bucket:
+            out.append(jnp.stack(jnp.split(x, D, axis=-1), axis=0))
+        return tuple(out)
+
     def isotropic_alphas(self):
         """Stacked per-bucket [D, H, B] isotropic distribution weights (the
         non-learned default) — the template shape for learned parameters."""
