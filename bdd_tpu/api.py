@@ -268,7 +268,8 @@ class BddSolver:
             self.solver = RefSolver(
                 self.flat, obj, dtype=np.float64 if double else np.float32
             )
-        elif name in ("sharded mma", "multi parallel mma"):
+        elif name in ("sharded mma", "multi parallel mma",
+                      "lbfgs sharded mma"):
             # BDD-block partition over all visible devices, psum consensus
             # (the N-way generalization of the reference's 2-way hybrid
             # CPU/GPU split, bdd_multi_parallel_mma_base.cu:268-455)
@@ -280,13 +281,29 @@ class BddSolver:
                 import jax
 
                 jax.config.update("jax_enable_x64", True)
-            self.solver = ShardedUniformSolver(
+            base = ShardedUniformSolver(
                 self.pre.collection,
                 self.pre.total_nr_variables(),
                 obj,
                 nr_primal_vars=self.pre.nr_primal_variables,
                 dtype=jnp.float64 if double else jnp.float32,
             )
+            if name.startswith("lbfgs"):
+                from bdd_tpu.solver.lbfgs import LbfgsSolver
+
+                rename = {
+                    "history size": "history_size",
+                    "initial step size": "init_step_size",
+                    "required relative lb increase":
+                        "required_relative_lb_increase",
+                    "step size decrease factor": "step_size_decrease_factor",
+                    "step size increase factor": "step_size_increase_factor",
+                }
+                base = LbfgsSolver(base, **{
+                    rename.get(k, k): v
+                    for k, v in self.config.get("lbfgs", {}).items()
+                })
+            self.solver = base
         elif name in ("cuda parallel mma", "jax mma", "mma", "uniform mma",
                       "lbfgs parallel mma", "lbfgs cuda parallel mma",
                       "lbfgs jax mma", "subgradient", "dense mma"):

@@ -39,11 +39,13 @@ def _tree_axpy(alpha, x, y):
 
 
 class _Ops:
-    """Backend dispatch: dense JaxSolver vs uniform bucketed solver."""
+    """Backend dispatch: dense JaxSolver vs uniform bucketed solver vs the
+    mesh-sharded solver (stacked pytrees; global reductions via psum)."""
 
     def __init__(self, base) -> None:
         self.base = base
         self.dense = isinstance(base, JaxSolver)
+        self.sharded = hasattr(base, "state_stacked")
 
     def grad(self):
         if self.dense:
@@ -52,6 +54,13 @@ class _Ops:
                 self.base.geom.layer_valid,
                 sol.astype(self.base.state.lo.dtype),
                 0.0,
+            )
+        if self.sharded:
+            b = self.base
+            sols = b._sols(b.geom_stacked, b.state_stacked)
+            return tuple(
+                s.astype(l.dtype)
+                for s, l in zip(sols, b.state_stacked.lo)
             )
         from bdd_tpu.solver import uniform as uf
 
@@ -63,6 +72,9 @@ class _Ops:
     def net_costs(self):
         if self.dense:
             return js.net_solver_costs(self.base.geom, self.base.state)
+        if self.sharded:
+            b = self.base
+            return b._netc(b.geom_stacked, b.state_stacked)
         from bdd_tpu.solver import uniform as uf
 
         return uf.net_solver_costs(self.base.geom, self.base.state)
@@ -70,6 +82,9 @@ class _Ops:
     def make_dual_feasible(self, g):
         if self.dense:
             return js.make_dual_feasible(self.base.geom, g)
+        if self.sharded:
+            b = self.base
+            return b._feas(b.geom_stacked, g)
         from bdd_tpu.solver import uniform as uf
 
         return uf.make_dual_feasible(self.base.geom, g)
@@ -77,6 +92,11 @@ class _Ops:
     def gradient_step(self, g, step):
         if self.dense:
             self.base.state = js.gradient_step(self.base.geom, self.base.state, g, step)
+        elif self.sharded:
+            b = self.base
+            b.state_stacked = b._gstep(
+                b.geom_stacked, b.state_stacked, g, step
+            )
         else:
             from bdd_tpu.solver import uniform as uf
 

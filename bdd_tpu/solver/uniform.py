@@ -1261,11 +1261,12 @@ def bdds_solution(geom: UniformGeom, state: UniformState):
     return tuple(out)
 
 
-@jax.jit
-def net_solver_costs(geom: UniformGeom, state: UniformState):
+@functools.partial(jax.jit, static_argnames=("delta_reduce",))
+def net_solver_costs(geom: UniformGeom, state: UniformState, delta_reduce=None):
     """Per-layer net costs x = hi - lo + deferred share, per bucket [H, B]
-    (ref: bdd_parallel_mma_base.cpp:1285-1327)."""
-    din_lo, din_hi = exchange_delta(geom, state.def_mm)
+    (ref: bdd_parallel_mma_base.cpp:1285-1327). ``delta_reduce``: cross-shard
+    reduction of the stacked delta (sharded L-BFGS)."""
+    din_lo, din_hi = exchange_delta(geom, state.def_mm, delta_reduce)
     return tuple(
         jnp.where(g.layer_valid, hi - lo + g.alpha * (dh - dl), 0.0)
         for g, lo, hi, dl, dh in zip(
@@ -1274,16 +1275,19 @@ def net_solver_costs(geom: UniformGeom, state: UniformState):
     )
 
 
-@jax.jit
-def make_dual_feasible(geom: UniformGeom, gs):
+@functools.partial(jax.jit, static_argnames=("sum_reduce",))
+def make_dual_feasible(geom: UniformGeom, gs, sum_reduce=None):
     """Zero-sum projection per primal variable
-    (ref: bdd_parallel_mma_base.cpp:1349-1369)."""
+    (ref: bdd_parallel_mma_base.cpp:1349-1369). ``sum_reduce``: cross-shard
+    reduction of the per-variable sums (psum under shard_map)."""
     V = geom.V
     ids = _exchange_ids(geom)
     flat = jnp.concatenate(
         [jnp.where(g.layer_valid, x, 0.0).ravel() for g, x in zip(geom.buckets, gs)]
     )
     sums = jax.ops.segment_sum(flat, ids, num_segments=V + 1).at[V].set(0.0)
+    if sum_reduce is not None:
+        sums = sum_reduce(sums)
     gathered = sums[ids]
     out = []
     off = 0

@@ -397,11 +397,62 @@ class ShardedUniformSolver:
 
             return fn(geom_s, state_s, alphas_s, omegas_s)
 
+        # ---- L-BFGS primitives over the mesh (ref lbfgs.h:22-27 contract)
+        @jax.jit
+        def netc(geom_s, state_s):
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            def fn(geom_blk, state_blk):
+                geom = jax.tree.map(lambda x: x[0], geom_blk)
+                state = jax.tree.map(lambda x: x[0], state_blk)
+                xs = uf.net_solver_costs(geom, state, delta_reduce=psum2)
+                return jax.tree.map(lambda x: x[None], xs)
+
+            return fn(geom_s, state_s)
+
+        @jax.jit
+        def feas(geom_s, gs_s):
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            def fn(geom_blk, gs_blk):
+                geom = jax.tree.map(lambda x: x[0], geom_blk)
+                gs = jax.tree.map(lambda x: x[0], gs_blk)
+                out = uf.make_dual_feasible(
+                    geom, gs, sum_reduce=lambda s: jax.lax.psum(s, axis)
+                )
+                return jax.tree.map(lambda x: x[None], out)
+
+            return fn(geom_s, gs_s)
+
+        @jax.jit
+        def sols(geom_s, state_s):
+            return jax.vmap(uf.bdds_solution)(geom_s, state_s)
+
+        @jax.jit
+        def gstep(geom_s, state_s, gs_s, step):
+            return jax.vmap(
+                uf.gradient_step, in_axes=(0, 0, 0, None)
+            )(geom_s, state_s, gs_s, step)
+
         self._run = run
         self._lb = lb
         self._dist = dist
         self._upd = upd
         self._learned_run = learned_run
+        self._netc = netc
+        self._feas = feas
+        self._sols = sols
+        self._gstep = gstep
 
     # ------------------------------------------------------------- interface
     def iteration(self) -> None:

@@ -269,3 +269,35 @@ def test_sharded_doge_training():
     assert losses[-1] < losses[0]
     lbs = tr.run_learned_rounds(3)
     assert all(np.isfinite(lbs)) and lbs[-1] >= lbs[0]
+
+
+def test_sharded_lbfgs():
+    """L-BFGS outer loop over the mesh-sharded backend: global reductions
+    (net costs exchange, zero-sum projection) ride the psum; the bound must
+    be finite, monotone-ish, and at least as good as plain MMA at the same
+    budget (L-BFGS falls back to MMA until history fills)."""
+    from bdd_tpu.solver.lbfgs import LbfgsSolver
+
+    ilp = grid_mrf(3, 3, 2, seed=9)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+
+    def make_sharded():
+        return ShardedUniformSolver(
+            pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+            mesh=mesh, nr_primal_vars=pre.nr_primal_variables,
+            dtype=jnp.float64,
+        )
+
+    lb_solver = LbfgsSolver(make_sharded())
+    for _ in range(30):
+        lb_solver.iteration()
+    lb_lbfgs = lb_solver.lower_bound_with_deferred()
+
+    plain = make_sharded()
+    plain.iteration_block(30)
+    lb_plain = plain.lower_bound_with_deferred()
+    assert np.isfinite(lb_lbfgs)
+    assert lb_lbfgs >= lb_plain - 1e-6
