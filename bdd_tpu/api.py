@@ -269,7 +269,7 @@ class BddSolver:
                 self.flat, obj, dtype=np.float64 if double else np.float32
             )
         elif name in ("sharded mma", "multi parallel mma",
-                      "lbfgs sharded mma"):
+                      "lbfgs sharded mma", "subgradient sharded mma"):
             # BDD-block partition over all visible devices, psum consensus
             # (the N-way generalization of the reference's 2-way hybrid
             # CPU/GPU split, bdd_multi_parallel_mma_base.cu:268-455)
@@ -303,6 +303,10 @@ class BddSolver:
                     rename.get(k, k): v
                     for k, v in self.config.get("lbfgs", {}).items()
                 })
+            elif name.startswith("subgradient"):
+                from bdd_tpu.solver.subgradient import SubgradientSolver
+
+                base = SubgradientSolver(base)
             self.solver = base
         elif name in ("cuda parallel mma", "jax mma", "mma", "uniform mma",
                       "lbfgs parallel mma", "lbfgs cuda parallel mma",

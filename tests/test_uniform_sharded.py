@@ -301,3 +301,18 @@ def test_sharded_lbfgs():
     lb_plain = plain.lower_bound_with_deferred()
     assert np.isfinite(lb_lbfgs)
     assert lb_lbfgs >= lb_plain - 1e-6
+
+
+def test_sharded_subgradient_via_api():
+    """Subgradient ascent over the sharded backend (reuses the L-BFGS ops
+    with psum reductions) reaches the LP bound on an LP-tight instance."""
+    from bdd_tpu.api import BddSolver
+
+    s = BddSolver({"relaxation solver": "subgradient sharded mma",
+                   "termination criteria": {"maximum iterations": 80},
+                   "perturbation rounding": False,
+                   "use native preprocessing": False})
+    s.read_ilp(lp_string=fixtures.MATCHING_3x3)
+    r = s.solve(verbose=False)
+    assert r["status"] == "solved"
+    assert r["lower_bound"] == pytest.approx(-6.0, abs=1e-3)
