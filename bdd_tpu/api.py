@@ -516,7 +516,21 @@ class BddSolver:
         if cfg.get("split chunk size"):
             return None  # BDD splitting runs in the python pipeline
         if self._lp_text is None:
-            return None
+            # frontend-built ILPs (UAI MRF, graph matching, generators):
+            # serialize through write_lp so they too get the C++ host
+            # pipeline (parse + order + BDD DP + buckets, ~6x faster than
+            # the python pipeline at scale) — linear-only, no coalesce sets
+            if (
+                self._ilp is not None
+                and not self._ilp.coalesce_sets_
+                and all(c.is_linear() for c in self._ilp.constraints())
+            ):
+                try:
+                    self._lp_text = self._ilp.write_lp()
+                except Exception:
+                    return None
+            else:
+                return None
         try:
             from bdd_tpu.native import NativeHost, NativeUnsupported, available
 

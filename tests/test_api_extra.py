@@ -316,3 +316,28 @@ def test_native_min_marginals_original_order():
         fa, fb = np.isfinite(a), np.isfinite(b)
         np.testing.assert_array_equal(fa, fb)
         np.testing.assert_allclose(a[fa], b[fb], atol=5e-4)
+
+
+def test_native_path_for_frontend_ilps():
+    """ILPs built by frontends/generators (no LP text) are serialized through
+    write_lp so the C++ host pipeline handles them too; result matches the
+    python pipeline."""
+    from bdd_tpu.native import available
+    from bdd_tpu.utils.problems import grid_mrf
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    results = {}
+    for native in (True, False):
+        s = BddSolver({
+            "relaxation solver": "uniform mma",
+            "use native preprocessing": native,
+            "termination criteria": {"maximum iterations": 150},
+            "perturbation rounding": False,
+        })
+        s.read_ilp(ilp=grid_mrf(4, 4, 2, seed=3))
+        r = s.solve(verbose=False)
+        if native:
+            assert getattr(s, "_native", None) is not None
+        results[native] = r["lower_bound"]
+    assert results[True] == pytest.approx(results[False], rel=1e-5, abs=1e-4)

@@ -316,3 +316,40 @@ def test_sharded_subgradient_via_api():
     r = s.solve(verbose=False)
     assert r["status"] == "solved"
     assert r["lower_bound"] == pytest.approx(-6.0, abs=1e-3)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_sharded_parity_fuzz(seed):
+    """Randomized parity: random small ILPs, sharded (8-dev) per-iteration
+    bounds equal the numpy oracle bit-for-bit in float64."""
+    rng = np.random.RandomState(seed)
+    ilp = None
+    from bdd_tpu.ilp.model import ILPInput, Ineq
+
+    ilp = ILPInput()
+    nv = 10
+    for v in range(nv):
+        ilp.add_to_objective(float(rng.randn()), f"x_{v}")
+    for _ in range(6):
+        k = rng.randint(2, 5)
+        vs = sorted(rng.choice(nv, size=k, replace=False).tolist())
+        coeffs = rng.randint(-3, 4, size=k).tolist()
+        if all(c == 0 for c in coeffs):
+            coeffs[0] = 1
+        ineq = [Ineq.LEQ, Ineq.GEQ, Ineq.EQ][rng.randint(3)]
+        # rhs chosen so the constraint is satisfiable
+        lo = sum(min(c, 0) for c in coeffs)
+        hi = sum(max(c, 0) for c in coeffs)
+        rhs = int(rng.randint(lo, hi + 1))
+        ilp.add_linear_constraint(coeffs, [ilp.get_var_index(f"x_{v}") for v in vs], ineq, rhs)
+    ilp.normalize()
+    try:
+        _, s, ref = make(ilp=ilp, n_dev=8)
+    except Exception:
+        pytest.skip("infeasible random instance")
+    for it in range(10):
+        s.iteration_block(1)
+        ref.iteration(0.5)
+        a = s.lower_bound()
+        b = ref.lower_bound_with_deferred()
+        assert a == pytest.approx(b, abs=1e-10), (it, a, b)
