@@ -361,6 +361,7 @@ class BddSolver:
         from bdd_tpu.utils.logging import device_trace
 
         t = self.config["termination criteria"]
+        self.dual_stats = {}
         with device_trace(label="solve_dual"):  # BDD_TPU_TRACE=dir to capture
             lb = run_solver(
                 self.solver,
@@ -370,6 +371,7 @@ class BddSolver:
                 time_limit=t["time limit"],
                 verbose=verbose,
                 block_size=getattr(self.solver, "default_block_size", 1),
+                stats=self.dual_stats,
             )
         if math.isinf(lb):
             self.infeasible = True
@@ -585,7 +587,8 @@ class BddSolver:
                 num_rounding_itr=p["outer iterations"],
                 verbose=verbose,
             )
-        result = {"status": "solved", "lower_bound": float(lb) }
+        result = {"status": "solved", "lower_bound": float(lb),
+                  **self.dual_stats}
         if sol is not None:
             names = nh.var_names()
             x = [int(v) for v in sol[: len(names)]]
@@ -727,7 +730,8 @@ class BddSolver:
         if self.config.get("export difficult core"):
             self.export_difficult_core()
         sol = self.round(verbose=verbose)
-        result = {"status": "solved", "lower_bound": float(lb)}
+        result = {"status": "solved", "lower_bound": float(lb),
+                  **self.dual_stats}
         if sol is not None:
             x = [int(v) for v in sol]
             result["solution"] = {

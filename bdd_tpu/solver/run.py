@@ -21,6 +21,7 @@ def run_solver(
     time_limit: float = 3600.0,
     verbose: bool = True,
     block_size: int = 1,
+    stats: dict = None,
 ) -> float:
     """Iterate until max_iter / time limit / relative tolerance / improvement
     slope vs first-iteration gain / infeasibility (lb = inf).
@@ -28,7 +29,9 @@ def run_solver(
     Exact criteria of run_solver_util.h:37-74:
       - |lb_cur - lb_prev| < |tolerance * lb_prev|
       - |lb_cur - lb_prev| < improvement_slope * |lb_initial - lb_first_iter|
-    Returns the final lower bound."""
+    Returns the final lower bound. ``stats``: optional dict filled with
+    {iterations, solve_time, initial_lower_bound} (solver statistics for the
+    result payload)."""
     assert 0.0 <= improvement_slope < 1.0
     start = time.monotonic()
     lb_initial = s.lower_bound()
@@ -88,4 +91,10 @@ def run_solver(
             break
     if verbose:
         bdd_log(f"[bdd solver] final lower bound = {lb_post:.6f}")
+    if stats is not None:
+        stats.update(
+            iterations=it,
+            solve_time=round(time.monotonic() - start, 4),
+            initial_lower_bound=float(lb_initial),
+        )
     return lb_post
