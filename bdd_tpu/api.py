@@ -61,6 +61,19 @@ def _merge(base: dict, override: dict) -> dict:
     return out
 
 
+
+def _lbfgs_kwargs(config: dict) -> dict:
+    """Accept the reference's spaced JSON keys (README.md:71-76)."""
+    rename = {
+        "history size": "history_size",
+        "initial step size": "init_step_size",
+        "required relative lb increase": "required_relative_lb_increase",
+        "step size decrease factor": "step_size_decrease_factor",
+        "step size increase factor": "step_size_increase_factor",
+    }
+    return {rename.get(k, k): v for k, v in config.get("lbfgs", {}).items()}
+
+
 class BddSolver:
     """The orchestration class (ref: include/bdd_solver/bdd_solver.h:45-103)."""
 
@@ -291,18 +304,7 @@ class BddSolver:
             if name.startswith("lbfgs"):
                 from bdd_tpu.solver.lbfgs import LbfgsSolver
 
-                rename = {
-                    "history size": "history_size",
-                    "initial step size": "init_step_size",
-                    "required relative lb increase":
-                        "required_relative_lb_increase",
-                    "step size decrease factor": "step_size_decrease_factor",
-                    "step size increase factor": "step_size_increase_factor",
-                }
-                base = LbfgsSolver(base, **{
-                    rename.get(k, k): v
-                    for k, v in self.config.get("lbfgs", {}).items()
-                })
+                base = LbfgsSolver(base, **_lbfgs_kwargs(self.config))
             elif name.startswith("subgradient"):
                 from bdd_tpu.solver.subgradient import SubgradientSolver
 
@@ -333,20 +335,7 @@ class BddSolver:
             if name.startswith("lbfgs"):
                 from bdd_tpu.solver.lbfgs import LbfgsSolver
 
-                # accept the reference's spaced JSON keys (README.md:71-76)
-                rename = {
-                    "history size": "history_size",
-                    "initial step size": "init_step_size",
-                    "required relative lb increase":
-                        "required_relative_lb_increase",
-                    "step size decrease factor": "step_size_decrease_factor",
-                    "step size increase factor": "step_size_increase_factor",
-                }
-                lb_cfg = {
-                    rename.get(k, k): v
-                    for k, v in self.config.get("lbfgs", {}).items()
-                }
-                base = LbfgsSolver(base, **lb_cfg)
+                base = LbfgsSolver(base, **_lbfgs_kwargs(self.config))
             elif name == "subgradient":
                 from bdd_tpu.solver.subgradient import SubgradientSolver
 
