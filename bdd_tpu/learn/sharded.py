@@ -46,7 +46,8 @@ class ShardedDogeTrainer:
         self.view_host = solver.global_view()
         self.spec = ft.graph_spec(self.view_host)
         self.model = DogePredictor(
-            dim=config.dim, free_update=config.free_update
+            dim=config.dim, free_update=config.free_update,
+            use_lstm_var=config.use_lstm_var,
         )
         self.opt = optax.adam(config.lr)
         self.params = None
@@ -54,11 +55,17 @@ class ShardedDogeTrainer:
         self.state0 = solver.state_stacked
 
     # ----------------------------------------------------------------- setup
+    def _zero_lstm(self):
+        if not self.cfg.use_lstm_var:
+            return None
+        return self.model.zero_lstm_state(self.spec.nr_vars)
+
     def init(self) -> None:
         rng = jax.random.PRNGKey(self.cfg.seed)
         var_f, bdd_f, edge_f = self._features(self.state0)
         self.params = self.model.init(
-            rng, self.spec, var_f, bdd_f, edge_f, lstm_state=None
+            rng, self.spec, var_f, bdd_f, edge_f,
+            lstm_state=self._zero_lstm(),
         )
         self.opt_state = self.opt.init(self.params)
 
@@ -81,13 +88,15 @@ class ShardedDogeTrainer:
             cft=tuple(cc(x) for x in state_stacked.cft),
         )
 
-    def _predict(self, params, state_stacked):
+    def _predict(self, params, state_stacked, lstm=None):
         var_f, bdd_f, edge_f = self._features(state_stacked)
         out = self.model.apply(
-            params, self.spec, var_f, bdd_f, edge_f, lstm_state=None
+            params, self.spec, var_f, bdd_f, edge_f, lstm_state=lstm
         )
         out = list(out)
         a_logits, o_logits = out[0], out[1]
+        if self.cfg.use_lstm_var:
+            lstm = out[-1]
         update = None
         if self.cfg.free_update:
             update = self.solver.stack_layers(
@@ -107,10 +116,12 @@ class ShardedDogeTrainer:
             jax.nn.sigmoid(o)
             for o in ft.split_like(self.view_host, o_logits)
         ))
-        return alphas, omegas, update
+        return alphas, omegas, update, lstm
 
-    def _round(self, params, state_stacked):
-        alphas, omegas, update = self._predict(params, state_stacked)
+    def _round(self, params, state_stacked, lstm=None):
+        alphas, omegas, update, lstm = self._predict(
+            params, state_stacked, lstm
+        )
         if update is not None:
             state_stacked = state_stacked._replace(
                 hi=tuple(h + u for h, u in zip(state_stacked.hi, update))
@@ -119,11 +130,11 @@ class ShardedDogeTrainer:
             self.solver.geom_stacked, state_stacked, alphas, omegas,
             self.cfg.iters_per_round,
         )
-        return state_stacked
+        return state_stacked, lstm
 
-    def _loss(self, params, state_stacked):
-        out = self._round(params, state_stacked)
-        return -self.solver._lb(self.solver.geom_stacked, out), out
+    def _loss(self, params, state_stacked, lstm=None):
+        out, lstm = self._round(params, state_stacked, lstm)
+        return -self.solver._lb(self.solver.geom_stacked, out), out, lstm
 
     # ---------------------------------------------------------------- public
     def train_step(self):
@@ -131,14 +142,17 @@ class ShardedDogeTrainer:
         ``grad_rounds`` rounds with gradients (last-round protocol)."""
         cfg = self.cfg
         state = self.state0
+        lstm = self._zero_lstm()
         for _ in range(cfg.nr_rounds - cfg.grad_rounds):
-            state = self._round(self.params, state)
+            state, lstm = self._round(self.params, state, lstm)
         state = jax.lax.stop_gradient(state)
+        if lstm is not None:
+            lstm = jax.lax.stop_gradient(lstm)
 
         def loss_fn(p):
-            s, total = state, 0.0
+            s, l, total = state, lstm, 0.0
             for _ in range(cfg.grad_rounds):
-                loss, s = self._loss(p, s)
+                loss, s, l = self._loss(p, s, l)
                 total = total + loss
             return total
 
@@ -154,9 +168,10 @@ class ShardedDogeTrainer:
         after each round."""
         nr_rounds = nr_rounds if nr_rounds is not None else self.cfg.nr_rounds
         state = self.state0
+        lstm = self._zero_lstm()
         lbs = []
         for _ in range(nr_rounds):
-            state = self._round(self.params, state)
+            state, lstm = self._round(self.params, state, lstm)
             lbs.append(float(
                 self.solver._lb(self.solver.geom_stacked, state)
             ))

@@ -353,3 +353,29 @@ def test_sharded_parity_fuzz(seed):
         a = s.lower_bound()
         b = ref.lower_bound_with_deferred()
         assert a == pytest.approx(b, abs=1e-10), (it, a, b)
+
+
+def test_sharded_doge_lstm_variant():
+    """The per-variable LSTM head (ref model.py:244-282) also works in the
+    sharded trainer: state carried across rounds, training stays finite."""
+    from bdd_tpu.learn.sharded import ShardedDogeTrainer
+    from bdd_tpu.learn.train import TrainConfig
+    from bdd_tpu.utils.problems import independent_set
+
+    ilp = independent_set(20, edge_prob=0.2, seed=8)
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+        mesh=mesh, nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float32,
+    )
+    cfg = TrainConfig(dim=8, nr_rounds=3, iters_per_round=3, grad_rounds=1,
+                      use_lstm_var=True)
+    tr = ShardedDogeTrainer(s, pre.objective_vector(), cfg)
+    tr.init()
+    losses = [tr.train_step()["loss"] for _ in range(2)]
+    assert all(np.isfinite(losses))
+    lbs = tr.run_learned_rounds(2)
+    assert all(np.isfinite(lbs))
