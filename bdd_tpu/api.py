@@ -746,7 +746,7 @@ def main(argv=None) -> int:
         solver = BddSolver(config)
     else:
         solver = BddSolver({"input": arg})
-    if solver.config.get("inputs"):  # batched serving mode
+    if "inputs" in solver.config:  # batched serving mode
         result = solver.solve_batch(paths=solver.config["inputs"])
     else:
         result = solver.solve()

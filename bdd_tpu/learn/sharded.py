@@ -78,15 +78,7 @@ class ShardedDogeTrainer:
         )
 
     def _view_state(self, state_stacked):
-        import bdd_tpu.solver.uniform as uf
-
-        cc = self.solver._concat_cols
-        return uf.UniformState(
-            lo=tuple(cc(x) for x in state_stacked.lo),
-            hi=tuple(cc(x) for x in state_stacked.hi),
-            def_mm=tuple(cc(x) for x in state_stacked.def_mm),
-            cft=tuple(cc(x) for x in state_stacked.cft),
-        )
+        return self.solver.view_state(state_stacked)
 
     def _predict(self, params, state_stacked, lstm=None):
         var_f, bdd_f, edge_f = self._features(state_stacked)
@@ -133,46 +125,83 @@ class ShardedDogeTrainer:
         return state_stacked, lstm
 
     def _loss(self, params, state_stacked, lstm=None):
-        out, lstm = self._round(params, state_stacked, lstm)
-        return -self.solver._lb(self.solver.geom_stacked, out), out, lstm
+        """-bound after the round's rollout, with the deferred deltas
+        distributed by the LEARNED alphas (single-host dual_loss semantics,
+        learned.distribute_delta_learned) so the alpha head gets gradient
+        from the final distribution step too."""
+        alphas, omegas, update, lstm = self._predict(
+            params, state_stacked, lstm
+        )
+        if update is not None:
+            state_stacked = state_stacked._replace(
+                hi=tuple(h + u for h, u in zip(state_stacked.hi, update))
+            )
+        out = self.solver._learned_run(
+            self.solver.geom_stacked, state_stacked, alphas, omegas,
+            self.cfg.iters_per_round,
+        )
+        loss = -self.solver._learned_lb(
+            self.solver.geom_stacked, out, alphas
+        )
+        return loss, out, lstm
+
+    def _get_jitted(self):
+        """Jit the whole epoch body once (eager flax is catastrophic on a
+        remote backend — CLAUDE.md gotcha 3 — and re-tracing value_and_grad
+        per epoch is wasteful everywhere)."""
+        if getattr(self, "_jitted", None) is not None:
+            return self._jitted
+        cfg = self.cfg
+
+        @jax.jit
+        def step(params, opt_state, state0, lstm0):
+            state, lstm = state0, lstm0
+            for _ in range(cfg.nr_rounds - cfg.grad_rounds):
+                state, lstm = self._round(params, state, lstm)
+            state = jax.lax.stop_gradient(state)
+            if lstm is not None:
+                lstm = jax.lax.stop_gradient(lstm)
+
+            def loss_fn(p):
+                s, l, total = state, lstm, 0.0
+                for _ in range(cfg.grad_rounds):
+                    loss, s, l = self._loss(p, s, l)
+                    total = total + loss
+                return total
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return loss, params, opt_state
+
+        @jax.jit
+        def rollout(params, state, lstm):
+            state, lstm = self._round(params, state, lstm)
+            lb = self.solver._lb(self.solver.geom_stacked, state)
+            return state, lstm, lb
+
+        self._jitted = (step, rollout)
+        return self._jitted
 
     # ---------------------------------------------------------------- public
     def train_step(self):
         """One epoch over the instance: no-grad rounds, then
         ``grad_rounds`` rounds with gradients (last-round protocol)."""
-        cfg = self.cfg
-        state = self.state0
-        lstm = self._zero_lstm()
-        for _ in range(cfg.nr_rounds - cfg.grad_rounds):
-            state, lstm = self._round(self.params, state, lstm)
-        state = jax.lax.stop_gradient(state)
-        if lstm is not None:
-            lstm = jax.lax.stop_gradient(lstm)
-
-        def loss_fn(p):
-            s, l, total = state, lstm, 0.0
-            for _ in range(cfg.grad_rounds):
-                loss, s, l = self._loss(p, s, l)
-                total = total + loss
-            return total
-
-        loss, grads = jax.value_and_grad(loss_fn)(self.params)
-        updates, self.opt_state = self.opt.update(
-            grads, self.opt_state, self.params
+        step, _ = self._get_jitted()
+        loss, self.params, self.opt_state = step(
+            self.params, self.opt_state, self.state0, self._zero_lstm()
         )
-        self.params = optax.apply_updates(self.params, updates)
         return {"loss": float(loss)}
 
     def run_learned_rounds(self, nr_rounds=None):
         """Rollout with the trained policy; returns the global lower bound
         after each round."""
         nr_rounds = nr_rounds if nr_rounds is not None else self.cfg.nr_rounds
+        _, rollout = self._get_jitted()
         state = self.state0
         lstm = self._zero_lstm()
         lbs = []
         for _ in range(nr_rounds):
-            state, lstm = self._round(self.params, state, lstm)
-            lbs.append(float(
-                self.solver._lb(self.solver.geom_stacked, state)
-            ))
+            state, lstm, lb = rollout(self.params, state, lstm)
+            lbs.append(float(lb))
         return lbs

@@ -46,7 +46,7 @@ def handle_request(config) -> "dict | list":
         x64_before = bool(jax.config.jax_enable_x64)
         solver = BddSolver(config)
         try:
-            if config.get("inputs"):
+            if "inputs" in config:
                 result = solver.solve_batch(
                     paths=config["inputs"],
                     verbose=bool(config.get("verbose", False)),
@@ -65,6 +65,20 @@ def handle_request(config) -> "dict | list":
     return result
 
 
+def _json_safe(x):
+    """RFC-8259-safe payload: json.dumps would emit the non-standard
+    ``Infinity``/``NaN`` tokens for non-finite floats (infeasible solves have
+    lower_bound = inf), which strict parsers reject — encode them as
+    strings."""
+    if isinstance(x, dict):
+        return {k: _json_safe(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_json_safe(v) for v in x]
+    if isinstance(x, float) and (x != x or x in (float("inf"), float("-inf"))):
+        return repr(x)
+    return x
+
+
 def serve(lines, out) -> int:
     """Run the request loop over an iterable of JSONL lines; returns the
     number of requests served."""
@@ -81,7 +95,7 @@ def serve(lines, out) -> int:
             out.flush()
             continue
         result = handle_request(config)
-        out.write(json.dumps(result, default=str) + "\n")
+        out.write(json.dumps(_json_safe(result), default=str) + "\n")
         out.flush()
         n += 1
         if isinstance(result, dict) and result.get("status") == "bye":

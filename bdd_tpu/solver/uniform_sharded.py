@@ -397,6 +397,41 @@ class ShardedUniformSolver:
 
             return fn(geom_s, state_s, alphas_s, omegas_s)
 
+        @jax.jit
+        def learned_lb(geom_s, state_s, alphas_s):
+            """Global bound after distributing the deferred deltas with the
+            LEARNED alphas (the single-host dual_loss semantics,
+            learned.distribute_delta_learned) — not the isotropic weights."""
+            from bdd_tpu.solver import learned as ln
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis)),
+                out_specs=P(),
+                check_vma=False,
+            )
+            def fn(geom_blk, state_blk, al_blk):
+                geom = jax.tree.map(lambda x: x[0], geom_blk)
+                state = jax.tree.map(lambda x: x[0], state_blk)
+                al = jax.tree.map(lambda x: x[0], al_blk)
+                s = ln.distribute_delta_learned(
+                    geom, state, al, delta_reduce=psum2
+                )
+                return jax.lax.psum(
+                    uf.lower_bound_from_cft(geom, s.cft), axis
+                )
+
+            return fn(geom_s, state_s, alphas_s)
+
+        # jitted per-(shard, bucket) min marginals in the layer-view order
+        @jax.jit
+        def mms(geom_s, state_s):
+            def per_shard(geom, state):
+                return uf.min_marginals_all(geom, state)
+
+            return jax.vmap(per_shard)(geom_s, state_s)
+
         # ---- L-BFGS primitives over the mesh (ref lbfgs.h:22-27 contract)
         @jax.jit
         def netc(geom_s, state_s):
@@ -453,6 +488,8 @@ class ShardedUniformSolver:
         self._feas = feas
         self._sols = sols
         self._gstep = gstep
+        self._learned_lb = learned_lb
+        self._mms = mms
 
     # ------------------------------------------------------------- interface
     def iteration(self) -> None:
@@ -508,11 +545,11 @@ class ShardedUniformSolver:
         )
         return self._view_host
 
-    def view_state(self) -> uf.UniformState:
-        """Current sharded state in the global-view layout (see
-        ``global_view``)."""
+    def view_state(self, state=None) -> uf.UniformState:
+        """A sharded state (default: the current one) in the global-view
+        layout (see ``global_view``)."""
         cc = self._concat_cols
-        s = self.state_stacked
+        s = state if state is not None else self.state_stacked
         return uf.UniformState(
             lo=tuple(cc(x) for x in s.lo),
             hi=tuple(cc(x) for x in s.hi),
@@ -562,18 +599,15 @@ class ShardedUniformSolver:
 
     def min_marginals(self):
         """Concatenated per-(shard, bucket) [H*B] min marginals matching the
-        layer view built in __init__."""
-        import numpy as np
-
-        D = self.geom_stacked.num_bdds_per_var.shape[0]
+        layer view built in __init__ (one jitted vmapped program; the eager
+        per-(shard, bucket) loop was a rounding-loop hotspot)."""
+        res = self._mms(self.geom_stacked, self.state_stacked)
+        D = self.mesh.devices.size
         m0_l, m1_l = [], []
-        for d in range(self.mesh.devices.size):
-            geom = jax.tree.map(lambda x: x[d], self.geom_stacked)
-            state = jax.tree.map(lambda x: x[d], self.state_stacked)
-            for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
-                m0, m1 = uf.bucket_min_marginals(g, lo, hi)
-                m0_l.append(np.asarray(m0).ravel())
-                m1_l.append(np.asarray(m1).ravel())
+        for d in range(D):
+            for m0, m1 in res:
+                m0_l.append(np.asarray(m0[d]).ravel())
+                m1_l.append(np.asarray(m1[d]).ravel())
         return np.concatenate(m0_l), np.concatenate(m1_l)
 
     def update_costs(self, lo_per_var, hi_per_var) -> None:

@@ -341,3 +341,32 @@ def test_native_path_for_frontend_ilps():
             assert getattr(s, "_native", None) is not None
         results[native] = r["lower_bound"]
     assert results[True] == pytest.approx(results[False], rel=1e-5, abs=1e-4)
+
+
+def test_serve_json_strict_and_empty_batch(tmp_path):
+    """Serve output is RFC-8259-strict (no Infinity token for infeasible
+    bounds) and an empty batch returns []."""
+    import io
+
+    from bdd_tpu.serve import serve
+
+    lp = tmp_path / "inf.lp"
+    lp.write_text("""Minimize
+x + y
+Subject To
+x + y >= 1
+x + y <= 0
+End""")
+    reqs = [
+        json.dumps({"input": str(lp),
+                    "termination criteria": {"maximum iterations": 10}}),
+        json.dumps({"inputs": []}),
+        json.dumps({"shutdown": True}),
+    ]
+    out = io.StringIO()
+    serve(reqs, out)
+    raw_lines = out.getvalue().splitlines()
+    assert "Infinity" not in raw_lines[0]
+    r0 = json.loads(raw_lines[0])
+    assert r0["status"] == "infeasible" and r0["lower_bound"] == "inf"
+    assert json.loads(raw_lines[1]) == []
