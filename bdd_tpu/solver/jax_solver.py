@@ -268,8 +268,16 @@ def _hop_cost_update(
     diff = jnp.where(both, m1 - m0, 0.0)
     diff = jnp.where(jnp.isnan(diff), 0.0, diff)
     mm_rm = omega_row * diff
-    new_lo = jnp.where(fin0, lo_row - jnp.maximum(-mm_rm, 0.0), INF) + alpha_row * din_lo
-    new_hi = jnp.where(fin1, hi_row - jnp.maximum(mm_rm, 0.0), INF) + alpha_row * din_hi
+    # double-where around alpha*din (same as uniform._hop_cost_update): the
+    # multiply must never see an infinite primal — its VJP computes
+    # cotangent 0 x inf = NaN under jax.grad; alpha·(±inf) == ±inf for
+    # alpha>0, so re-adding the infinity additively keeps forward values
+    dfin0 = jnp.isfinite(din_lo)
+    dfin1 = jnp.isfinite(din_hi)
+    dlo = alpha_row * jnp.where(dfin0, din_lo, 0.0) + jnp.where(dfin0, 0.0, din_lo)
+    dhi = alpha_row * jnp.where(dfin1, din_hi, 0.0) + jnp.where(dfin1, 0.0, din_hi)
+    new_lo = jnp.where(fin0, lo_row - jnp.maximum(-mm_rm, 0.0), INF) + dlo
+    new_hi = jnp.where(fin1, hi_row - jnp.maximum(mm_rm, 0.0), INF) + dhi
     def_mm = jnp.where(both, mm_rm, jnp.where(fin1, -INF, INF))
     new_lo = jnp.where(lvalid, new_lo, 0.0)
     new_hi = jnp.where(lvalid, new_hi, 0.0)

@@ -242,7 +242,7 @@ def build_exchange_plan(
 
     benes_fwd = benes_inv = None
     benes_dists: Tuple[int, ...] = ()
-    if force_C is None and _use_benes(N):
+    if force_C is None and _use_benes():
         from bdd_tpu.solver import benes as bn
 
         Np = _pow2(N)
@@ -490,6 +490,28 @@ def _ffd_pack(depths: np.ndarray, cap: int):
     return col, row0, ncols
 
 
+
+def _pack_candidates(max_d: int) -> List[int]:
+    """Candidate packed-column heights: multiples of the deepest member
+    (deeper columns pack tighter but add serial scan latency)."""
+    if max_d > PACK_H_CAP:
+        return [max_d]
+    return sorted(
+        {min(m * max_d, max(PACK_H_CAP, max_d)) for m in (1, 2, 3, 4)}
+    )
+
+
+def _pack_eval(deps: np.ndarray, cap: int):
+    """FFD-pack ``deps`` under ``cap``; returns (cost, col, row0, H, B)
+    under the shared TPU cost model (bucket area + PACK_LAMBDA per serial
+    row). The SINGLE source of the model — choose_pack_caps (globally pooled
+    caps for sharding) and pack_uniform_host must agree on it."""
+    col, row0, nc = _ffd_pack(deps, cap)
+    H = int((row0 + deps).max())
+    B = _pad_to(nc, 128 if nc >= 128 else 8)
+    return H * B + PACK_LAMBDA * H, col, row0, H, B
+
+
 def choose_pack_caps(
     depths_by_class: Dict[int, np.ndarray]
 ) -> Dict[Tuple[int, int], int]:
@@ -512,15 +534,9 @@ def choose_pack_caps(
             if max_d > PACK_H_CAP:
                 caps[(int(P), ti)] = max_d
                 continue
-            cands = sorted(
-                {min(m * max_d, max(PACK_H_CAP, max_d)) for m in (1, 2, 3, 4)}
-            )
             best = None
-            for cap in cands:
-                col, row0, nc = _ffd_pack(deps, cap)
-                H = int((row0 + deps).max())
-                B = _pad_to(nc, 128 if nc >= 128 else 8)
-                cost = H * B + PACK_LAMBDA * H
+            for cap in _pack_candidates(max_d):
+                cost = _pack_eval(deps, cap)[0]
                 if best is None or cost < best[0]:
                     best = (cost, cap)
             caps[(int(P), ti)] = best[1]
@@ -587,23 +603,11 @@ def pack_uniform_host(
             max_d = int(deps.max())
             if caps is not None:
                 cands = [max(caps.get((int(P), ti), max_d), max_d)]
-            # candidate column heights: multiples of the deepest member
-            # (deeper columns pack tighter but add serial scan latency)
-            elif max_d <= PACK_H_CAP:
-                cands = sorted(
-                    {
-                        min(m * max_d, max(PACK_H_CAP, max_d))
-                        for m in (1, 2, 3, 4)
-                    }
-                )
             else:
-                cands = [max_d]
+                cands = _pack_candidates(max_d)
             best = None
             for cap in cands:
-                col, row0, nc = _ffd_pack(deps, cap)
-                H = int((row0 + deps).max())
-                B = _pad_to(nc, 128 if nc >= 128 else 8)
-                cost = H * B + PACK_LAMBDA * H
+                cost, col, row0, H, B = _pack_eval(deps, cap)
                 if best is None or cost < best[0]:
                     best = (cost, col, row0, H, B)
             _, col, row0, H, B = best
@@ -813,11 +817,15 @@ def bucket_forward_run(g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.n
 
 
 def bucket_min_marginals(
-    g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray
+    g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray, cft=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``cft``: optional precomputed clean backward run of (lo, hi) — every
+    state-mutating op in this module ends with a backward refresh, so
+    ``state.cft`` always qualifies and saves one backward sweep."""
     P = g.P
     cfr = bucket_forward_run(g, lo, hi)
-    cft = bucket_backward_run(g, lo, hi)
+    if cft is None:
+        cft = bucket_backward_run(g, lo, hi)
     cft_next = jnp.concatenate(
         [cft[1:], jnp.full((1, P, g.B), INF, dtype=lo.dtype)], axis=0
     )
@@ -942,23 +950,6 @@ def _exchange_ids(geom: UniformGeom) -> jnp.ndarray:
     return jnp.concatenate([g.layer_var.ravel() for g in geom.buckets])
 
 
-def compute_delta(
-    geom: UniformGeom, def_mm: Tuple[jnp.ndarray, ...]
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-variable deferred delta pair [V+1] each (sentinel slot zeroed).
-    One fused segment-sum over the concatenated layer slots of all buckets —
-    irregular memory ops are the TPU bottleneck, so the exchange runs exactly
-    once per half-sweep with stacked (lo, hi) values."""
-    ids = _exchange_ids(geom)
-    mm_flat = jnp.concatenate([m.ravel() for m in def_mm])
-    contrib = jnp.stack(
-        [jnp.maximum(-mm_flat, 0.0), jnp.maximum(mm_flat, 0.0)], axis=-1
-    )
-    dsum = jax.ops.segment_sum(contrib, ids, num_segments=geom.V + 1)
-    dsum = dsum.at[geom.V].set(0.0)
-    return dsum[:, 0], dsum[:, 1]
-
-
 USE_PERM_EXCHANGE = os.environ.get("BDD_TPU_PERM_EXCHANGE", "1") != "0"
 
 # POLICY: float64 configs keep the segment-sum exchange by default so every
@@ -983,7 +974,7 @@ def _perm_exchange_ok(dtype) -> bool:
 _BENES_MODE = os.environ.get("BDD_TPU_BENES", "0")
 
 
-def _use_benes(N: int) -> bool:
+def _use_benes() -> bool:
     return _BENES_MODE == "1"
 
 
@@ -1214,8 +1205,10 @@ def lower_bound(geom: UniformGeom, state: UniformState) -> jnp.ndarray:
 @jax.jit
 def min_marginals_all(geom: UniformGeom, state: UniformState):
     return tuple(
-        bucket_min_marginals(g, lo, hi)
-        for g, lo, hi in zip(geom.buckets, state.lo, state.hi)
+        bucket_min_marginals(g, lo, hi, cft)
+        for g, lo, hi, cft in zip(
+            geom.buckets, state.lo, state.hi, state.cft
+        )
     )
 
 
@@ -1226,9 +1219,8 @@ def bdds_solution(geom: UniformGeom, state: UniformState):
     formulation of bdds_solution_cuda, bdd_cuda_base.cu:1104-1233): every
     bucket advances all its BDDs' path pointers one hop per scan step."""
     out = []
-    for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
+    for g, lo, hi, cft in zip(geom.buckets, state.lo, state.hi, state.cft):
         P = g.P
-        cft = bucket_backward_run(g, lo, hi)
         cft_next = jnp.concatenate(
             [cft[1:], jnp.full((1, P, g.B), INF, dtype=lo.dtype)], axis=0
         )

@@ -231,12 +231,24 @@ class ShardedUniformSolver:
                     int(np.bincount(rv, minlength=nr_vars).max()) if rv.size else 0
                 )
             c_glob = max(max(c_loc), 1)
-            plans = [
-                uf.build_exchange_plan(i, v, nr_vars, force_C=c_glob)
-                for i, v in zip(shard_ids, shard_valid)
-            ]
-            if all(p is not None for p in plans):
-                geoms = [g._replace(exchange=p) for g, p in zip(geoms, plans)]
+            # force_C plans have no extended columns, so apply the same
+            # skew guard build_exchange_plan uses for local plans: a
+            # heavy-tailed count distribution (C_glob*Vp >> E) would blow
+            # the sort volume — fall back to the segment exchange instead
+            E = len(shard_ids[0])
+            Vp = uf._pad_to(nr_vars + 1, 128)
+            # the blowup only matters when the absolute sort volume is
+            # material (small instances pass regardless: their N is tiny)
+            if c_glob * Vp <= 4.0 * max(E, 1) or c_glob * Vp <= (1 << 20):
+                plans = [
+                    uf.build_exchange_plan(i, v, nr_vars, force_C=c_glob)
+                    for i, v in zip(shard_ids, shard_valid)
+                ]
+                if all(p is not None for p in plans):
+                    geoms = [
+                        g._replace(exchange=p)
+                        for g, p in zip(geoms, plans)
+                    ]
         self.geom_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *geoms)
         # per-bucket GLOBAL-view layer_bdd: shard columns concatenated
         self._view_layer_bdd = tuple(
