@@ -209,14 +209,16 @@ class BddCollection:
         return out
 
     def fixed_variables(self, bdd_nr: int) -> Tuple[List[int], List[int]]:
-        """Variables forced to 0 / 1 in every accepting assignment."""
+        """Variables forced to 0 / 1 in every accepting assignment
+        (O(support x nodes) via the forcing solution counter — the previous
+        solutions() enumeration was 2^|support|)."""
         support = self.variables(bdd_nr)
-        can_be = {v: [False, False] for v in support}
-        for sol in self.solutions(bdd_nr):
-            for v, val in sol.items():
-                can_be[v][val] = True
-        zeros = [v for v in support if not can_be[v][1]]
-        ones = [v for v in support if not can_be[v][0]]
+        zeros, ones = [], []
+        for v in support:
+            if self.nr_solutions(bdd_nr, positive_variables=[v]) == 0:
+                zeros.append(v)
+            if self.nr_solutions(bdd_nr, negative_variables=[v]) == 0:
+                ones.append(v)
         return zeros, ones
 
     # -------------------------------------------------------------------- qbdd
@@ -260,16 +262,19 @@ class BddCollection:
             return d if c_local == TOP else pos[nodes[c_local][0]]
 
         def mkchain(p: int, c_local: int, tp: int) -> int:
-            """Don't-care chain covering support positions p..tp-1, then c."""
-            if p == tp:
-                return c_local
-            key = (p, c_local)
-            if key in chain_memo:
-                return chain_memo[key]
-            child = mkchain(p + 1, c_local, tp)
-            nodes.append((support[p], child, child))
-            chain_memo[key] = len(nodes) - 1
-            return chain_memo[key]
+            """Don't-care chain covering support positions p..tp-1, then c
+            (iterative bottom-up: big-M constraints skip thousands of levels,
+            which would blow Python's recursion limit)."""
+            child = c_local
+            for q in range(tp - 1, p - 1, -1):
+                key = (q, c_local)
+                hit = chain_memo.get(key)
+                if hit is not None:
+                    child = hit
+                    continue
+                nodes.append((support[q], child, child))
+                child = chain_memo[key] = len(nodes) - 1
+            return child
 
         def route(p_from: int, c_local: int) -> int:
             if c_local == BOT:
@@ -437,7 +442,14 @@ class BddCollection:
             rest = i + 1 if i + 1 < len(lits) else BOT
             nodes.append((v, rest, TOP) if v in pos else (v, TOP, rest))
         clause = scratch.add_bdd(nodes)
-        return scratch.bdd_or([f, clause], out)
+        try:
+            return scratch.bdd_or([f, clause], out)
+        except ValueError:
+            # the relaxation became a tautology (e.g. at-most-one(x, y)
+            # ∨ x ∨ y): represent 'true' as a single don't-care node so
+            # tightening can keep (or drop) the constraint instead of
+            # crashing
+            return out.add_bdd([(lits[0], TOP, TOP)])
 
     def invert(self, bdd_nr: int, variables) -> None:
         """Substitute x_v ← ¬x_v for the given variables by swapping lo/hi
@@ -721,36 +733,46 @@ class BddCollection:
                         mapping[(b, v)] = (0.0, float(per_var[v]))
             costs = mapping
         lines_obj, lines_cons = [], []
-        var_terms = {}
+        var_terms: Dict[Tuple[int, int], List[str]] = {}
         for b in range(self.nr_bdds()):
             s, e = self.node_range(b)
             incoming = {i: [] for i in range(s, e)}
-            incoming["top"] = []
+            outgoing = {i: [] for i in range(s, e)}
             for i in range(s, e):
                 for c, kind in ((self.lo[i], "lo"), (self.hi[i], "hi")):
+                    if c == BOT:
+                        continue  # no flow may enter the rejecting sink
                     arc = f"f_{b}_{i}_{kind}"
-                    if c == TOP:
-                        incoming["top"].append(arc)
-                    elif c != BOT:
+                    outgoing[i].append(arc)
+                    if c != TOP:
                         incoming[c].append(arc)
                     cost = costs.get((b, self.var[i]), (0.0, 0.0))
                     w = cost[1] if kind == "hi" else cost[0]
                     if w:
-                        lines_obj.append(f"+ {w:.12g} {arc}")
+                        lines_obj.append(f"{w:+.12g} {arc}")
                     if kind == "hi":
                         var_terms.setdefault((b, self.var[i]), []).append(arc)
             root = self.root(b)
-            lines_cons.append(
-                f"f_{b}_{root}_lo + f_{b}_{root}_hi = 1"
-            )
+            lines_cons.append(" + ".join(outgoing[root]) + " = 1")
             for i in range(s, e):
                 if i == root:
                     continue
                 inc = " + ".join(incoming[i])
-                if inc:
-                    lines_cons.append(
-                        f"{inc} - f_{b}_{i}_lo - f_{b}_{i}_hi = 0"
-                    )
+                outs = " - ".join(outgoing[i])
+                if inc and outs:
+                    lines_cons.append(f"{inc} - {outs} = 0")
+                elif inc:  # all arcs lead to BOT: node unreachable by flow
+                    lines_cons.append(f"{inc} = 0")
+        # per-variable coupling: every BDD containing v must route the same
+        # amount of hi flow (the Lagrange-coupled copies agree)
+        by_var: Dict[int, List[Tuple[int, List[str]]]] = {}
+        for (b, v), arcs in var_terms.items():
+            by_var.setdefault(v, []).append((b, arcs))
+        for v, groups in sorted(by_var.items()):
+            groups.sort()
+            first = " + ".join(groups[0][1])
+            for b, arcs in groups[1:]:
+                lines_cons.append(f"{first} - " + " - ".join(arcs) + " = 0")
         out = ["Minimize", " ".join(lines_obj) or "0", "Subject To"]
         out.extend(lines_cons)
         out.append("End")
@@ -796,30 +818,30 @@ def _topo_sort(
     """Order nodes reachable from ``root`` by depth (root first, children after
     parents). Children referenced by index into ``nodes`` or sentinels."""
     assert not is_terminal(root)
-    depth: Dict[int, int] = {root: 0}
-    order_seen: List[int] = [root]
-    # longest-path depth via repeated relaxation over a DFS preorder is fragile;
-    # compute via topological structure: children always have larger local index
-    # is NOT guaranteed here, so do BFS + relax until fixpoint (DAG, small).
-    changed = True
-    while changed:
-        changed = False
-        frontier = list(depth.keys())
-        for n in frontier:
-            for c in (nodes[n][1], nodes[n][2]):
-                if is_terminal(c):
-                    continue
-                nd = depth[n] + 1
-                if depth.get(c, -1) < nd:
-                    if c not in depth:
-                        order_seen.append(c)
-                    depth[c] = nd
-                    changed = True
-    order = sorted(depth.keys(), key=lambda n: (depth[n], n))
-    assert order[0] == root or depth[order[0]] == 0
-    if order[0] != root:
-        order.remove(root)
-        order.insert(0, root)
+    # iterative DFS postorder of the reachable sub-DAG (child indices carry
+    # no order guarantee here), then one longest-path relaxation pass over
+    # the reversed postorder (a parents-first topological order): O(V + E)
+    seen: Dict[int, bool] = {}
+    post: List[int] = []
+    stack: List[Tuple[int, bool]] = [(root, False)]
+    while stack:
+        n, done = stack.pop()
+        if done:
+            post.append(n)
+            continue
+        if n in seen:
+            continue
+        seen[n] = True
+        stack.append((n, True))
+        for c in (nodes[n][1], nodes[n][2]):
+            if not is_terminal(c) and c not in seen:
+                stack.append((c, False))
+    depth: Dict[int, int] = {n: 0 for n in post}
+    for n in reversed(post):
+        for c in (nodes[n][1], nodes[n][2]):
+            if not is_terminal(c):
+                depth[c] = max(depth[c], depth[n] + 1)
+    order = sorted(post, key=lambda n: (depth[n], n))
     new_id = {n: i for i, n in enumerate(order)}
     out = []
     for n in order:

@@ -24,6 +24,7 @@
 #include <queue>
 #include <stdexcept>
 #include <string>
+#include <atomic>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -209,7 +210,14 @@ inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
             std::string var;
             if (!ps.read_ident(var)) {
                 if (have_coeff) {
-                    side_constant += (int64_t)std::llround(sign * coeff);
+                    double sc0 = sign * coeff;
+                    if (sc0 != std::llround(sc0)) {
+                        // python parser keeps fractional constants exact;
+                        // rounding here would silently change the model
+                        err = "non-integral additive constant";
+                        return false;
+                    }
+                    side_constant += (int64_t)std::llround(sc0);
                     continue;
                 }
                 err = "constraint: expected variable near '" +
@@ -274,6 +282,12 @@ inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
                     ps.skip_ws();
                     if (ps.p + 1 < ps.end && ps.p[0] == '<' && ps.p[1] == '=') {
                         ps.p += 2;
+                        if (num != 0 && num != 1) {
+                            // the python parser only accepts 0/1 bounds and
+                            // raises otherwise — mirror, don't misinterpret
+                            err = "bounds: non-binary lower bound";
+                            return false;
+                        }
                         std::string var;
                         if (!ps.read_ident(var)) { err = "bounds: expected var"; return false; }
                         int32_t v = ilp.get_or_create(var);
@@ -282,7 +296,11 @@ inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
                         if (ps.p + 1 < ps.end && ps.p[0] == '<' && ps.p[1] == '=') {
                             ps.p += 2;
                             double ub;
-                            if (ps.read_number(ub) && ub == 0) zero_fix.push_back(v);
+                            if (!ps.read_number(ub) || (ub != 0 && ub != 1)) {
+                                err = "bounds: non-binary upper bound";
+                                return false;
+                            }
+                            if (ub == 0) zero_fix.push_back(v);
                         }
                         continue;
                     }
@@ -296,11 +314,19 @@ inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
                     ps.p++;
                     double val;
                     if (!ps.read_number(val)) { err = "bounds: expected value"; return false; }
+                    if (val != 0 && val != 1) {
+                        err = "bounds: non-binary fixation";
+                        return false;
+                    }
                     (val == 1 ? one_fix : zero_fix).push_back(v);
                 } else if (ps.p + 1 < ps.end && ps.p[0] == '<' && ps.p[1] == '=') {
                     ps.p += 2;
                     double ub;
                     if (!ps.read_number(ub)) { err = "bounds: expected bound"; return false; }
+                    if (ub != 0 && ub != 1) {
+                        err = "bounds: non-binary upper bound";
+                        return false;
+                    }
                     if (ub == 0) zero_fix.push_back(v);
                 } else {
                     err = "bounds: parse error";
@@ -794,15 +820,26 @@ struct Context {
         const size_t nc = ilp.constraints.size();
         std::vector<QbddOut> results(nc);
         std::vector<int8_t> status(nc, 0);
+        std::atomic<bool> thrown{false};
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 64)
 #endif
         for (size_t ci = 0; ci < nc; ++ci) {
-            BddNodes raw;
-            int r = build_inequality_bdd(ilp.constraints[ci], raw);
-            status[ci] = (int8_t)r;
-            if (r == 1) make_qbdd(raw, results[ci]);
+            // an exception escaping an OpenMP region calls std::terminate,
+            // bypassing bh_build's try/catch and the python fallback —
+            // capture it and re-raise after the join instead
+            try {
+                BddNodes raw;
+                int r = build_inequality_bdd(ilp.constraints[ci], raw);
+                status[ci] = (int8_t)r;
+                if (r == 1) make_qbdd(raw, results[ci]);
+            } catch (...) {
+                thrown.store(true);
+            }
         }
+        if (thrown.load())
+            throw std::runtime_error(
+                "exception during parallel BDD construction");
         for (size_t ci = 0; ci < nc; ++ci) {
             if (status[ci] == -1) {
                 infeasible = true;

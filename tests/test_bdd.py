@@ -410,3 +410,83 @@ def test_nr_solutions_forced():
             if all(a[v] == 1 for v in pos) and all(a[v] == 0 for v in neg):
                 brute += int(col.evaluate(b, x))
         assert col.nr_solutions(b, pos, neg) == brute
+
+
+def test_write_bdd_lp_exact_relaxation():
+    """The arc-flow LP export (write_bdd_lp) is a faithful encoding: no flow
+    may escape through BOT arcs (forced variables keep their cost) and the
+    per-variable coupling rows tie the BDD copies together — the 0/1 optimum
+    of the exported LP equals the original ILP optimum (BDD flow polytopes
+    have integral vertices)."""
+    from bdd_tpu.bdd.preprocessor import BddPreprocessor
+    from bdd_tpu.ilp import parse_lp_string
+    from tests.fixtures import brute_force_ilp_optimum
+
+    for lp_text in (
+        # two BDDs sharing both variables (coupling rows are load-bearing:
+        # without them each BDD would optimize its copy independently)
+        """Minimize
+-2 x1 - 1 x2
+Subject To
+x1 + x2 <= 1
+x1 + x2 >= 1
+End""",
+        # forced variable: x1 = x2 = 1 (the BOT-leak case: a path exiting
+        # through the rejecting arc would dodge the positive cost)
+        """Minimize
+3 x1 + 2 x2 + x3
+Subject To
+x1 + x2 = 2
+x1 + x3 >= 1
+End""",
+    ):
+        ilp = parse_lp_string(lp_text)
+        opt, _ = brute_force_ilp_optimum(ilp)
+        pre = BddPreprocessor(ilp)
+        flow_lp = parse_lp_string(
+            pre.collection.write_bdd_lp(pre.objective_vector())
+        )
+        flow_opt, _ = brute_force_ilp_optimum(flow_lp)
+        assert flow_opt == pytest.approx(opt, abs=1e-9)
+
+
+def test_make_qbdd_deep_dont_care_chain():
+    """Big-M-style constraints skip thousands of support levels; make_qbdd's
+    chain construction must not recurse per level (regression:
+    RecursionError at ~1000 skipped levels)."""
+    from bdd_tpu.bdd.collection import BOT, TOP, BddCollection
+
+    n = 3000
+    col = BddCollection()
+    # support = x0..x_{n-1}; the root's lo arc jumps straight to TOP,
+    # skipping n-1 support levels -> make_qbdd must materialize the chain
+    nodes = [(0, TOP, 1)]
+    for j in range(1, n - 1):
+        nodes.append((j, j + 1, j + 1))
+    nodes.append((n - 1, TOP, TOP))
+    b = col.add_bdd(nodes)
+    q = col.make_qbdd(b)
+    assert col.is_qbdd(q)
+    assert col.nr_bdd_nodes(q) >= 2 * (n - 1)  # both branches full-depth
+
+
+def test_bdd_or_var_tautology():
+    """Relaxing a constraint into a tautology returns a trivially-true BDD
+    instead of raising (cut tightening may legitimately do this)."""
+    c = Constraint([1, 1], [(0,), (1,)], Ineq.LEQ, 1)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    t = col.bdd_or_var(b, positive_variables=[0, 1])
+    for bits in range(4):
+        x = [(bits >> i) & 1 for i in range(2)]
+        assert col.evaluate(t, x)
+
+
+def test_fixed_variables_large_support():
+    """fixed_variables is polynomial (regression: 2^|support| enumeration)."""
+    n = 30
+    c = Constraint([1] * n, [(v,) for v in range(n)], Ineq.GEQ, n)
+    col = BddCollection()
+    b = bdd_from_inequality(c, col)
+    zeros, ones = col.fixed_variables(b)
+    assert zeros == [] and ones == list(range(n))

@@ -180,3 +180,19 @@ x + x >= 3
 End"""
     )
     assert nh.infeasible
+
+
+def test_native_declines_fractional_constants_and_bounds():
+    """Fractional additive constants and non-binary Bounds must make the
+    native parser decline (python fallback) instead of silently rounding
+    (regression: 'x - 0.5 <= 0' was llround-ed to a DIFFERENT model)."""
+    from bdd_tpu.native import NativeHost, NativeUnsupported
+
+    for lp in (
+        "Minimize\n-1 x\nSubject To\nx - 0.5 <= 0\nEnd",
+        "Minimize\nx + y\nSubject To\nx + y >= 1\nBounds\nx = 0.5\nEnd",
+        "Minimize\nx + y\nSubject To\nx + y >= 1\nBounds\n0.5 <= x\nEnd",
+        "Minimize\nx + y\nSubject To\nx + y >= 1\nBounds\nx <= 0.5\nEnd",
+    ):
+        with pytest.raises(Exception):
+            NativeHost(lp, "input")
