@@ -78,7 +78,9 @@ def build_inequality_bdd_nodes(
             g = math.gcd(g, c)
         if g > 1:
             if ineq == Ineq.LEQ:
-                rhs = math.floor(rhs / g)
+                # exact integer floor: float division loses precision past
+                # 2^53 and would change the feasible set
+                rhs = int(rhs) // g if rhs == int(rhs) else math.floor(rhs / g)
             else:
                 if rhs % g != 0:
                     return ALWAYS_FALSE
@@ -187,7 +189,9 @@ def bdd_from_inequality(
     """
     assert constraint.is_linear(), "nonlinear constraints need monomial expansion"
     variables = [m[0] for m in constraint.monomials]
-    assert variables == sorted(variables), "constraint must be normalized"
+    assert all(
+        variables[i] < variables[i + 1] for i in range(len(variables) - 1)
+    ), "constraint must be normalized (strictly ascending, no duplicates)"
     nodes = build_inequality_bdd_nodes(
         constraint.coefficients, constraint.ineq, constraint.rhs
     )

@@ -47,15 +47,15 @@ class BddPreprocessor:
         chooses direct conversion when nr_vars<=64 or max_coeff<=100 — the DP
         here handles far larger coefficients directly, so the default threshold
         is generous)."""
-        self.ilp = ilp
         self.collection = BddCollection()
         self.ineq_to_bdd_nrs: List[List[int]] = []
-        self.nr_primal_variables = ilp.nr_variables()
         self.nr_aux_variables = 0
 
         self._coef_threshold = coefficient_decomposition_threshold
         ilp = self._linearize_nonlinear(ilp)
         ilp = self._decompose_huge_coefficients(ilp)
+        # "primal" counts POST-transform variables (product vars and
+        # coefficient copies included); split_qbdd aux vars come on top
         self.nr_primal_variables = ilp.nr_variables()
         ilp.normalize()
         if not ilp.preprocess():
@@ -127,6 +127,7 @@ class BddPreprocessor:
         out.constant_ = ilp.constant_
         out.coalesce_sets_ = [list(s) for s in ilp.coalesce_sets_]
         prod_var: Dict[Tuple[int, ...], int] = {}
+        links: List[Tuple[List[int], List[int], Ineq, int]] = []
         for c in ilp.constraints():
             coeffs: List[int] = []
             monos: List[Tuple[int, ...]] = []
@@ -145,16 +146,20 @@ class BddPreprocessor:
                     y = out.add_new_variable("prod_" + "_".join(map(str, key)))
                     prod_var[key] = y
                     for v in key:
-                        out.add_linear_constraint([1, -1], [y, v], Ineq.LEQ, 0)
-                    out.add_linear_constraint(
+                        links.append(([1, -1], [y, v], Ineq.LEQ, 0))
+                    links.append((
                         [1] + [-1] * len(key),
                         [y] + list(key),
                         Ineq.GEQ,
                         -(len(key) - 1),
-                    )
+                    ))
                 coeffs.append(coeff)
                 monos.append((y,))
             out.add_constraint(coeffs, monos, c.ineq, c.rhs, c.name)
+        # Fortet linking constraints go AFTER the main constraints so the
+        # original constraint indices (and thus coalesce sets) are preserved
+        for lc, lv, li, lr in links:
+            out.add_linear_constraint(lc, lv, li, lr)
         return out
 
     def _decompose_huge_coefficients(self, ilp: ILPInput) -> ILPInput:
@@ -162,16 +167,19 @@ class BddPreprocessor:
         copies x_k with coefficient 2^k * b_k, coupled by an all_equal
         constraint. Keeps the lineq DP state space small for pathological
         coefficient ranges."""
-        from bdd_tpu.ilp.model import Ineq
-
-        needs = [
-            c
-            for c in ilp.constraints()
+        # direct conversion is preferred when the DP state space stays
+        # small: few variables bound the per-level states regardless of the
+        # coefficient magnitudes (ref bdd_preprocessor.cpp:214 gate:
+        # nr_vars <= 64 or max_coeff small -> direct)
+        needs_idx = {
+            i
+            for i, c in enumerate(ilp.constraints())
             if c.is_linear()
             and c.coefficients
             and max(abs(x) for x in c.coefficients) > self._coef_threshold
-        ]
-        if not needs:
+            and len(c.variables()) > 64
+        }
+        if not needs_idx:
             return ilp
         out = ILPInput()
         for name in ilp.var_names:
@@ -187,8 +195,8 @@ class BddPreprocessor:
                 lst.append(out.add_new_variable(f"copy_{v}_{len(lst)}"))
             return lst[k]
 
-        for c in ilp.constraints():
-            if c not in needs:
+        for ci, c in enumerate(ilp.constraints()):
+            if ci not in needs_idx:
                 out.add_constraint(c.coefficients, c.monomials, c.ineq, c.rhs, c.name)
                 continue
             coeffs: List[int] = []

@@ -371,12 +371,20 @@ class ILPInput:
         terms = []
         for v, o in enumerate(self.objective_):
             terms.append(f"{o:+.12g} {self.var_names[v]}")
+        if self.constant_:
+            terms.append(f"{self.constant_:+.12g}")
         out.append(" ".join(terms) if terms else "0")
         out.append("Subject To")
-        for c in self.constraints_:
+        # constraints referenced by a coalesce set need a name in the output
+        # (the parser resolves coalesce members by name only)
+        need_name = {i for s in self.coalesce_sets_ for i in s
+                     if not self.constraints_[i].name}
+        for ci, c in enumerate(self.constraints_):
             parts = []
             if c.name:
                 parts.append(f"{c.name}:")
+            elif ci in need_name:
+                parts.append(f"c{ci}:")
             for coeff, m in zip(c.coefficients, c.monomials):
                 mono = "*".join(self.var_names[v] for v in m)
                 parts.append(f"{coeff:+d} {mono}")
@@ -393,6 +401,10 @@ class ILPInput:
         return "\n".join(out) + "\n"
 
     def write_opb(self) -> str:
+        if any(o != int(o) for o in self.objective_):
+            raise ValueError(
+                "OPB requires integral objective coefficients "
+                "(truncation would change the objective)")
         terms = " ".join(
             f"{int(o):+d} {self.var_names[v]}" for v, o in enumerate(self.objective_)
         )

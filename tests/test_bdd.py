@@ -490,3 +490,53 @@ def test_fixed_variables_large_support():
     b = bdd_from_inequality(c, col)
     zeros, ones = col.fixed_variables(b)
     assert zeros == [] and ones == list(range(n))
+
+
+def test_huge_coefficients_few_variables_direct():
+    """Few-variable constraints with huge coefficients take the DIRECT DP
+    (states bounded by 2^n), not binary decomposition (regression: a 3-var
+    constraint with 2^25 coefficients hung the decomposed DP)."""
+    import time
+
+    big = (1 << 25) - 1
+    c = Constraint([big, big, big], [(0,), (1,), (2,)], Ineq.LEQ, (1 << 25) + 4)
+    from bdd_tpu.ilp.model import ILPInput
+
+    ilp = ILPInput()
+    for n in "abc":
+        ilp.add_new_variable(n)
+    ilp.add_to_objective(1.0, "a")
+    ilp.add_constraint(c.coefficients, c.monomials, c.ineq, c.rhs)
+    t0 = time.time()
+    pre = BddPreprocessor(ilp)
+    assert time.time() - t0 < 5.0
+    # exactly one constraint BDD + free-var bdds; semantics preserved
+    b = 0
+    for bits in range(8):
+        x = [(bits >> i) & 1 for i in range(3)]
+        assert pre.collection.evaluate(b, x) == c.evaluate(x)
+
+
+def test_linearization_preserves_coalesce_indices():
+    """Fortet linking constraints are appended AFTER the originals so
+    coalesce sets keep pointing at the intended constraints."""
+    from bdd_tpu.bdd.preprocessor import BddPreprocessor
+    from bdd_tpu.ilp import parse_lp_string
+
+    ilp = parse_lp_string("""Minimize
+x + y + z
+Subject To
+n0: x*y + x <= 1
+n1: x + y >= 1
+n2: y + z >= 1
+Coalesce
+n1 n2
+End""")
+    pre = BddPreprocessor(ilp)
+    lin = pre.ilp
+    # original constraints keep indices 0..2 with their names
+    assert [c.name for c in lin.constraints()[:3]] == ["n0", "n1", "n2"]
+    assert lin.coalesce_sets_ == [[1, 2]]
+    # linking constraints live at the tail
+    assert all(c.name is None or c.name == "" or not c.name
+               for c in lin.constraints()[3:])

@@ -161,3 +161,33 @@ def test_connected_components():
     ilp = parse_lp_string(fixtures.TWO_SIMPLEX)
     comps = ilp.connected_components()
     assert len(comps) == 2
+
+
+def test_write_lp_roundtrip_constant_and_unnamed_coalesce():
+    """write_lp emits the objective constant and names coalesce-referenced
+    unnamed constraints so its own output parses (regression: round-trip
+    raised 'unknown constraint name in Coalesce')."""
+    from bdd_tpu.ilp import parse_lp_string
+    from bdd_tpu.ilp.model import ILPInput, Ineq
+
+    ilp = ILPInput()
+    ilp.add_to_objective(1.0, "x")
+    ilp.add_to_objective(2.0, "y")
+    ilp.constant_ = 5.0
+    ilp.add_linear_constraint([1, 1], [0, 1], Ineq.LEQ, 1)
+    ilp.add_linear_constraint([1, -1], [0, 1], Ineq.GEQ, 0)
+    ilp.add_coalesce_set([0, 1])
+    rt = parse_lp_string(ilp.write_lp())
+    assert rt.constant_ == 5.0
+    assert rt.coalesce_sets_ == [[0, 1]]
+    assert rt.evaluate([1, 0]) == ilp.evaluate([1, 0])
+
+
+def test_write_opb_rejects_fractional_objective():
+    from bdd_tpu.ilp.model import ILPInput, Ineq
+
+    ilp = ILPInput()
+    ilp.add_to_objective(0.75, "x")
+    ilp.add_linear_constraint([1], [0], Ineq.LEQ, 1)
+    with pytest.raises(ValueError):
+        ilp.write_opb()
