@@ -97,12 +97,19 @@ def wedelin_rounding(
                 f"[wedelin rounding] iter {it} kappa {kappa:.3f}: "
                 f"one {n1} zero {n0} equal {neq} inconsistent {ninc}"
             )
-        # mm-proportional per-variable strength
+        # mm-proportional strength, per (var, bdd) layer as in the
+        # reference (hxx:240 uses |m1_ij - m0_ij| per layer — a variable-
+        # averaged |sum| would vanish exactly on mixed-sign inconsistent
+        # variables, the ones the push must break)
+        valid_all = flat.valid_layer_mask()
         with np.errstate(invalid="ignore"):
-            mm_abs = np.abs(
-                np.where(np.isfinite(dec.sum1 - dec.sum0), dec.sum1 - dec.sum0, 0.0)
-            ) / np.maximum(flat.num_bdds_per_var, 1)
-        Delta = kappa / (1 - kappa) * mm_abs + delta
+            d_layer = m1 - m0
+        abs_layer = np.where(
+            valid_all & np.isfinite(d_layer), np.abs(d_layer), 0.0
+        )
+        counts = np.maximum(flat.num_bdds_per_var, 1)
+        abs_sum = np.zeros(V)
+        np.add.at(abs_sum, flat.layer_var[valid_all], abs_layer[valid_all])
         t = dec.types
         r = rng.uniform(-delta, delta, size=V)
         push_lo = (t == MM_ONE) | (((t == MM_EQUAL) | (t == MM_INCONSISTENT)) & (r < 0))
@@ -111,20 +118,25 @@ def wedelin_rounding(
             # per-(var,bdd) perturbation bookkeeping with exponential decay
             # (the reference's p / p_delta layer arrays,
             # incremental_mm_agreement_rounding.hxx:190-196)
-            valid = flat.valid_layer_mask()
             lv = flat.layer_var
+            lvc = np.minimum(lv, V - 1)
+            Delta_layer = kappa / (1 - kappa) * abs_layer + delta
             d_lo = -(1 - theta) * p_lo
             d_hi = -(1 - theta) * p_hi
-            dl = np.where(push_lo[np.minimum(lv, V - 1)] & valid, Delta[np.minimum(lv, V - 1)], 0.0)
-            dh = np.where(push_hi[np.minimum(lv, V - 1)] & valid, Delta[np.minimum(lv, V - 1)], 0.0)
+            dl = np.where(push_lo[lvc] & valid_all, Delta_layer, 0.0)
+            dh = np.where(push_hi[lvc] & valid_all, Delta_layer, 0.0)
             d_lo = d_lo + dl
             d_hi = d_hi + dh
             s.update_layer_costs(d_lo, d_hi)
             p_lo += d_lo
             p_hi += d_hi
         else:
-            d_lo = -(1 - theta) * p_lo + np.where(push_lo, Delta, 0.0)
-            d_hi = -(1 - theta) * p_hi + np.where(push_hi, Delta, 0.0)
+            # per-variable totals matching the per-layer magnitudes:
+            # update_costs splits by 1/num_bdds per layer, so the total is
+            # sum_j Delta_ij = kappa/(1-kappa) * sum_j |mm_ij| + n * delta
+            Delta_total = kappa / (1 - kappa) * abs_sum + delta * counts
+            d_lo = -(1 - theta) * p_lo + np.where(push_lo, Delta_total, 0.0)
+            d_hi = -(1 - theta) * p_hi + np.where(push_hi, Delta_total, 0.0)
             s.update_costs(d_lo, d_hi)
             p_lo += d_lo
             p_hi += d_hi
@@ -186,6 +198,11 @@ def save_state(s, path: str) -> None:
             "kind": type(s).__name__,
             "state": jax_tree_to_numpy(s.state),
         }
+    elif hasattr(s, "state_stacked"):  # ShardedUniformSolver
+        blob = {
+            "kind": type(s).__name__,
+            "state": jax_tree_to_numpy(s.state_stacked),
+        }
     else:  # RefSolver
         blob = {
             "kind": "RefSolver",
@@ -208,15 +225,28 @@ def load_state(s, path: str) -> None:
     else:
         import jax
 
-        template = s.state
+        sharded = not hasattr(s, "state") and hasattr(s, "state_stacked")
+        template = s.state_stacked if sharded else s.state
         arrays = blob["state"]
-        s.state = jax.tree.unflatten(
+        leaves = jax.tree.leaves(template)
+        if len(arrays) != len(leaves) or any(
+            np.asarray(a).shape != t.shape for a, t in zip(arrays, leaves)
+        ):
+            raise ValueError(
+                f"checkpoint does not match the solver's state structure "
+                f"({len(arrays)} vs {len(leaves)} leaves / shape mismatch) "
+                "— geometry/backend mismatch")
+        new = jax.tree.unflatten(
             jax.tree.structure(template),
             [
                 jax.numpy.asarray(a, dtype=t.dtype)
-                for a, t in zip(arrays, jax.tree.leaves(template))
+                for a, t in zip(arrays, leaves)
             ],
         )
+        if sharded:
+            s.state_stacked = new
+        else:
+            s.state = new
 
 
 def jax_tree_to_numpy(tree):

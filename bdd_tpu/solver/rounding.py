@@ -36,7 +36,13 @@ class MmDecoder:
         valid = flat.valid_layer_mask()
         v = flat.layer_var[valid]
         V = flat.nr_vars
-        d = m1[valid] - m0[valid]
+        with np.errstate(invalid="ignore"):
+            d = m1[valid] - m0[valid]
+        # inf - inf -> NaN (layer infeasible both ways); mirror the device
+        # classifier (_classify): infinite m0 side prefers 1, else prefers 0
+        d = np.where(
+            np.isfinite(d), d, np.where(np.isfinite(m0[valid]), 1e9, -1e9)
+        )
         with np.errstate(invalid="ignore"):
             dmax = np.full(V, -np.inf)
             dmin = np.full(V, np.inf)

@@ -87,14 +87,7 @@ def _perturb(geom: uf.UniformGeom, state: uf.UniformState, types, sum0, sum1, ke
     )
     lo_u = jnp.concatenate([lo_upd, jnp.zeros(1, lo_upd.dtype)]).astype(state.lo[0].dtype)
     hi_u = jnp.concatenate([hi_upd, jnp.zeros(1, hi_upd.dtype)]).astype(state.lo[0].dtype)
-    lo_l, hi_l, cft_l = [], [], []
-    for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
-        nl = jnp.where(g.layer_valid, lo + g.alpha * lo_u[g.layer_var], 0.0)
-        nh = jnp.where(g.layer_valid, hi + g.alpha * hi_u[g.layer_var], 0.0)
-        lo_l.append(nl)
-        hi_l.append(nh)
-        cft_l.append(uf.bucket_backward_run(g, nl, nh))
-    return uf.UniformState(tuple(lo_l), tuple(hi_l), state.def_mm, tuple(cft_l))
+    return uf.update_costs_per_var(geom, state, lo_u, hi_u)
 
 
 def incremental_mm_rounding_device(
@@ -118,7 +111,6 @@ def incremental_mm_rounding_device(
         m0, m1 = s.min_marginals()
         init_delta = compute_initial_delta(s.f, m0, m1)
     cur_delta = init_delta / delta_growth_rate
-    V_primal = getattr(s.f, "nr_primal_vars", geom.V)
 
     for rnd in range(num_rounding_itr):
         cur_delta = min(cur_delta * delta_growth_rate, 1e6)

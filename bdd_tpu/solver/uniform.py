@@ -1253,6 +1253,24 @@ def bdds_solution(geom: UniformGeom, state: UniformState):
     return tuple(out)
 
 
+def update_costs_per_var(
+    geom: UniformGeom, state: UniformState, lo_u: jnp.ndarray, hi_u: jnp.ndarray
+) -> UniformState:
+    """Add per-variable cost deltas [V+1] (sentinel last) split by the
+    isotropic weights, refreshing the backward run (ref: update_costs,
+    bdd_cuda_base.cu:1397-1437). The single source for the cost-update
+    semantics — the wrapper's update_costs and the device rounding's
+    perturbation both route here."""
+    lo_l, hi_l, cft_l = [], [], []
+    for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
+        nl = jnp.where(g.layer_valid, lo + g.alpha * lo_u[g.layer_var], 0.0)
+        nh = jnp.where(g.layer_valid, hi + g.alpha * hi_u[g.layer_var], 0.0)
+        lo_l.append(nl)
+        hi_l.append(nh)
+        cft_l.append(bucket_backward_run(g, nl, nh))
+    return UniformState(tuple(lo_l), tuple(hi_l), state.def_mm, tuple(cft_l))
+
+
 @functools.partial(jax.jit, static_argnames=("delta_reduce",))
 def net_solver_costs(geom: UniformGeom, state: UniformState, delta_reduce=None):
     """Per-layer net costs x = hi - lo + deferred share, per bucket [H, B]

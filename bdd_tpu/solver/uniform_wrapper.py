@@ -129,13 +129,4 @@ class UniformSolver:
         self.state = _update_costs_jit(self.geom, self.state, lo_u, hi_u)
 
 
-@jax.jit
-def _update_costs_jit(geom, state, lo_u, hi_u):
-    lo_l, hi_l, cft_l = [], [], []
-    for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
-        nl = jnp.where(g.layer_valid, lo + g.alpha * lo_u[g.layer_var], 0.0)
-        nh = jnp.where(g.layer_valid, hi + g.alpha * hi_u[g.layer_var], 0.0)
-        lo_l.append(nl)
-        hi_l.append(nh)
-        cft_l.append(uf.bucket_backward_run(g, nl, nh))
-    return uf.UniformState(tuple(lo_l), tuple(hi_l), state.def_mm, tuple(cft_l))
+_update_costs_jit = jax.jit(uf.update_costs_per_var)

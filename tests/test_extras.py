@@ -139,3 +139,40 @@ def test_lagrange_constraint_matrix(backend):
         for v in col.variables(b):
             expected[v] += 1
     assert (row_sums == expected).all()
+
+
+def test_save_load_state_sharded(tmp_path):
+    """Checkpoint/restore works for the mesh-sharded solver too."""
+    from jax.sharding import Mesh
+
+    from bdd_tpu.bdd import BddPreprocessor
+    from bdd_tpu.solver.extras import load_state, save_state
+    from bdd_tpu.solver.uniform_sharded import ShardedUniformSolver
+
+    ilp = parse_lp_string(fixtures.MATCHING_3x3)
+    pre = BddPreprocessor(ilp)
+
+    def make():
+        mesh = Mesh(np.array(jax.devices()[:2]), ("b",))
+        return ShardedUniformSolver(
+            pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+            mesh=mesh, nr_primal_vars=pre.nr_primal_variables,
+            dtype=jnp.float64,
+        )
+
+    a = make()
+    a.iteration_block(20)
+    lb = a.lower_bound()
+    save_state(a, str(tmp_path / "ckpt.pkl"))
+    b = make()
+    load_state(b, str(tmp_path / "ckpt.pkl"))
+    assert b.lower_bound() == pytest.approx(lb, abs=1e-12)
+    # mismatched template fails fast
+    from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+    other = UniformSolver(
+        pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables, dtype=jnp.float64,
+    )
+    with pytest.raises(ValueError):
+        load_state(other, str(tmp_path / "ckpt.pkl"))
