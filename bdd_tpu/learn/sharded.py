@@ -58,7 +58,9 @@ class ShardedDogeTrainer:
     def _zero_lstm(self):
         if not self.cfg.use_lstm_var:
             return None
-        return self.model.zero_lstm_state(self.spec.nr_vars)
+        return self.model.zero_lstm_state(
+            self.spec.nr_vars, dtype=self.solver.dtype
+        )
 
     def init(self) -> None:
         rng = jax.random.PRNGKey(self.cfg.seed)
@@ -110,14 +112,27 @@ class ShardedDogeTrainer:
         ))
         return alphas, omegas, update, lstm
 
+    def _apply_free_update(self, state_stacked, update):
+        """hi += zero-sum step, refreshing the backward run per shard so
+        the cft invariant holds (the next sweep reads marginals from it)."""
+        if update is None:
+            return state_stacked
+        import bdd_tpu.solver.uniform as uf
+
+        hi = tuple(h + u for h, u in zip(state_stacked.hi, update))
+        cft = tuple(
+            jax.vmap(uf.bucket_backward_run)(g, lo, nh)
+            for g, lo, nh in zip(
+                self.solver.geom_stacked.buckets, state_stacked.lo, hi
+            )
+        )
+        return state_stacked._replace(hi=hi, cft=cft)
+
     def _round(self, params, state_stacked, lstm=None):
         alphas, omegas, update, lstm = self._predict(
             params, state_stacked, lstm
         )
-        if update is not None:
-            state_stacked = state_stacked._replace(
-                hi=tuple(h + u for h, u in zip(state_stacked.hi, update))
-            )
+        state_stacked = self._apply_free_update(state_stacked, update)
         state_stacked = self.solver._learned_run(
             self.solver.geom_stacked, state_stacked, alphas, omegas,
             self.cfg.iters_per_round,
@@ -132,10 +147,7 @@ class ShardedDogeTrainer:
         alphas, omegas, update, lstm = self._predict(
             params, state_stacked, lstm
         )
-        if update is not None:
-            state_stacked = state_stacked._replace(
-                hi=tuple(h + u for h, u in zip(state_stacked.hi, update))
-            )
+        state_stacked = self._apply_free_update(state_stacked, update)
         out = self.solver._learned_run(
             self.solver.geom_stacked, state_stacked, alphas, omegas,
             self.cfg.iters_per_round,

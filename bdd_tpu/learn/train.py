@@ -39,6 +39,7 @@ class TrainConfig:
     seed: int = 0
     use_lstm_var: bool = False  # per-variable LSTM over rounds (ref model.py:244-247)
     free_update: bool = False  # direct zero-sum dual step head (ref model.py:318-334)
+    use_replay: bool = False  # resume epochs from replayed states (ref replay_buffer.py)
 
 
 class Instance:
@@ -107,7 +108,8 @@ class ReplayBuffer:
 
 
 class DogeTrainer:
-    def __init__(self, config: TrainConfig = TrainConfig()):
+    def __init__(self, config: Optional[TrainConfig] = None):
+        config = config if config is not None else TrainConfig()
         self.cfg = config
         self.model = DogePredictor(
             dim=config.dim,
@@ -117,19 +119,28 @@ class DogeTrainer:
         self.params = None
         self.opt = optax.adam(config.lr)
         self.opt_state = None
+        self.replay = ReplayBuffer()
+        self._replay_rng = np.random.RandomState(config.seed)
 
     # ----------------------------------------------------------------- setup
     def _zero_lstm(self, instance: Instance):
         if not self.cfg.use_lstm_var:
             return None
-        return self.model.zero_lstm_state(instance.spec.nr_vars)
+        return self.model.zero_lstm_state(
+            instance.spec.nr_vars, dtype=instance.objective.dtype
+        )
 
     def init(self, instance: Instance) -> None:
         rng = jax.random.PRNGKey(self.cfg.seed)
-        var_f, bdd_f, edge_f = ft.compute_features(
-            instance.host, instance.spec, instance.state0, instance.objective,
-            self.cfg.smoothing,
-        )
+        # jit the feature sweeps (eager per-bucket scans are catastrophic on
+        # a remote backend — CLAUDE.md gotcha 3; host/spec are closure
+        # constants, only the state is traced)
+        var_f, bdd_f, edge_f = jax.jit(
+            lambda st: ft.compute_features(
+                instance.host, instance.spec, st, instance.objective,
+                self.cfg.smoothing,
+            )
+        )(instance.state0)
         self.params = self.model.init(
             rng, instance.spec, var_f, bdd_f, edge_f,
             lstm_state=self._zero_lstm(instance),
@@ -167,27 +178,36 @@ class DogeTrainer:
         return alphas, omegas, update, lstm
 
     @staticmethod
-    def _apply_free_update(state, update):
+    def _apply_free_update(geom, state, update):
         """hi_costs += zero-sum-per-variable direct step (ref model.py:329).
         The per-variable net cost is unchanged, so the state stays a valid
-        reparametrization of the same Lagrange dual."""
+        reparametrization of the same Lagrange dual. The backward run is
+        refreshed so the state keeps the documented cft invariant (the next
+        forward half-sweep reads min-marginals from cft)."""
         if update is None:
             return state
-        return state._replace(
-            hi=tuple(h + u for h, u in zip(state.hi, update))
+        hi = tuple(h + u for h, u in zip(state.hi, update))
+        cft = tuple(
+            uf.bucket_backward_run(g, lo, nh)
+            for g, lo, nh in zip(geom.buckets, state.lo, hi)
         )
+        return state._replace(hi=hi, cft=cft)
 
     def _round_loss(self, params, instance: Instance, state, lstm=None):
+        """One round: predict, free update, n learned iterations (ONCE),
+        loss = -sum per-BDD lb after distributing the deferred deltas with
+        the LEARNED alphas (dual_loss semantics without the double
+        rollout)."""
+        geom = instance.host.geom
         alphas, omegas, update, lstm = self._predict(
             params, instance, state, lstm
         )
-        state = self._apply_free_update(state, update)
-        loss = ln.dual_loss(
-            instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
-        )
+        state = self._apply_free_update(geom, state, update)
         new_state = ln.learned_iterations(
-            instance.host.geom, state, alphas, omegas, self.cfg.iters_per_round
+            geom, state, alphas, omegas, self.cfg.iters_per_round
         )
+        dist = ln.distribute_delta_learned(geom, new_state, alphas)
+        loss = -sum(jnp.sum(l) for l in ln.per_bdd_lower_bound(geom, dist))
         return loss, new_state, lstm
 
     # ---------------------------------------------------------------- training
@@ -201,6 +221,8 @@ class DogeTrainer:
             cached = self._jit_cache = {}
         if key in cached:
             return cached[key]
+        if len(cached) >= 16:  # bounded: the closures pin instance arrays
+            cached.pop(next(iter(cached)))
         cfg = self.cfg
 
         def step(params, opt_state, state0, lstm0):
@@ -217,22 +239,28 @@ class DogeTrainer:
                 for _ in range(cfg.grad_rounds):
                     loss, s, l = self._round_loss(p, instance, s, l)
                     total = total + loss
-                return total
+                return total, s
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, end_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return loss, params, opt_state
+            return loss, params, opt_state, jax.lax.stop_gradient(end_state)
 
         def rollout_round(params, state, lstm):
+            geom = instance.host.geom
             alphas, omegas, update, lstm = self._predict(
                 params, instance, state, lstm
             )
-            state = self._apply_free_update(state, update)
+            state = self._apply_free_update(geom, state, update)
             state = ln.learned_iterations(
-                instance.host.geom, state, alphas, omegas, cfg.iters_per_round
+                geom, state, alphas, omegas, cfg.iters_per_round
             )
-            lb = uf.lower_bound_with_deferred(instance.host.geom, state)
+            # report the bound the loss optimizes: deferred deltas
+            # distributed with the LEARNED alphas
+            dist = ln.distribute_delta_learned(geom, state, alphas)
+            lb = uf.lower_bound_from_cft(geom, dist.cft)
             return state, lb, lstm
 
         fns = (jax.jit(step), jax.jit(rollout_round))
@@ -240,12 +268,21 @@ class DogeTrainer:
         return fns
 
     def train_step(self, instance: Instance) -> Dict[str, float]:
-        """One epoch on one instance: advance rounds, backprop last rounds."""
+        """One epoch on one instance: advance rounds, backprop last rounds.
+        With ``use_replay``, epochs may resume from a replayed end-state of a
+        previous epoch instead of state0 (ref: doge.py:469-493)."""
         step, _ = self._get_jitted(instance)
-        loss, self.params, self.opt_state = step(
-            self.params, self.opt_state, instance.state0,
+        state0 = instance.state0
+        if self.cfg.use_replay and self._replay_rng.rand() < 0.5:
+            replayed = self.replay.sample(id(instance), 0, self._replay_rng)
+            if replayed is not None:
+                state0 = replayed
+        loss, self.params, self.opt_state, end_state = step(
+            self.params, self.opt_state, state0,
             self._zero_lstm(instance),
         )
+        if self.cfg.use_replay:
+            self.replay.add(id(instance), 0, end_state)
         return {"loss": float(loss)}
 
     def run_learned_rounds(
@@ -257,7 +294,8 @@ class DogeTrainer:
         state = instance.state0
         lstm = self._zero_lstm(instance)
         lbs = []
-        for _ in range(nr_rounds or self.cfg.nr_rounds):
+        n = nr_rounds if nr_rounds is not None else self.cfg.nr_rounds
+        for _ in range(n):
             state, lb, lstm = rollout(self.params, state, lstm)
             lbs.append(float(lb))
         return lbs
@@ -286,6 +324,9 @@ class DogeTrainer:
             use_lstm_var=self.cfg.use_lstm_var,
             free_update=self.cfg.free_update,
         )
+        # the optimizer and any jitted closures captured the OLD config
+        self.opt = optax.adam(self.cfg.lr)
+        self._jit_cache = {}
         self.init(example_instance)
         self.params = serialization.from_bytes(self.params, blob["params"])
 

@@ -171,7 +171,7 @@ def test_free_update_head():
     assert np.allclose(sums, 0.0, atol=1e-5)
     # net per-variable cost is unchanged by the update -> same dual problem
     before = inst.state0
-    after = tr._apply_free_update(before, update)
+    after = tr._apply_free_update(inst.host.geom, before, update)
     for g, hb, ha in zip(inst.host.geom.buckets, before.hi, after.hi):
         d = np.asarray(ha - hb)
         assert np.all(np.abs(d[~np.asarray(g.layer_valid)]) == 0)
@@ -231,3 +231,17 @@ End"""
         assert np.isfinite(m["loss"])
     lbs = tr.run_learned_rounds(inst, nr_rounds=2)
     assert all(np.isfinite(lbs))
+
+
+def test_replay_buffer_training():
+    """use_replay (ref DOGE replay_buffer.py + doge.py:469-493): epochs may
+    resume from a replayed end-state; training stays finite and the buffer
+    actually accumulates states."""
+    inst = make_instance(ilp=independent_set(12, edge_prob=0.3, seed=4))
+    tr = DogeTrainer(TrainConfig(dim=16, nr_rounds=2, iters_per_round=3,
+                                 use_replay=True, seed=1))
+    tr.init(inst)
+    losses = [tr.train_step(inst)["loss"] for _ in range(5)]
+    assert all(np.isfinite(losses))
+    assert len(tr.replay._store) == 1  # keyed by this instance
+    assert len(next(iter(tr.replay._store.values()))) >= 2
