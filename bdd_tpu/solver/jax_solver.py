@@ -100,7 +100,7 @@ def init_state(
         def_mm=jnp.zeros((dense.H, dense.L), dtype=dtype),
         cft=jnp.zeros((dense.H, dense.W), dtype=dtype),
     )
-    cft = jax.jit(backward_run)(geom, state.lo, state.hi)
+    cft = _backward_run_jit(geom, state.lo, state.hi)
     return state._replace(cft=cft)
 
 
@@ -192,6 +192,11 @@ def backward_run(geom: DenseGeom, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarr
     return cft
 
 
+# shared jit cache across solver constructions (a fresh jax.jit wrapper per
+# construction would re-trace identical geometry shapes every time)
+_backward_run_jit = jax.jit(backward_run)
+
+
 def lower_bound_from_cft(geom: DenseGeom, cft: jnp.ndarray) -> jnp.ndarray:
     """Sum of per-BDD root costs (roots are exactly the valid hop-0 slots)."""
     return jnp.sum(jnp.where(geom.node_valid[0], cft[0], 0.0))
@@ -259,30 +264,13 @@ def compute_delta(
 def _hop_cost_update(
     lo_row, hi_row, m0, m1, omega_row, alpha_row, din_lo, din_hi, lvalid
 ):
-    """MMA cost update for one hop (see ref_solver._hop_cost_update for the
-    semantics contract; bdd_parallel_mma_base.cpp:844-887). Padding layers
-    (lvalid False) keep zero costs and zero deferred mm."""
-    fin0 = jnp.isfinite(m0)
-    fin1 = jnp.isfinite(m1)
-    both = fin0 & fin1
-    diff = jnp.where(both, m1 - m0, 0.0)
-    diff = jnp.where(jnp.isnan(diff), 0.0, diff)
-    mm_rm = omega_row * diff
-    # double-where around alpha*din (same as uniform._hop_cost_update): the
-    # multiply must never see an infinite primal — its VJP computes
-    # cotangent 0 x inf = NaN under jax.grad; alpha·(±inf) == ±inf for
-    # alpha>0, so re-adding the infinity additively keeps forward values
-    dfin0 = jnp.isfinite(din_lo)
-    dfin1 = jnp.isfinite(din_hi)
-    dlo = alpha_row * jnp.where(dfin0, din_lo, 0.0) + jnp.where(dfin0, 0.0, din_lo)
-    dhi = alpha_row * jnp.where(dfin1, din_hi, 0.0) + jnp.where(dfin1, 0.0, din_hi)
-    new_lo = jnp.where(fin0, lo_row - jnp.maximum(-mm_rm, 0.0), INF) + dlo
-    new_hi = jnp.where(fin1, hi_row - jnp.maximum(mm_rm, 0.0), INF) + dhi
-    def_mm = jnp.where(both, mm_rm, jnp.where(fin1, -INF, INF))
-    new_lo = jnp.where(lvalid, new_lo, 0.0)
-    new_hi = jnp.where(lvalid, new_hi, 0.0)
-    def_mm = jnp.where(lvalid, def_mm, 0.0)
-    return new_lo, new_hi, def_mm
+    """MMA cost update for one hop — the SINGLE implementation lives in
+    uniform._hop_cost_update (elementwise, shape-polymorphic; see
+    ref_solver._hop_cost_update for the semantics contract,
+    bdd_parallel_mma_base.cpp:844-887)."""
+    from bdd_tpu.solver.uniform import _hop_cost_update as impl
+
+    return impl(lo_row, hi_row, m0, m1, omega_row, alpha_row, din_lo, din_hi, lvalid)
 
 
 def forward_iteration(
@@ -526,11 +514,17 @@ def net_solver_costs(geom: DenseGeom, state: SolverState) -> jnp.ndarray:
     """Per-layer net cost x = (hi - lo) including the deferred delta share
     (ref: bdd_parallel_mma_base.cpp:1285-1327). [H, L], 0 at invalid layers."""
     dlo, dhi = compute_delta(geom, state.def_mm)
-    net = (
-        state.hi
-        - state.lo
-        + geom.alpha * (dhi[geom.layer_var] - dlo[geom.layer_var])
+    dl = dlo[geom.layer_var]
+    dh = dhi[geom.layer_var]
+    # both-ways forcing (infeasible variable) has dl = dh = +inf; inf - inf
+    # would inject NaN into the L-BFGS history — treat the share as 0 (the
+    # run loop stops on the inf lower bound)
+    diff = jnp.where(
+        jnp.isfinite(dh) & jnp.isfinite(dl), dh - dl,
+        jnp.where(jnp.isfinite(dl), INF,
+                  jnp.where(jnp.isfinite(dh), -INF, 0.0)),
     )
+    net = state.hi - state.lo + geom.alpha * diff
     return jnp.where(geom.layer_valid, net, 0.0)
 
 

@@ -27,6 +27,8 @@ from bdd_tpu.solver.uniform import (
     BucketGeom,
     UniformGeom,
     UniformState,
+    _child_cft,
+    _restart_cfr,
     root_rows,
 )
 
@@ -52,13 +54,6 @@ def _smin2(a, b, T):
     m = jnp.maximum(na, nb)
     out = -(m + T * jnp.log(jnp.exp((na - m) / T) + jnp.exp((nb - m) / T)))
     return jnp.where(out >= _BIG / 2, INF, out)
-
-
-def _child_cft(kind, slot, cft_next, P):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
-    onehot = slot[None, :, :] == iota
-    gathered = jnp.sum(jnp.where(onehot, cft_next[:, None, :], 0.0), axis=0)
-    return jnp.where(kind == ARC_TOP, 0.0, jnp.where(kind == ARC_BOT, INF, gathered))
 
 
 def bucket_smooth_backward_run(
@@ -102,10 +97,8 @@ def bucket_smooth_forward_run(
         if packed:
             # root restart (column packing): exact — the carry entering a
             # restart row is all-INF, the previous segment's last layer has
-            # only terminal arcs (see uniform._restart_cfr)
-            iota0 = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) == 0
-            root_init = jnp.where(iota0, 0.0, INF).astype(cfr_row.dtype)
-            cfr_row = jnp.where(root_row[None, :], root_init, cfr_row)
+            # only terminal arcs
+            cfr_row = _restart_cfr(cfr_row, root_row, P)
         cand = jnp.concatenate(
             [
                 relax(cfr_row + lo_row[None], lo_k, lo_s, nvalid),
@@ -166,6 +159,7 @@ def smooth_solution(
     """Per-layer probability of value 1 per bucket [H, B]: softmax over the
     negated smoothed marginals (ref: bdd_torch_base.smooth_solution)."""
     out = []
+    T = jnp.maximum(jnp.asarray(smoothing, state.lo[0].dtype), 1e-12)
     for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
         m0, m1 = bucket_sum_marginals(g, lo, hi, smoothing)
         d = jnp.where(
@@ -173,5 +167,7 @@ def smooth_solution(
             m0 - m1,
             jnp.where(jnp.isfinite(m1), _BIG, -_BIG),
         )
-        out.append(jax.nn.sigmoid(d))
+        # Gibbs marginal: m = -T log Z_x, so p(x=1) = sigmoid((m0-m1)/T) —
+        # without the 1/T the probabilities fail to sharpen as T -> 0
+        out.append(jax.nn.sigmoid(d / T))
     return tuple(out)

@@ -1277,8 +1277,19 @@ def net_solver_costs(geom: UniformGeom, state: UniformState, delta_reduce=None):
     (ref: bdd_parallel_mma_base.cpp:1285-1327). ``delta_reduce``: cross-shard
     reduction of the stacked delta (sharded L-BFGS)."""
     din_lo, din_hi = exchange_delta(geom, state.def_mm, delta_reduce)
+
+    def diff(dl, dh):
+        # a variable forced BOTH ways (infeasible) has dl = dh = +inf;
+        # inf - inf would inject NaN into the L-BFGS history — treat the
+        # deferred share as 0 (the run loop stops on the inf lower bound)
+        return jnp.where(
+            jnp.isfinite(dh) & jnp.isfinite(dl), dh - dl,
+            jnp.where(jnp.isfinite(dl), INF,
+                      jnp.where(jnp.isfinite(dh), -INF, 0.0)),
+        )
+
     return tuple(
-        jnp.where(g.layer_valid, hi - lo + g.alpha * (dh - dl), 0.0)
+        jnp.where(g.layer_valid, hi - lo + g.alpha * diff(dl, dh), 0.0)
         for g, lo, hi, dl, dh in zip(
             geom.buckets, state.lo, state.hi, din_lo, din_hi
         )

@@ -88,7 +88,7 @@ class JaxSolver:
             if def_mm is not None
             else jnp.zeros_like(self.state.def_mm)
         )
-        cft = jax.jit(js.backward_run)(self.geom, lo_d, hi_d)
+        cft = js._backward_run_jit(self.geom, lo_d, hi_d)
         self.state = js.SolverState(lo=lo_d, hi=hi_d, def_mm=mm_d, cft=cft)
 
 

@@ -233,3 +233,32 @@ def test_smooth_packed_matches_unpacked():
     assert pp.keys() == pu.keys()
     for k in pp:
         assert pp[k] == pytest.approx(pu[k], abs=1e-4), k
+
+
+def test_smooth_solution_sharpens_with_temperature():
+    """Gibbs marginals carry the 1/T scaling: as T -> 0 the soft solution
+    converges to the hard argmin indicator (regression: sigmoid(m0-m1)
+    without /T never sharpened)."""
+    from bdd_tpu.solver import smooth as sm
+
+    inst_lp = fixtures.MATCHING_3x3
+    ilp = parse_lp_string(inst_lp)
+    pre = BddPreprocessor(ilp)
+    host = uf.flatten_uniform(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables,
+        dtype=jnp.float64,
+    )
+    state = uf.init_uniform_state(host, pre.objective_vector(),
+                                  dtype=jnp.float64)
+    state = uf.iterations(host.geom, state, 200, 0.5)
+    hard = uf.bdds_solution(host.geom, state)
+    probs_cold = sm.smooth_solution(host.geom, state, 1e-3)
+    probs_warm = sm.smooth_solution(host.geom, state, 1.0)
+    sharp = unsharp = 0.0
+    for g, pc, pw, h in zip(host.geom.buckets, probs_cold, probs_warm, hard):
+        v = np.asarray(g.layer_valid)
+        pc, pw, h = np.asarray(pc)[v], np.asarray(pw)[v], np.asarray(h)[v]
+        # cold probabilities agree with the hard argmin choices
+        sharp = max(sharp, np.abs(pc - h).max() if pc.size else 0.0)
+        unsharp = max(unsharp, np.abs(pw - 0.5).min() if pw.size else 1.0)
+    assert sharp < 1e-2  # T -> 0 recovers the hard solution
