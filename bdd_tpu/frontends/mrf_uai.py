@@ -98,7 +98,10 @@ def parse_uai_string(text: str) -> MrfInput:
         table = [float(next_tok()) for _ in range(n_entries)]
         if len(scope) == 1:
             i = scope[0]
-            assert n_entries == mrf.nr_labels[i]
+            if n_entries != mrf.nr_labels[i]:
+                raise ValueError(
+                    f"unary table size {n_entries} != label count "
+                    f"{mrf.nr_labels[i]} (misaligned UAI token stream)")
             prev = mrf.unaries.get(i)
             if prev is None:
                 mrf.unaries[i] = table
@@ -106,7 +109,11 @@ def parse_uai_string(text: str) -> MrfInput:
                 mrf.unaries[i] = [a + b for a, b in zip(prev, table)]
         elif len(scope) == 2:
             i, j = scope
-            assert n_entries == mrf.nr_labels[i] * mrf.nr_labels[j]
+            if n_entries != mrf.nr_labels[i] * mrf.nr_labels[j]:
+                raise ValueError(
+                    f"pairwise table size {n_entries} != "
+                    f"{mrf.nr_labels[i]}*{mrf.nr_labels[j]} "
+                    "(misaligned UAI token stream)")
             mrf.pairwise.append((i, j, table))
         else:
             raise ValueError("only unary and pairwise cliques supported")

@@ -49,6 +49,9 @@ def parse_mgm_file(path: str) -> Dict[Tuple[int, int], GraphMatchingInstance]:
 def construct_multi_graph_matching_ilp(
     blocks: Dict[Tuple[int, int], GraphMatchingInstance]
 ) -> ILPInput:
+    if not blocks:
+        raise ValueError(
+            "no 'gm <p> <q>' blocks found — not a multi-graph-matching file")
     nr_graphs = max(max(k) for k in blocks) + 1
     ilp = ILPInput()
     linear_maps: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
@@ -70,32 +73,42 @@ def construct_multi_graph_matching_ilp(
             )
         linear_maps[(p, q)] = {k: v + offset for k, v in lin_map.items()}
 
-    # cycle consistency: X_ij * X_jk <= X_ik (quadratic monomials)
+    # per ordered pair (p -> r): label-of-p -> {label-of-r -> var}; built
+    # ONCE (the previous per-assignment rebuild scanned every pair entry for
+    # every (x_i, x_j, k) — hundreds of millions of dict ops at scale)
+    by_label: Dict[Tuple[int, int], Dict[int, Dict[int, int]]] = {}
+    for (p, q), lm in linear_maps.items():
+        fwd: Dict[int, Dict[int, int]] = {}
+        rev: Dict[int, Dict[int, int]] = {}
+        for (a, b), var in lm.items():
+            if a != NO_ASSIGNMENT:
+                fwd.setdefault(a, {})[b] = var
+            if b != NO_ASSIGNMENT:
+                rev.setdefault(b, {})[a] = var
+        by_label[(p, q)] = fwd
+        by_label[(q, p)] = rev
+
+    # cycle consistency: X_ij * X_jk <= X_ik (quadratic monomials).
+    # Sparse instances may omit pairwise blocks — cycles touching a missing
+    # pair are simply not constrained (as with the reference's per-pair
+    # construction over present pairs only).
     for i in range(nr_graphs):
         for j in range(i + 1, nr_graphs):
-            ij_vars = linear_maps[(i, j)]
+            ij_vars = linear_maps.get((i, j))
+            if ij_vars is None:
+                continue
             for (x_i, x_j), ij_var in sorted(ij_vars.items()):
                 if x_i == NO_ASSIGNMENT or x_j == NO_ASSIGNMENT:
                     continue
                 for k in range(nr_graphs):
                     if k == i or k == j:
                         continue
-                    jk_t = j > k
-                    jk_vars = linear_maps[(min(j, k), max(j, k))]
-                    a_jk: Dict[int, int] = {}
-                    for (a, b), var in jk_vars.items():
-                        x_k = a if jk_t else b
-                        x_j2 = b if jk_t else a
-                        if x_j2 == x_j and x_j2 != NO_ASSIGNMENT:
-                            a_jk[x_k] = var
-                    ik_t = i > k
-                    ik_vars = linear_maps[(min(i, k), max(i, k))]
-                    a_ik: Dict[int, int] = {}
-                    for (a, b), var in ik_vars.items():
-                        x_k = a if ik_t else b
-                        x_i2 = b if ik_t else a
-                        if x_i2 == x_i and x_i2 != NO_ASSIGNMENT:
-                            a_ik[x_k] = var
+                    if (min(j, k), max(j, k)) not in linear_maps or (
+                        min(i, k), max(i, k)
+                    ) not in linear_maps:
+                        continue
+                    a_jk = by_label[(j, k)].get(x_j, {})
+                    a_ik = by_label[(i, k)].get(x_i, {})
                     monomials = []
                     for x_k, ik_var in sorted(a_ik.items()):
                         if x_k in a_jk and x_k != NO_ASSIGNMENT:

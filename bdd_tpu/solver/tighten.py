@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from bdd_tpu.bdd.collection import BddCollection
+from bdd_tpu.bdd.collection import TOP, BddCollection
 
 
 class _UnionFind:
@@ -41,7 +41,11 @@ def tight_variables(flat_view, m0: np.ndarray, m1: np.ndarray, eps: float = 1e-6
     v = flat_view.layer_var[valid]
     with np.errstate(invalid="ignore"):
         d = m1[valid] - m0[valid]
-        d = np.where(np.isfinite(d), d, 0.0)
+        # forced variables (infinite one-sided marginals) are the OPPOSITE
+        # of tight — map to a huge finite magnitude, not 0
+        d = np.where(
+            np.isfinite(d), d, np.where(np.isfinite(m0[valid]), 1e9, -1e9)
+        )
     sums = np.zeros(flat_view.nr_vars)
     np.add.at(sums, v, d)
     return np.nonzero(np.abs(sums) <= eps)[0]
@@ -102,40 +106,24 @@ def tighten_collection(
             size_bound *= max(collection.nr_bdd_nodes(b), 1)
         if size_bound > node_limit * 100:
             continue  # product construction itself could blow up
+        # meld into a SCRATCH collection; only the quasi-reduced result is
+        # appended to `out` (no O(groups^2) rebuilds on reject/accept)
+        scratch = BddCollection()
         try:
-            melded = collection.bdd_and(members, out)
+            melded = collection.bdd_and(members, scratch)
         except ValueError:
             continue  # unsat/trivial conjunction: leave members separate
-        if out.nr_bdd_nodes(melded) > node_limit:
-            # too big: drop the meld (keep members separate). The meld was
-            # appended to `out`; rebuild out without it.
-            rebuilt = BddCollection()
-            for k in range(out.nr_bdds() - 1):
-                rebuilt.add_bdd(out.local_nodes(k))
-            out.var, out.lo, out.hi, out.delim = (
-                rebuilt.var,
-                rebuilt.lo,
-                rebuilt.hi,
-                rebuilt.delim,
-            )
-            continue
-        q = out.make_qbdd(melded)
-        # drop the non-qbdd meld, keep only the quasi-reduced version: rebuild
-        rebuilt = BddCollection()
-        for k in range(out.nr_bdds()):
-            if k != melded:
-                rebuilt.add_bdd(out.local_nodes(k))
-        new_nr = rebuilt.nr_bdds() - 1  # q was appended last
-        out.var, out.lo, out.hi, out.delim = (
-            rebuilt.var,
-            rebuilt.lo,
-            rebuilt.hi,
-            rebuilt.delim,
-        )
+        if scratch.nr_bdd_nodes(melded) > node_limit:
+            continue  # too big: keep members separate
+        new_nr = scratch.make_qbdd(melded, out)
         group_of_new[new_nr] = list(members)
         merged.update(members)
+        covered = set(out.level_variables(new_nr))
+        union_vars = set()
+        for b in members:
+            union_vars.update(collection.variables(b))
         if layer_costs is not None:
-            for v in out.level_variables(new_nr):
+            for v in sorted(union_vars):
                 lo_sum = 0.0
                 hi_sum = 0.0
                 for b in members:
@@ -143,7 +131,22 @@ def tighten_collection(
                     if c is not None:
                         lo_sum += c[0]
                         hi_sum += c[1]
-                out_costs[(new_nr, v)] = (lo_sum, hi_sum)
+                if v in covered:
+                    out_costs[(new_nr, v)] = (lo_sum, hi_sum)
+                elif lo_sum != 0.0 or hi_sum != 0.0:
+                    # the product eliminated v (don't-care in the
+                    # conjunction) — its Lagrange costs must stay in the
+                    # decomposition: carry them on a free single-variable
+                    # BDD, otherwise the objective silently changes
+                    free_nr = out.add_bdd([(v, TOP, TOP)])
+                    out_costs[(free_nr, v)] = (lo_sum, hi_sum)
+                    group_of_new[free_nr] = []
+        else:
+            for v in sorted(union_vars - covered):
+                # keep eliminated variables represented so an objective
+                # redistribution over the new collection still covers them
+                free_nr = out.add_bdd([(v, TOP, TOP)])
+                group_of_new[free_nr] = []
 
     for b in range(nb):
         if b not in merged:

@@ -333,3 +333,29 @@ def test_specialized_input_dispatch(tmp_path):
     )
     res2 = s2.solve(verbose=False)
     assert "lower_bound" in res2
+
+
+def test_mgm_sparse_blocks_and_empty():
+    """Sparse multi-graph instances (missing pairwise blocks) construct
+    without cycle constraints through the absent pairs (regression:
+    KeyError); an empty file raises a clear error."""
+    from bdd_tpu.frontends.multi_graph_matching import (
+        construct_multi_graph_matching_ilp,
+        parse_mgm_string,
+    )
+
+    text = """gm 0 1
+p 2 2 2 0
+a 0 0 0 -1.0
+a 1 1 1 -1.0
+gm 1 2
+p 2 2 2 0
+a 0 0 0 -2.0
+a 1 1 1 -2.0
+"""
+    blocks = parse_mgm_string(text)
+    assert set(blocks) == {(0, 1), (1, 2)}
+    ilp = construct_multi_graph_matching_ilp(blocks)  # no (0, 2) block: OK
+    assert ilp.nr_variables() > 0
+    with pytest.raises(ValueError):
+        construct_multi_graph_matching_ilp({})

@@ -8,7 +8,7 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 
-from bdd_tpu.bdd import BddPreprocessor
+from bdd_tpu.bdd import BddPreprocessor, TOP, BOT
 from bdd_tpu.ilp import parse_lp_string
 from bdd_tpu.ilp.model import ILPInput, Ineq
 from bdd_tpu.solver.run import run_solver
@@ -104,3 +104,45 @@ def test_coefficient_decomposition_preserves_semantics():
     pre_ilp = pre.ilp
     opt2, _ = fixtures.brute_force_ilp_optimum(pre_ilp)
     assert opt2 == pytest.approx(opt)
+
+
+def test_meld_preserves_total_costs_on_eliminated_variables():
+    """Melding can eliminate a variable from the product's support (don't-care
+    in the conjunction); its Lagrange costs must stay in the decomposition on
+    a free carrier BDD (regression: 12.0 of cost silently vanished)."""
+    from bdd_tpu.bdd.collection import BddCollection
+    from bdd_tpu.solver.tighten import tighten_collection
+
+    col = BddCollection()
+    # B0 = (x0 or x1), B1 = (x0 = 1); conjunction = (x0 = 1), x1 eliminated
+    b0 = col.add_bdd([(0, 1, TOP), (1, BOT, TOP)])
+    b1 = col.add_bdd([(0, BOT, TOP)])
+    costs = {(b0, 0): (0.0, 5.0), (b0, 1): (0.0, 7.0), (b1, 0): (0.0, 3.0)}
+    out, out_costs, groups = tighten_collection(
+        col, tight_vars=[0], layer_costs=costs
+    )
+    total_in = sum(lo + hi for lo, hi in costs.values())
+    total_out = sum(lo + hi for lo, hi in out_costs.values())
+    assert total_out == pytest.approx(total_in)
+    # x1's cost rides a free don't-care BDD
+    carriers = [k for k in out_costs if k[1] == 1]
+    assert carriers and out_costs[carriers[0]][1] == pytest.approx(7.0)
+
+
+def test_tight_variables_excludes_forced():
+    """Forced variables (one-sided infinite marginals) are NOT tight."""
+    import numpy as np
+
+    from bdd_tpu.solver.tighten import tight_variables
+
+    class _V:
+        nr_vars = 2
+        layer_var = np.array([0, 1])
+
+        def valid_layer_mask(self):
+            return np.array([True, True])
+
+    m0 = np.array([np.inf, 1.0])   # var 0 forced to 1; var 1 tight
+    m1 = np.array([0.0, 1.0])
+    tv = tight_variables(_V(), m0, m1)
+    assert list(tv) == [1]
