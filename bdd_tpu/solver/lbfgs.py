@@ -18,7 +18,7 @@ Host-side control flow orchestrating jitted device primitives.
 from __future__ import annotations
 
 import collections
-from typing import Any, Deque, NamedTuple, Optional
+from typing import Any, Deque, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -193,10 +193,13 @@ class LbfgsSolver:
         last = self.history[-1]
         y_norm = _tree_vdot(last.y, last.y)
         h0 = last.rho_inv / (1e-8 + y_norm)
+        # r = H0 * q between the loops (lbfgs_impl.h / Nocedal alg. 7.4) —
+        # scaling only the oldest entry's rho instead mis-weights every
+        # curvature correction and leaves the raw-gradient component
+        # unscaled, degrading toward mis-scaled supergradient ascent
+        d = jax.tree.map(lambda x: h0 * x, d)
         for i, h in enumerate(self.history):
             rho = 1.0 / h.rho_inv
-            if i == 0:
-                rho *= h0
             beta = rho * _tree_vdot(h.y, d)
             d = _tree_axpy(alphas[i] - beta, h.s, d)
         return d
@@ -248,6 +251,12 @@ class LbfgsSolver:
 
     # --------------------------------------------------------------- iteration
     def iteration(self) -> None:
+        if self.num_unsuccessful > 5:
+            # permanently disabled after repeated failed step searches
+            # (ref lbfgs_impl.h:410-419): plain MMA, without paying the
+            # gradient/net-cost/history machinery every iteration
+            self.base.iteration()
+            return
         if not self.lb_history:
             self.lb_history.append(self.base.lower_bound())
         cur_grad = self._grad()

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from bdd_tpu.solver.uniform import root_rows  # noqa: F401 (kernel callers)
 from bdd_tpu.solver.uniform import (
     ARC_BOT,
     ARC_INTERNAL,
@@ -67,8 +68,17 @@ def _hop_update_tile(lo_row, hi_row, m0, m1, omega_row, alpha_row, dlo, dhi, lva
     fin1 = m1 < BIG / 2
     both = fin0 & fin1
     mm_rm = jnp.where(both, omega_row * (m1 - m0), 0.0)
-    new_lo = jnp.where(fin0, lo_row - jnp.maximum(-mm_rm, 0.0), BIG) + alpha_row * dlo
-    new_hi = jnp.where(fin1, hi_row - jnp.maximum(mm_rm, 0.0), BIG) + alpha_row * dhi
+    # forcing deltas (|din| >= BIG/2, the inf stand-in) must NOT be scaled by
+    # alpha: alpha*BIG for a variable in >=3 BDDs drops below the BIG/2
+    # finiteness threshold and the forcing silently stops propagating —
+    # re-add them additively, exactly like uniform._hop_cost_update's
+    # double-where does for real infinities
+    dfin0 = jnp.abs(dlo) < BIG / 2
+    dfin1 = jnp.abs(dhi) < BIG / 2
+    c_lo = alpha_row * jnp.where(dfin0, dlo, 0.0) + jnp.where(dfin0, 0.0, dlo)
+    c_hi = alpha_row * jnp.where(dfin1, dhi, 0.0) + jnp.where(dfin1, 0.0, dhi)
+    new_lo = jnp.where(fin0, lo_row - jnp.maximum(-mm_rm, 0.0), BIG) + c_lo
+    new_hi = jnp.where(fin1, hi_row - jnp.maximum(mm_rm, 0.0), BIG) + c_hi
     def_mm = jnp.where(both, mm_rm, jnp.where(fin1, -BIG, BIG))
     new_lo = jnp.where(lval, jnp.minimum(new_lo, BIG), 0.0)
     new_hi = jnp.where(lval, jnp.minimum(new_hi, BIG), 0.0)
@@ -242,15 +252,18 @@ def _specs(H: int, P: int, BT: int):
     return node, layer
 
 
-def _clean_inf(x, valid=None):
+def _clean_inf(x):
     """Convert BIG back to inf on the way out."""
     out = jnp.where(x >= BIG / 2, jnp.inf, jnp.where(x <= -BIG / 2, -jnp.inf, x))
     return out
 
 
 def _prep_costs(x):
-    """inf -> BIG on the way in."""
-    return jnp.clip(jnp.nan_to_num(x, posinf=BIG, neginf=-BIG), -BIG, BIG)
+    """inf -> BIG on the way in (NaN stays NaN: masking a NaN to 0 would
+    silently diverge from the XLA path, which propagates it to the bound)."""
+    return jnp.clip(
+        jnp.nan_to_num(x, nan=jnp.nan, posinf=BIG, neginf=-BIG), -BIG, BIG
+    )
 
 
 def bucket_forward_iteration_pallas(
@@ -269,8 +282,6 @@ def bucket_forward_iteration_pallas(
         jax.ShapeDtypeStruct((H, B), lo.dtype),
         jax.ShapeDtypeStruct((H, P, B), lo.dtype),
     )
-    from bdd_tpu.solver.uniform import root_rows
-
     new_lo, new_hi, mm, cfr = pl.pallas_call(
         kern,
         grid=(B // BT,),

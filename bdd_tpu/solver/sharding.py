@@ -275,13 +275,15 @@ class ShardedSolver:
     ) -> None:
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("b",))
+        assert len(mesh.axis_names) == 1, "BDD-block sharding needs a 1-D mesh"
         self.mesh = mesh
-        D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self._axis = mesh.axis_names[0]
+        D = int(mesh.shape[self._axis])
         self.sharded = shard_collection(
             collection, nr_vars, D, nr_primal_vars, dtype=dtype
         )
         self.state = init_sharded_state(self.sharded, objective, dtype=dtype)
-        sharding = NamedSharding(mesh, P("b"))
+        sharding = NamedSharding(mesh, P(self._axis))
         self.geom = jax.tree.map(
             lambda x: jax.device_put(x, sharding), self.sharded.geom
         )
@@ -289,8 +291,8 @@ class ShardedSolver:
             lambda x: jax.device_put(x, sharding), self.state
         )
         self.omega = omega
-        self._iter = make_sharded_iteration(mesh)
-        self._lb = make_sharded_lower_bound(mesh)
+        self._iter = make_sharded_iteration(mesh, self._axis)
+        self._lb = make_sharded_lower_bound(mesh, self._axis)
 
     def iteration(self) -> None:
         self.state = self._iter(self.geom, self.state, self.omega, 1)

@@ -90,8 +90,10 @@ class ShardedUniformSolver:
     ) -> None:
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("b",))
+        assert len(mesh.axis_names) == 1, "BDD-block sharding needs a 1-D mesh"
         self.mesh = mesh
-        D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self._axis = mesh.axis_names[0]
+        D = int(mesh.shape[self._axis])
         self.omega = omega
         self.dtype = dtype
 
@@ -280,7 +282,7 @@ class ShardedUniformSolver:
             states.append(uf.init_uniform_state(host, obj, dtype=dtype))
         self.state_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *states)
 
-        sharding = NamedSharding(mesh, P("b"))
+        sharding = NamedSharding(mesh, P(self._axis))
         put = lambda x: jax.device_put(x, sharding)
         self.geom_stacked = jax.tree.map(put, self.geom_stacked)
         self.state_stacked = jax.tree.map(put, self.state_stacked)
@@ -307,7 +309,7 @@ class ShardedUniformSolver:
     # ------------------------------------------------------------------- fns
     def _make_fns(self) -> None:
         mesh = self.mesh
-        axis = "b"
+        axis = self._axis
 
         def psum2(dsum):
             return jax.lax.psum(dsum, axis)

@@ -77,3 +77,49 @@ def test_pallas_grid_mrf_parity():
     uf.USE_PALLAS = False
     lbB = float(uf.lower_bound_with_deferred(host.geom, sB))
     assert lbA == pytest.approx(lbB, abs=1e-9)
+
+
+def test_pallas_forcing_with_three_bdds():
+    """Variable forcing (±inf min-marginals) must survive the Pallas kernels'
+    BIG arithmetic even when alpha <= 1/3 (regression: alpha*BIG fell below
+    the BIG/2 finiteness threshold and forcing silently stopped propagating
+    for variables in >= 3 BDDs)."""
+    import os
+
+    os.environ["BDD_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        lp = """Minimize
+-1 x + y + z + w
+Subject To
+x + y >= 1
+x + z >= 1
+x + w >= 1
+2 x + y + z >= 4
+End"""
+        # the last constraint forces x = 1 (y+z <= 2); x sits in 4 BDDs
+        ilp = parse_lp_string(lp)
+        pre = BddPreprocessor(ilp)
+        host = uf.flatten_uniform(
+            pre.collection, pre.total_nr_variables(),
+            pre.nr_primal_variables, dtype=jnp.float32,
+        )
+        results = {}
+        for use_pallas in (False, True):
+            old = uf.USE_PALLAS
+            uf.USE_PALLAS = use_pallas
+            try:
+                state = uf.init_uniform_state(
+                    host, pre.objective_vector(), dtype=jnp.float32
+                )
+                state = uf.iterations(host.geom, state, 30, 0.5)
+                results[use_pallas] = float(
+                    uf.lower_bound_with_deferred(host.geom, state)
+                )
+            finally:
+                uf.USE_PALLAS = old
+        assert results[True] == pytest.approx(results[False], abs=1e-3)
+        # and the bound reflects x forced to 1 (cost -1 realized)
+        opt, _ = fixtures.brute_force_ilp_optimum(ilp)
+        assert results[True] <= opt + 1e-4
+    finally:
+        os.environ.pop("BDD_TPU_PALLAS_INTERPRET", None)

@@ -77,3 +77,23 @@ def test_sharded_convergence():
     s.iteration_block(200)
     opt, _ = fixtures.brute_force_ilp_optimum(ilp)
     assert s.lower_bound() == pytest.approx(opt, abs=1e-6)
+
+
+def test_custom_mesh_axis_name():
+    """Sharded solvers accept any 1-D mesh axis name (regression: 'b' was
+    hard-coded into the partition specs)."""
+    from jax.sharding import Mesh
+
+    from bdd_tpu.bdd import BddPreprocessor
+    from bdd_tpu.solver.uniform_sharded import ShardedUniformSolver
+
+    ilp = parse_lp_string(fixtures.MATCHING_3x3)
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    s = ShardedUniformSolver(
+        pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+        mesh=mesh, nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float64,
+    )
+    s.iteration_block(10)
+    assert np.isfinite(s.lower_bound())
