@@ -76,9 +76,13 @@ class BddCollection:
         self.delim.append(len(self.var))
         return self.nr_bdds() - 1
 
-    def append_collection(self, other: "BddCollection") -> None:
+    def append_collection(
+        self, other: "BddCollection", var_offset: int = 0
+    ) -> None:
+        """Bulk-append another collection; ``var_offset`` shifts its
+        variable indices (instance batching into a shared space)."""
         base = len(self.var)
-        self.var.extend(other.var)
+        self.var.extend(v + var_offset for v in other.var)
         self.lo.extend(c + base if c >= 0 else c for c in other.lo)
         self.hi.extend(c + base if c >= 0 else c for c in other.hi)
         self.delim.extend(d + base for d in other.delim[1:])

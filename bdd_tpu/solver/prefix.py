@@ -82,11 +82,12 @@ def _minplus(a, b):
 
 
 def bucket_backward_run_prefix(
-    g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray
+    g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray, M=None
 ) -> jnp.ndarray:
     """cost-from-terminal for every hop, [H, P, B], via suffix products
     S_h = M_h (x) M_{h+1} (x) ... (x) M_{H-1}; cft_h = S_h[:, P] (last col)."""
-    M = _transfer_matrices(g, lo, hi)
+    if M is None:
+        M = _transfer_matrices(g, lo, hi)
     # reverse scan combines as fn(later, earlier); we need M_h (x) M_{h+1}
     S = jax.lax.associative_scan(lambda a, b: _minplus(b, a), M, reverse=True, axis=0)
     cft = S[:, : g.P, g.P, :]
@@ -94,11 +95,12 @@ def bucket_backward_run_prefix(
 
 
 def bucket_forward_run_prefix(
-    g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray
+    g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray, M=None
 ) -> jnp.ndarray:
     """cost-from-root for every hop, [H, P, B]: cfr as a row vector,
     cfr_{h+1} = cfr_0 (x) (M_0 (x) ... (x) M_h)."""
-    M = _transfer_matrices(g, lo, hi)
+    if M is None:
+        M = _transfer_matrices(g, lo, hi)
     P = g.P
     prefix = jax.lax.associative_scan(_minplus, M, axis=0)  # [H, P+1, P+1, B]
     cfr0 = jnp.where(g.node_valid[0], 0.0, _BIG).astype(lo.dtype)
@@ -113,6 +115,7 @@ def bucket_forward_run_prefix(
     return jnp.where(cfr >= _BIG / 2, INF, cfr)
 
 
+@jax.jit
 def lower_bound_prefix(geom: UniformGeom, state: UniformState) -> jnp.ndarray:
     lb = jnp.asarray(0.0, dtype=state.lo[0].dtype)
     for g, lo, hi in zip(geom.buckets, state.lo, state.hi):
@@ -125,12 +128,14 @@ def lower_bound_prefix(geom: UniformGeom, state: UniformState) -> jnp.ndarray:
 def bucket_min_marginals_prefix(
     g: BucketGeom, lo: jnp.ndarray, hi: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-layer min marginals via the two log-depth sweeps."""
+    """Per-layer min marginals via the two log-depth sweeps (one shared
+    transfer-matrix build — it is the dominant O(H*P^2*B) term)."""
     from bdd_tpu.solver.uniform import _child_cft
 
     P = g.P
-    cfr = bucket_forward_run_prefix(g, lo, hi)
-    cft = bucket_backward_run_prefix(g, lo, hi)
+    M = _transfer_matrices(g, lo, hi)
+    cfr = bucket_forward_run_prefix(g, lo, hi, M=M)
+    cft = bucket_backward_run_prefix(g, lo, hi, M=M)
     cft_next = jnp.concatenate(
         [cft[1:], jnp.full((1, P, g.B), INF, dtype=lo.dtype)], axis=0
     )

@@ -138,12 +138,6 @@ class RefSolver:
             np.minimum.at(m1, lmap, hi_path)
         return m0, m1
 
-    def min_marginals_per_var(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Summed per-variable mm differences are not meaningful; export the
-        per-(var) stacked mm via layers_of_var for decoding."""
-        m0, m1 = self.min_marginals()
-        return m0, m1
-
     # -------------------------------------------------------------- iteration
     def _compute_delta(self, def_mm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         f = self.f
@@ -279,11 +273,13 @@ class RefSolver:
     def lower_bound_with_deferred(self) -> float:
         """Lower bound of the dual point obtained by distributing the deferred
         deltas (without mutating state)."""
-        saved = (self.lo_cost.copy(), self.hi_cost.copy(), self.def_mm.copy())
+        saved = (
+            self.lo_cost.copy(), self.hi_cost.copy(), self.def_mm.copy(),
+            self._cft,
+        )
         self.distribute_delta()
         lb = self.lower_bound()
-        self.lo_cost, self.hi_cost, self.def_mm = saved
-        self._cft = None
+        self.lo_cost, self.hi_cost, self.def_mm, self._cft = saved
         return lb
 
     # ------------------------------------------------------------------- misc
@@ -316,7 +312,6 @@ class RefSolver:
         f = self.f
         cft = self.backward_run()
         sol = np.full(f.nr_layers, -1, dtype=np.int8)
-        cur = {int(r) for r in f.root_node}
         active = f.root_node.astype(np.int64)
         for h in range(f.nr_hops):
             s, e = f.hop_node_range(h)
@@ -328,7 +323,6 @@ class RefSolver:
             take_hi = hi_val <= lo_val
             sol[lmap] = take_hi.astype(np.int8)
             nxt = np.where(take_hi, f.hi_node[idx], f.lo_node[idx])
-            active = active.copy()
             active[in_hop] = nxt
         return sol
 

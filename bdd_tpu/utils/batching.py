@@ -32,13 +32,7 @@ class BatchedInstances:
             self.pres.append(pre)
             self.var_offsets.append(var_off)
             self.bdd_offsets.append(self.collection.nr_bdds())
-            sub = pre.collection
-            base_node = len(self.collection.var)
-            for b in range(sub.nr_bdds()):
-                nodes = [
-                    (v + var_off, lo, hi) for (v, lo, hi) in sub.local_nodes(b)
-                ]
-                self.collection.add_bdd(nodes)
+            self.collection.append_collection(pre.collection, var_offset=var_off)
             objective.extend(pre.objective_vector())
             var_off += pre.total_nr_variables()
         self.nr_vars = var_off

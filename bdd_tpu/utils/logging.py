@@ -41,6 +41,9 @@ def set_verbosity(level: int) -> None:
 def bdd_log(msg: str, level: int = 1) -> None:
     if _verbosity >= level:
         sys.stdout.write(msg + "\n")
+    # the file sink deliberately records EVERYTHING (a silenced console run
+    # still leaves a complete trace), matching the reference's joint
+    # console+file bdd_log stream (include/bdd_logging.h:8-33)
     if _log_file is not None:
         _log_file.write(msg + "\n")
         _log_file.flush()

@@ -185,12 +185,25 @@ def graph_matching(n_left: int, n_right: int, seed: int = 0,
             cand.append((i, j, d - 0.5))
     inst.linear = cand
     ids = list(range(len(cand)))
-    for _ in range(nr_quadratic):
+    seen_pairs = set()
+    attempts = 0
+    # sample WITHOUT duplicates (a duplicated (i,j) pair would double its
+    # cost via the shared product variable) and retry inadmissible draws so
+    # the requested term count is actually reached when possible
+    while len(inst.quadratic) < nr_quadratic and attempts < 20 * max(
+        nr_quadratic, 1
+    ):
+        attempts += 1
+        if len(ids) < 2:
+            break
         a, b = rng.sample(ids, 2)
+        if (a, b) in seen_pairs or (b, a) in seen_pairs:
+            continue
         ia, ja, _c = cand[a]
         ib, jb, _c2 = cand[b]
         if ia == ib or ja == jb:
             continue
+        seen_pairs.add((a, b))
         dl = _math.hypot(pl[ia][0] - pl[ib][0], pl[ia][1] - pl[ib][1])
         dr = _math.hypot(pr[ja][0] - pr[jb][0], pr[ja][1] - pr[jb][1])
         inst.quadratic.append(((ia, ib), (ja, jb), abs(dl - dr) - 0.1))
