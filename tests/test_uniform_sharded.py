@@ -379,3 +379,30 @@ def test_sharded_doge_lstm_variant():
     assert all(np.isfinite(losses))
     lbs = tr.run_learned_rounds(2)
     assert all(np.isfinite(lbs))
+
+
+def test_batched_sharded_doge_training():
+    """The three scaling axes compose: several ILPs batched into one
+    collection, sharded over the mesh, trained with the sharded DOGE
+    trainer."""
+    from bdd_tpu.learn.sharded import ShardedDogeTrainer
+    from bdd_tpu.learn.train import TrainConfig
+    from bdd_tpu.utils.batching import BatchedInstances
+    from bdd_tpu.utils.problems import independent_set
+
+    ilps = [independent_set(14, edge_prob=0.25, seed=s) for s in (0, 1, 2)]
+    for ilp in ilps:
+        ilp.normalize()
+    bat = BatchedInstances(ilps)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+    s = ShardedUniformSolver(
+        bat.collection, bat.nr_vars, bat.objective, mesh=mesh,
+        dtype=jnp.float32,
+    )
+    cfg = TrainConfig(dim=8, nr_rounds=2, iters_per_round=3, grad_rounds=1)
+    tr = ShardedDogeTrainer(s, bat.objective, cfg)
+    tr.init()
+    losses = [tr.train_step()["loss"] for _ in range(3)]
+    assert all(np.isfinite(losses))
+    lbs = tr.run_learned_rounds(2)
+    assert all(np.isfinite(lbs)) and lbs[-1] >= lbs[0] - 1e-4
