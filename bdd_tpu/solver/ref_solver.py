@@ -52,6 +52,33 @@ def _hop_cost_update(lo, hi, m0, m1, omega, alpha, din_lo, din_hi):
     return new_lo, new_hi, def_mm
 
 
+
+def numpy_forward_run(f, lo: np.ndarray, hi: np.ndarray, dtype) -> np.ndarray:
+    """Hop-major shortest-path costs from the roots (the SINGLE numpy sweep
+    implementation — RefSolver and SequentialSolver both route here)."""
+    cfr = np.full(f.nr_nodes, INF, dtype=dtype)
+    cfr[f.root_node] = 0.0
+    for h in range(f.nr_hops):
+        s, e = f.hop_node_range(h)
+        lmap = f.node_to_layer[s:e]
+        np.minimum.at(cfr, f.lo_node[s:e], cfr[s:e] + lo[lmap])
+        np.minimum.at(cfr, f.hi_node[s:e], cfr[s:e] + hi[lmap])
+    return cfr
+
+
+def numpy_backward_run(f, lo: np.ndarray, hi: np.ndarray, dtype) -> np.ndarray:
+    """Hop-major shortest-path costs to TOP (single numpy implementation)."""
+    cft = np.zeros(f.nr_nodes, dtype=dtype)
+    cft[f.bot_node] = INF
+    for h in range(f.nr_hops - 1, -1, -1):
+        s, e = f.hop_node_range(h)
+        lmap = f.node_to_layer[s:e]
+        cft[s:e] = np.minimum(
+            cft[f.lo_node[s:e]] + lo[lmap], cft[f.hi_node[s:e]] + hi[lmap]
+        )
+    return cft
+
+
 class RefSolver:
     def __init__(
         self,
@@ -85,31 +112,14 @@ class RefSolver:
     ) -> np.ndarray:
         lo = self.lo_cost if lo_cost is None else lo_cost
         hi = self.hi_cost if hi_cost is None else hi_cost
-        cfr = self._init_cfr()
-        f = self.f
-        for h in range(f.nr_hops):
-            s, e = f.hop_node_range(h)
-            lmap = f.node_to_layer[s:e]
-            vals_lo = cfr[s:e] + lo[lmap]
-            vals_hi = cfr[s:e] + hi[lmap]
-            np.minimum.at(cfr, f.lo_node[s:e], vals_lo)
-            np.minimum.at(cfr, f.hi_node[s:e], vals_hi)
-        return cfr
+        return numpy_forward_run(self.f, lo, hi, self.dtype)
 
     def backward_run(
         self, lo_cost: Optional[np.ndarray] = None, hi_cost: Optional[np.ndarray] = None
     ) -> np.ndarray:
         lo = self.lo_cost if lo_cost is None else lo_cost
         hi = self.hi_cost if hi_cost is None else hi_cost
-        cft = self._init_cft()
-        f = self.f
-        for h in range(f.nr_hops - 1, -1, -1):
-            s, e = f.hop_node_range(h)
-            lmap = f.node_to_layer[s:e]
-            cft[s:e] = np.minimum(
-                cft[f.lo_node[s:e]] + lo[lmap], cft[f.hi_node[s:e]] + hi[lmap]
-            )
-        return cft
+        return numpy_backward_run(self.f, lo, hi, self.dtype)
 
     def lower_bound(self) -> float:
         cft = self.backward_run()

@@ -60,27 +60,14 @@ class SequentialSolver:
         return cfr
 
     def _backward_run(self) -> np.ndarray:
-        f = self.f
-        cft = np.zeros(f.nr_nodes, dtype=self.dtype)
-        cft[f.bot_node] = INF
-        for h in range(f.nr_hops - 1, -1, -1):
-            s, e = f.hop_node_range(h)
-            lmap = f.node_to_layer[s:e]
-            cft[s:e] = np.minimum(
-                cft[f.lo_node[s:e]] + self.lo_cost[lmap],
-                cft[f.hi_node[s:e]] + self.hi_cost[lmap],
-            )
-        return cft
+        from bdd_tpu.solver.ref_solver import numpy_backward_run
+
+        return numpy_backward_run(self.f, self.lo_cost, self.hi_cost, self.dtype)
 
     def _forward_run(self) -> np.ndarray:
-        f = self.f
-        cfr = self._init_cfr()
-        for h in range(f.nr_hops):
-            s, e = f.hop_node_range(h)
-            lmap = f.node_to_layer[s:e]
-            np.minimum.at(cfr, f.lo_node[s:e], cfr[s:e] + self.lo_cost[lmap])
-            np.minimum.at(cfr, f.hi_node[s:e], cfr[s:e] + self.hi_cost[lmap])
-        return cfr
+        from bdd_tpu.solver.ref_solver import numpy_forward_run
+
+        return numpy_forward_run(self.f, self.lo_cost, self.hi_cost, self.dtype)
 
     # --------------------------------------------------------------- iteration
     def _mm_of_layer(self, li: int, cfr: np.ndarray, cft: np.ndarray):
