@@ -25,6 +25,10 @@ def is_terminal(f: int) -> bool:
     return f < 0
 
 
+class _NodeBudgetExceeded(Exception):
+    pass
+
+
 class BddMgr:
     def __init__(self) -> None:
         self.var: List[int] = []
@@ -32,6 +36,7 @@ class BddMgr:
         self.hi: List[int] = []
         self._unique: Dict[Tuple[int, int, int], int] = {}
         self._cache: Dict[Tuple, int] = {}
+        self._node_budget = None  # and_limited's mid-construction abort
 
     # ------------------------------------------------------------------ nodes
     def nr_nodes(self) -> int:
@@ -43,6 +48,9 @@ class BddMgr:
         key = (v, lo, hi)
         n = self._unique.get(key)
         if n is None:
+            if (self._node_budget is not None
+                    and len(self.var) >= self._node_budget):
+                raise _NodeBudgetExceeded
             n = len(self.var)
             self.var.append(v)
             self.lo.append(lo)
@@ -128,13 +136,17 @@ class BddMgr:
         return self._apply("xor", f, g)
 
     def and_limited(self, f: int, g: int, node_limit: int) -> Optional[int]:
-        """Conjunction aborting when the manager grows past node_limit extra
-        nodes (ref: and_rec_limited, bdd_mgr.h:39)."""
-        start = self.nr_nodes()
-        r = self.and_(f, g)
-        if self.nr_nodes() - start > node_limit:
+        """Conjunction ABORTING MID-CONSTRUCTION once the manager has grown
+        by node_limit extra nodes (ref: and_rec_limited, bdd_mgr.h:39 — a
+        post-hoc check would pay the full blowup the limit exists to
+        prevent)."""
+        self._node_budget = self.nr_nodes() + node_limit
+        try:
+            return self.and_(f, g)
+        except _NodeBudgetExceeded:
             return None
-        return r
+        finally:
+            self._node_budget = None
 
     def ite(self, f: int, g: int, h: int) -> int:
         """if f then g else h (ref: ite_rec)."""
@@ -177,19 +189,23 @@ class BddMgr:
     # ----------------------------------------------------------------- rebase
     def rebase(self, f: int, var_map: Dict[int, int]) -> int:
         """Copy f with variables renumbered (must be order-preserving,
-        ref: bdd_mgr.h:104-159)."""
-        if is_terminal(f):
-            return f
-        key = ("rebase", f, tuple(sorted(var_map.items())))
-        r = self._cache.get(key)
-        if r is None:
-            r = self._mk(
-                var_map[self.var[f]],
-                self.rebase(self.lo[f], var_map),
-                self.rebase(self.hi[f], var_map),
-            )
-            self._cache[key] = r
-        return r
+        ref: bdd_mgr.h:104-159). Memoized per call — rebuilding the sorted
+        var_map tuple at every node was O(N * M log M) and bloated the
+        shared cache with M-tuple keys."""
+        memo: Dict[int, int] = {}
+
+        def rec(n: int) -> int:
+            if is_terminal(n):
+                return n
+            r = memo.get(n)
+            if r is None:
+                r = self._mk(
+                    var_map[self.var[n]], rec(self.lo[n]), rec(self.hi[n])
+                )
+                memo[n] = r
+            return r
+
+        return rec(f)
 
     # ----------------------------------------------------------- constraint builders
     def simplex(self, variables: Sequence[int]) -> int:
@@ -206,42 +222,47 @@ class BddMgr:
         return self.at_most(variables, 1)
 
     def cardinality(self, variables: Sequence[int], lb: int, ub: int) -> int:
-        """lb <= sum x_i <= ub over sorted variables."""
+        """lb <= sum x_i <= ub over sorted variables (bottom-up DP — one
+        recursion frame per variable would hit Python's recursion limit for
+        n around 1000)."""
         vs = sorted(variables)
         n = len(vs)
-        memo: Dict[Tuple[int, int], int] = {}
 
-        def build(i: int, cnt: int) -> int:
-            if cnt > ub:
-                return FALSE
-            if cnt + (n - i) < lb:
+        def entry(i: int, cnt: int, nxt) -> int:
+            if cnt > ub or cnt + (n - i) < lb:
                 return FALSE
             if i == n:
                 return TRUE if lb <= cnt <= ub else FALSE
-            key = (i, cnt)
-            r = memo.get(key)
-            if r is None:
-                r = self._mk(vs[i], build(i + 1, cnt), build(i + 1, cnt + 1))
-                memo[key] = r
-            return r
+            return nxt.get(cnt, FALSE)
 
-        return build(0, 0)
+        nxt: Dict[int, int] = {}
+        for i in range(n - 1, -1, -1):
+            cur: Dict[int, int] = {}
+            for cnt in range(0, i + 1):
+                if cnt > ub or cnt + (n - i) < lb:
+                    continue
+                cur[cnt] = self._mk(
+                    vs[i],
+                    entry(i + 1, cnt, nxt),
+                    entry(i + 1, cnt + 1, nxt),
+                )
+            nxt = cur
+        return entry(0, 0, nxt)
 
     def all_equal(self, variables: Sequence[int]) -> int:
         """All variables take the same value (ref: bdd_mgr.h all_equal)."""
         vs = sorted(variables)
         n = len(vs)
 
-        def chain(i: int, val: int) -> int:
-            if i == n:
-                return TRUE
-            lo = chain(i + 1, val) if val == 0 else FALSE
-            hi = chain(i + 1, val) if val == 1 else FALSE
-            return self._mk(vs[i], lo, hi)
-
         if n == 0:
             return TRUE
-        return self._mk(vs[0], chain(1, 0), chain(1, 1))
+        # iterative bottom-up chains (recursion depth would be n frames)
+        zero = TRUE
+        one = TRUE
+        for i in range(n - 1, 0, -1):
+            zero = self._mk(vs[i], zero, FALSE)
+            one = self._mk(vs[i], FALSE, one)
+        return self._mk(vs[0], zero, one)
 
     # -------------------------------------------------------------- analysis
     def evaluate(self, f: int, assignment: Sequence[int]) -> bool:
@@ -263,23 +284,37 @@ class BddMgr:
         return sorted(out)
 
     def nr_solutions(self, f: int) -> int:
+        """Accepting assignments over the support (iterative: children
+        always have smaller node ids than their parents, so one ascending-id
+        pass computes all memo entries without recursion depth limits)."""
         support = self.support(f)
         pos = {v: i for i, v in enumerate(support)}
         d = len(support)
+        if is_terminal(f):
+            return 2 ** d if f == TRUE else 0
+        reach = set()
+        stack = [f]
+        while stack:
+            n = stack.pop()
+            if is_terminal(n) or n in reach:
+                continue
+            reach.add(n)
+            stack.extend((self.lo[n], self.hi[n]))
         memo: Dict[int, int] = {}
 
-        def count(n: int, depth: int) -> int:
-            if n == TRUE:
+        def child_count(c: int, depth: int) -> int:
+            if c == TRUE:
                 return 2 ** (d - depth)
-            if n == FALSE:
+            if c == FALSE:
                 return 0
-            p = pos[self.var[n]]
-            scale = 2 ** (p - depth)
-            if n not in memo:
-                memo[n] = count(self.lo[n], p + 1) + count(self.hi[n], p + 1)
-            return scale * memo[n]
+            return 2 ** (pos[self.var[c]] - depth) * memo[c]
 
-        return count(f, 0)
+        for n in sorted(reach):
+            p = pos[self.var[n]]
+            memo[n] = child_count(self.lo[n], p + 1) + child_count(
+                self.hi[n], p + 1
+            )
+        return 2 ** pos[self.var[f]] * memo[f]
 
     def nodes_of(self, f: int) -> int:
         seen = set()

@@ -116,18 +116,30 @@ def parse_lp_string(text: str) -> ILPInput:
             ilp.add_to_objective(coeff, mono[0])
 
     # constraints until Bounds/Binaries/Generals/Coalesce/End
-    section_words = {"bounds", "binaries", "generals", "coalesce", "end"}
+    section_words = {
+        "bounds", "binaries", "generals", "binary", "general", "coalesce",
+        "end",
+    }
     pending = ""
     while i < len(lines):
         s = lines[i].strip()
         if s == "" or s.startswith("\\"):
             i += 1
             continue
-        if s.lower() in section_words and not pending:
+        if s.lower() in section_words:
+            if pending:
+                # a section keyword must not be swallowed into a constraint
+                # missing its relation — that would fabricate variables and
+                # silently drop the following section
+                raise LpParseError(
+                    f"incomplete constraint before section {s!r}: "
+                    f"{pending!r}")
             break
         pending = (pending + " " + s).strip()
-        # a constraint is complete once it contains an inequality + rhs
-        if _INEQ_SPLIT_RE.search(pending):
+        # a constraint is complete once it contains an inequality AND a
+        # non-empty right-hand side (the rhs may sit on the next line)
+        m = _INEQ_SPLIT_RE.search(pending)
+        if m and pending[m.end():].strip():
             _add_constraint_line(ilp, pending)
             pending = ""
         i += 1
@@ -205,7 +217,12 @@ def _add_constraint_line(ilp: ILPInput, line: str) -> None:
         raise LpParseError(f"cannot parse constraint: {line!r}")
     lhs_s, op_s, rhs_s = parts
     ineq = {"<=": Ineq.LEQ, ">=": Ineq.GEQ, "=": Ineq.EQ}[op_s]
-    rhs = float(rhs_s.strip())
+    try:
+        rhs = float(rhs_s.strip())
+    except ValueError:
+        raise LpParseError(
+            f"cannot parse right-hand side {rhs_s.strip()!r} in "
+            f"constraint {line!r} (ranged constraints are not supported)")
     if rhs != int(rhs):
         raise LpParseError(f"right-hand side must be integral: {rhs_s!r}")
     terms, constant = _parse_terms(lhs_s, allow_constant=True)

@@ -62,6 +62,11 @@ def parse_mps_string(text: str) -> ILPInput:
         toks = raw.split()
         if is_header:
             section = toks[0].upper()
+            if section == "OBJSENSE" and len(toks) > 1:
+                # one-line free-MPS form 'OBJSENSE MAX' — silently parsing a
+                # maximization as minimization would be a wrong result
+                if toks[1].upper() not in ("MIN", "MINIMIZE"):
+                    raise ValueError("MPS: only minimization is supported")
             if section == "RANGES":
                 raise ValueError("MPS: RANGES section not supported")
             if section not in (
@@ -85,6 +90,8 @@ def parse_mps_string(text: str) -> ILPInput:
                     raise ValueError("MPS: multiple objective rows")
                 obj_row = name
             elif tag in _INEQ:
+                if name in rows:
+                    raise ValueError(f"MPS: duplicate row name {name!r}")
                 rows[name] = (_INEQ[tag], name)
                 terms[name] = []
                 row_order.append(name)
@@ -120,9 +127,15 @@ def parse_mps_string(text: str) -> ILPInput:
                     raise ValueError(f"MPS: unknown RHS row {rname!r}")
         elif section == "BOUNDS":
             tag = toks[0].upper()
+            if len(toks) < 3:
+                raise ValueError(
+                    f"MPS: bound line needs 'TAG SET VAR [VAL]': {raw!r}")
             name = toks[2]
-            v = var_of(name)
             val = _num(toks[3]) if len(toks) > 3 else None
+            if tag in ("UP", "UI", "LO", "LI", "FX") and val is None:
+                raise ValueError(
+                    f"MPS: bound {tag} requires a value: {raw!r}")
+            v = var_of(name)
             if tag == "BV":
                 pass
             elif tag in ("UP", "UI"):

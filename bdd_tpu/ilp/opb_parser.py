@@ -13,7 +13,6 @@ from typing import List, Tuple
 from bdd_tpu.ilp.model import ILPInput, Ineq
 
 _VAR = r"~?[A-Za-z][A-Za-z0-9_\-/(){},]*"
-_NUM = r"[+-]?\s*\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
 _TERM_RE = re.compile(rf"\s*([+-])?\s*(\d+\.?\d*)?\s*\*?\s*((?:{_VAR}\s*)+)")
 
 
@@ -22,9 +21,9 @@ class OpbParseError(ValueError):
 
 
 def _parse_terms(text: str, ilp: ILPInput):
-    """-> (coeffs, monomials [(var, negated)...] lists, constant_shift)."""
+    """-> list of (coeff, [(var, negated), ...]) terms. Bare constants are
+    not part of the OPB term grammar and raise."""
     out = []
-    shift = 0.0
     pos, n = 0, len(text)
     while pos < n:
         while pos < n and text[pos].isspace():
@@ -46,7 +45,7 @@ def _parse_terms(text: str, ilp: ILPInput):
             mono.append((ilp.get_or_create_variable(name), neg))
         out.append((coeff, mono))
         pos = m.end()
-    return out, shift
+    return out
 
 
 def _expand_negations(coeff: float, mono: List[Tuple[int, bool]]):
@@ -76,7 +75,7 @@ def parse_opb_string(text: str) -> ILPInput:
     first = statements[0]
     start_idx = 0
     if first.lower().startswith("min:"):
-        terms, _ = _parse_terms(first[4:], ilp)
+        terms = _parse_terms(first[4:], ilp)
         for coeff, mono in terms:
             for c, vs in _expand_negations(coeff, mono):
                 if len(vs) == 0:
@@ -95,7 +94,7 @@ def parse_opb_string(text: str) -> ILPInput:
         if rhs != int(rhs):
             raise OpbParseError("non-integral rhs")
         rhs = int(rhs)
-        terms, _ = _parse_terms(lhs, ilp)
+        terms = _parse_terms(lhs, ilp)
         coeffs: List[int] = []
         monomials: List[Tuple[int, ...]] = []
         for coeff, mono in terms:

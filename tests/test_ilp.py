@@ -191,3 +191,54 @@ def test_write_opb_rejects_fractional_objective():
     ilp.add_linear_constraint([1], [0], Ineq.LEQ, 1)
     with pytest.raises(ValueError):
         ilp.write_opb()
+
+
+def test_lp_parser_singular_sections_and_multiline_rhs():
+    """'Binary'/'General' (singular) sections parse, and a constraint whose
+    rhs continues on the next line is accepted (both legal LP forms)."""
+    from bdd_tpu.ilp import parse_lp_string
+
+    ilp = parse_lp_string("""Minimize
+x + y
+Subject To
+c1: x + y <=
+1
+Binary
+x
+End""")
+    assert ilp.nr_constraints() == 1
+    assert ilp.feasible([1, 0]) and not ilp.feasible([1, 1])
+
+
+def test_lp_parser_incomplete_constraint_raises():
+    """A constraint missing its relation must not swallow the following
+    section into bogus variables (regression: 'Bounds' became a variable)."""
+    from bdd_tpu.ilp import parse_lp_string
+    from bdd_tpu.ilp.lp_parser import LpParseError
+
+    with pytest.raises(LpParseError):
+        parse_lp_string("""Minimize
+x
+Subject To
+c1: x + y
+Bounds
+z = 1
+End""")
+
+
+def test_mps_objsense_max_rejected():
+    """One-line 'OBJSENSE MAX' must raise, not silently minimize."""
+    from bdd_tpu.ilp.mps_parser import parse_mps_string
+
+    text = """NAME t
+OBJSENSE MAX
+ROWS
+ N obj
+ L c1
+COLUMNS
+ x obj 1 c1 1
+RHS
+ r c1 1
+ENDATA"""
+    with pytest.raises(ValueError):
+        parse_mps_string(text)

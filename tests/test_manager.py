@@ -109,3 +109,27 @@ def test_and_limited():
     f2 = mgr2.cardinality(vs[:5], 1, 3)
     g2 = mgr2.cardinality(vs[5:], 2, 4)
     assert mgr2.and_limited(f2, g2, 0) is None
+
+
+def test_cardinality_large_no_recursion_limit():
+    """Constraint builders are iterative (regression: one recursion frame
+    per variable blew Python's limit at n ~ 1000)."""
+    m = BddMgr()
+    f = m.cardinality(list(range(1500)), 1, 1)
+    assert m.nr_solutions(f) == 1500
+    g = m.all_equal(list(range(1500)))
+    assert m.nr_solutions(g) == 2
+
+
+def test_and_limited_aborts_mid_construction():
+    """and_limited stops growing the manager once the budget is hit instead
+    of computing the full product first."""
+    m = BddMgr()
+    # two interleaved cardinality constraints whose product is large
+    f = m.cardinality(list(range(0, 60, 2)), 10, 20)
+    g = m.cardinality(list(range(1, 60, 2)), 10, 20)
+    before = m.nr_nodes()
+    assert m.and_limited(f, g, node_limit=5) is None
+    assert m.nr_nodes() - before <= 6  # grew by at most the budget
+    # an attainable budget still succeeds
+    assert m.and_limited(f, g, node_limit=10**6) is not None
