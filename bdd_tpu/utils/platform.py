@@ -87,6 +87,16 @@ def ensure_device(tpu_retries: int = 0, retry_s: float = 10.0) -> str:
     except RuntimeError:
         pass
     p = None
+    # only burn retries when a TPU seems present (stale axon env, local
+    # libtpu, or explicit request) — on a CPU-only machine every "tpu,cpu"
+    # init attempt is a guaranteed failure costing retry_s each
+    tpu_likely = bool(
+        os.environ.get("PALLAS_AXON_TPU_GEN")
+        or os.environ.get("TPU_SKIP_MDS_QUERY")
+        or os.path.exists("/dev/accel0")
+    )
+    if not tpu_likely:
+        tpu_retries = 0
     for attempt in range(max(tpu_retries, 0) + 1):
         jax.config.update("jax_platforms", "tpu,cpu")
         try:

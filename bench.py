@@ -22,15 +22,12 @@ import numpy as np
 
 
 def main() -> int:
-    import jax
-
     from bdd_tpu.utils.platform import ensure_device
 
     print(f"# platform: {ensure_device(tpu_retries=8)}", file=sys.stderr)
 
     from bdd_tpu.bdd.preprocessor import BddPreprocessor
     from bdd_tpu.solver import uniform as js_uf
-    from bdd_tpu.solver import jax_solver as js
     from bdd_tpu.solver.flatten import densify, flatten_collection
     from bdd_tpu.solver.ref_solver import RefSolver
     from bdd_tpu.utils.problems import grid_mrf

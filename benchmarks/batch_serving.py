@@ -18,7 +18,8 @@ import jax
 
 from bdd_tpu.utils.platform import ensure_device
 
-ensure_device()
+_platform = ensure_device(tpu_retries=8)
+print(f"# platform: {_platform}")
 import numpy as np
 
 from bdd_tpu.bdd.preprocessor import BddPreprocessor
@@ -67,7 +68,12 @@ def main() -> int:
     sync(o)
     dt_one = (time.time() - t0) / 4
     print(f"# single: {blk} iters in {dt_one*1e3:.1f} ms")
-    print(f"RESULT batch_speedup={K*dt_one/dt_batch:.1f}x ({K} x {nodes}-node MIS)")
+    # the sequential baseline is K x the measured single-instance time
+    # (instances share the size class; solving all K sequentially would
+    # mostly measure per-instance compile time) — marked as estimated
+    print(f"RESULT batch_speedup={K*dt_one/dt_batch:.1f}x "
+          f"({K} x {nodes}-node MIS; sequential baseline estimated as "
+          f"K x single-instance time)")
     return 0
 
 

@@ -18,7 +18,11 @@ import jax
 
 from bdd_tpu.utils.platform import ensure_device
 
-ensure_device()
+_platform = ensure_device(tpu_retries=8)
+print(f"# platform: {_platform}")
+if _platform != "tpu":
+    print("# WARNING: not running on TPU — numbers below are NOT the "
+          "BENCH.md measurement conditions")
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +43,7 @@ def sync(s):
 
 
 def bench_instance(name, lp, n_iters=200, numpy_iters=10, use_pallas=True):
+    saved_pallas = uf.USE_PALLAS
     uf.USE_PALLAS = use_pallas
     t0 = time.time()
     nh = NativeHost(lp, "bfs")
@@ -67,6 +72,7 @@ def bench_instance(name, lp, n_iters=200, numpy_iters=10, use_pallas=True):
         ref.iteration(0.5)
     dt_np = (time.time() - t0) / numpy_iters
     print(f"[{name}] numpy: {1 / dt_np:.1f} it/s; tpu speedup {dt_np / dt:.1f}x")
+    uf.USE_PALLAS = saved_pallas
     return host, nh
 
 
@@ -82,13 +88,16 @@ def time_to_gap(name, lp, rel=1e-3, max_iters=4000):
     s = state
     t0 = time.time()
     iters = 0
+    reached = False
     while iters < max_iters:
         s = uf.iterations(host.geom, s, 50, 0.5)
         iters += 50
         if float(uf.lower_bound_with_deferred(host.geom, s)) >= target:
+            reached = True
             break
+    status = "" if reached else " [NOT CONVERGED]"
     print(f"[{name}] time-to-{rel:g}-gap: {time.time() - t0:.2f}s ({iters} iters, "
-          f"converged lb {ref_lb:.4f})")
+          f"converged lb {ref_lb:.4f}){status}")
 
 
 def main():

@@ -14,7 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bdd_tpu.utils.platform import ensure_device
 
-ensure_device()
+_platform = ensure_device(tpu_retries=8)
+print(f"# platform: {_platform}")
 
 from bdd_tpu.serve import handle_request
 from bdd_tpu.utils.problems import grid_mrf

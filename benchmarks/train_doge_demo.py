@@ -39,19 +39,24 @@ from bdd_tpu.utils.problems import (
 def main() -> int:
     from bdd_tpu.utils.platform import ensure_device
 
-    ensure_device()
+    print(f"# platform: {ensure_device(tpu_retries=8)}")
     nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     family = sys.argv[3] if len(sys.argv) > 3 else "mis"
     n_train, n_test = 4, 2
-    # ct/gm use the free-update head as in the reference's config_ct/config_gm
-    # (MODEL.FREE_UPDATE: True); the dual-iteration budget stays 60 across
-    # families so the equal-budget comparison is uniform.
+    # demo-scale overrides over the per-family reference presets
+    # (learn/configs.py maps the reference's config_{mis,gm,qaplib,ct});
+    # the dual-iteration budget stays 60 across families so the equal-budget
+    # comparison is uniform. The free-update head follows each preset.
+    from bdd_tpu.learn import config_ct, config_gm, config_mis, config_qaplib
+
+    preset = {"mis": config_mis, "qap": config_qaplib, "ct": config_ct,
+              "gm": config_gm}[family]
     free = family in ("ct", "gm")
-    cfg = TrainConfig(
+    cfg = preset(
         dim=32, nr_rounds=10 if free else 4,
         iters_per_round=6 if free else 15, grad_rounds=1, lr=1e-3,
-        epochs=epochs, seed=0, free_update=free,
+        epochs=epochs, seed=0,
     )
     budget = cfg.nr_rounds * cfg.iters_per_round
 
