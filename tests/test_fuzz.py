@@ -93,3 +93,53 @@ def test_fuzz_random_ilp(seed):
         val = ilp.evaluate(x)
         assert val >= lbs[-1] - 1e-6
         assert val >= opt - 1e-9  # can't beat the optimum
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_fuzz_native_vs_python_pipeline(seed):
+    """Randomized end-to-end ILPs (incl. nonlinear monomials and equalities)
+    through BOTH the native and python pipelines: weak duality, consistent
+    infeasibility, and no below-optimal 'solutions'."""
+    import copy
+    import math
+    import random
+
+    from bdd_tpu.api import BddSolver
+    from bdd_tpu.ilp.model import ILPInput, Ineq
+    from tests.fixtures import brute_force_ilp_optimum
+
+    rng = random.Random(seed)
+    for trial in range(6):
+        ilp = ILPInput()
+        nv = 7
+        for v in range(nv):
+            ilp.add_to_objective(round(rng.uniform(-3, 3), 2), f"x{v}")
+        for _ in range(4):
+            k = rng.randint(2, 4)
+            vs = sorted(rng.sample(range(nv), k))
+            monos = [(v,) for v in vs]
+            if rng.random() < 0.2:
+                monos[0] = (vs[0], vs[1])
+            coeffs = [rng.choice([-2, -1, 1, 2]) for _ in range(k)]
+            lo = sum(min(c, 0) for c in coeffs)
+            hi = sum(max(c, 0) for c in coeffs)
+            r = rng.random()
+            ineq = Ineq.EQ if r < 0.25 else (Ineq.LEQ if r < 0.6 else Ineq.GEQ)
+            ilp.add_constraint(coeffs, monos, ineq, rng.randint(lo, hi))
+        opt, _ = brute_force_ilp_optimum(ilp)
+        feasible = math.isfinite(opt)
+        for native in (True, False):
+            s = BddSolver({
+                "relaxation solver": "uniform mma",
+                "use native preprocessing": native,
+                "termination criteria": {"maximum iterations": 120},
+            })
+            s.read_ilp(ilp=copy.deepcopy(ilp))
+            res = s.solve(verbose=False)
+            if not feasible:
+                assert "solution" not in res
+                continue
+            assert res["status"] == "solved", (trial, native)
+            assert res["lower_bound"] <= opt + 1e-3, (trial, native)
+            if "objective" in res:
+                assert res["objective"] >= opt - 1e-6, (trial, native)
