@@ -26,8 +26,13 @@ class NativeUnsupported(RuntimeError):
 
 
 def _build_if_needed() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    if os.path.exists(_SO):
+        # a prebuilt library without the source tree (wheel deployment) is
+        # usable as-is; only rebuild when the source exists and is newer
+        if not os.path.exists(_SRC):
+            return _SO
+        if os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return _SO
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     subprocess.run(
         ["g++", "-O2", "-std=c++17", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC],

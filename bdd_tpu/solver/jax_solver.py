@@ -197,6 +197,7 @@ def backward_run(geom: DenseGeom, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarr
 _backward_run_jit = jax.jit(backward_run)
 
 
+@jax.jit
 def lower_bound_from_cft(geom: DenseGeom, cft: jnp.ndarray) -> jnp.ndarray:
     """Sum of per-BDD root costs (roots are exactly the valid hop-0 slots)."""
     return jnp.sum(jnp.where(geom.node_valid[0], cft[0], 0.0))
@@ -208,11 +209,14 @@ def lower_bound_per_root_slot(geom: DenseGeom, cft: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def min_marginals(
-    geom: DenseGeom, lo: jnp.ndarray, hi: jnp.ndarray
+    geom: DenseGeom, lo: jnp.ndarray, hi: jnp.ndarray, cft=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-layer min marginals (m0, m1), [H, L]; padding -> +inf."""
+    """Per-layer min marginals (m0, m1), [H, L]; padding -> +inf.
+    ``cft``: optional clean backward run of (lo, hi) — state.cft always
+    qualifies (every mutating op ends with a backward refresh)."""
     cfr = forward_run(geom, lo, hi)
-    cft = backward_run(geom, lo, hi)
+    if cft is None:
+        cft = backward_run(geom, lo, hi)
     cft_next = jnp.concatenate(
         [cft[1:], jnp.full((1, geom.W), INF, dtype=lo.dtype)], axis=0
     )
@@ -425,6 +429,7 @@ def iterations(geom: DenseGeom, state: SolverState, n: int, omega=0.5) -> Solver
     return state
 
 
+@jax.jit
 def distribute_delta(geom: DenseGeom, state: SolverState) -> SolverState:
     """Fold deferred deltas into the costs -> valid dual point
     (ref: bdd_cuda_base.cu:1397-1437)."""

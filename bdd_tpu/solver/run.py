@@ -35,7 +35,7 @@ def run_solver(
     assert 0.0 <= improvement_slope < 1.0
     start = time.monotonic()
     lb_initial = s.lower_bound()
-    lb_first_iter = None
+    first_gain_per_iter = None  # |lb_initial - lb_after_first_check| / n
     lb_post = lb_initial
     if verbose:
         bdd_log(f"[bdd solver] initial lower bound = {lb_initial:.6f}")
@@ -49,21 +49,37 @@ def run_solver(
         n = 0
         if block_size > 1 and hasattr(s, "iteration_block"):
             for _ in range(period):
-                b = min(block_size, max_iter - it)
-                if b <= 0:
+                remaining = max_iter - it
+                if remaining <= 0:
                     break
+                if remaining < block_size and it > 0:
+                    # a partial final block would jit-compile a fresh
+                    # n-iteration scan (10-300 s on a cold cache) to run a
+                    # handful of iterations; 'maximum iterations' is an
+                    # upper bound, so stop at the last full block instead
+                    it = max_iter
+                    break
+                b = min(block_size, remaining)
                 s.iteration_block(b)
                 n += b
                 it += b
+                if time.monotonic() - start > time_limit:
+                    break  # bound the overshoot to one block
         else:
             s.iteration()
             n = 1
             it += 1
+        if n == 0:
+            break
         period = min(period * 2, 8)
         lb_prev = lb_post
         lb_post = s.lower_bound()
-        if lb_first_iter is None:
-            lb_first_iter = lb_post
+        if first_gain_per_iter is None:
+            # normalize the baseline PER ITERATION: the first check may sit
+            # after a whole block, and using a block's gain as the reference
+            # 'first-iteration improvement' (run_solver_util.h:37-74) made
+            # the slope criterion ~block_size x looser
+            first_gain_per_iter = abs(lb_initial - lb_post) / max(n, 1)
         elapsed = time.monotonic() - start
         if verbose:
             bdd_log(
@@ -82,7 +98,7 @@ def run_solver(
             if verbose:
                 bdd_log(f"[bdd solver] Relative progress less than tolerance ({tolerance})")
             break
-        if abs(lb_prev - lb_post) < improvement_slope * abs(lb_initial - lb_first_iter) * n:
+        if abs(lb_prev - lb_post) < improvement_slope * first_gain_per_iter * n:
             if verbose:
                 bdd_log(
                     f"[bdd solver] improvement smaller than {100 * improvement_slope}% "

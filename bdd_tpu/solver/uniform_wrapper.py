@@ -95,28 +95,23 @@ class UniformSolver:
 
     def update_layer_costs(self, lo_delta, hi_delta) -> None:
         """Per-layer cost deltas in UniformLayerView (concatenated [H*B])
-        indexing."""
-        lo_l, hi_l, cft_l = [], [], []
+        indexing (one jitted program — eager per-bucket device work is
+        catastrophic on a remote backend, CLAUDE.md gotcha 3)."""
+        dl_l, dh_l = [], []
         off = 0
-        for g, lo, hi in zip(self.geom.buckets, self.state.lo, self.state.hi):
+        for g in self.geom.buckets:
             n = g.H * g.B
-            dl = jnp.asarray(
-                np.asarray(lo_delta[off : off + n]).reshape(g.H, g.B), self.dtype
-            )
-            dh = jnp.asarray(
-                np.asarray(hi_delta[off : off + n]).reshape(g.H, g.B), self.dtype
-            )
-            nl = jnp.where(g.layer_valid, lo + dl, 0.0)
-            nh = jnp.where(g.layer_valid, hi + dh, 0.0)
-            lo_l.append(nl)
-            hi_l.append(nh)
+            dl_l.append(jnp.asarray(
+                np.asarray(lo_delta[off : off + n]).reshape(g.H, g.B),
+                self.dtype,
+            ))
+            dh_l.append(jnp.asarray(
+                np.asarray(hi_delta[off : off + n]).reshape(g.H, g.B),
+                self.dtype,
+            ))
             off += n
-        cft_l = [
-            uf.bucket_backward_run(g, l, h)
-            for g, l, h in zip(self.geom.buckets, lo_l, hi_l)
-        ]
-        self.state = uf.UniformState(
-            tuple(lo_l), tuple(hi_l), self.state.def_mm, tuple(cft_l)
+        self.state = _update_layer_costs_jit(
+            self.geom, self.state, tuple(dl_l), tuple(dh_l)
         )
 
     def update_costs(self, lo_per_var, hi_per_var) -> None:
@@ -130,3 +125,17 @@ class UniformSolver:
 
 
 _update_costs_jit = jax.jit(uf.update_costs_per_var)
+
+
+@jax.jit
+def _update_layer_costs_jit(geom, state, dls, dhs):
+    lo_l, hi_l, cft_l = [], [], []
+    for g, lo, hi, dl, dh in zip(geom.buckets, state.lo, state.hi, dls, dhs):
+        nl = jnp.where(g.layer_valid, lo + dl, 0.0)
+        nh = jnp.where(g.layer_valid, hi + dh, 0.0)
+        lo_l.append(nl)
+        hi_l.append(nh)
+        cft_l.append(uf.bucket_backward_run(g, nl, nh))
+    return uf.UniformState(
+        tuple(lo_l), tuple(hi_l), state.def_mm, tuple(cft_l)
+    )

@@ -56,7 +56,7 @@ class JaxSolver:
 
     # -------------------------------------------------------------- marginals
     def min_marginals(self) -> Tuple[np.ndarray, np.ndarray]:
-        m0d, m1d = js.min_marginals(self.geom, self.state.lo, self.state.hi)
+        m0d, m1d = js.min_marginals(self.geom, self.state.lo, self.state.hi, self.state.cft)
         m0 = np.full(self.f.nr_layers, INF)
         m1 = np.full(self.f.nr_layers, INF)
         mask = self.dense.flat_layer_index >= 0

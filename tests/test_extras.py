@@ -176,3 +176,24 @@ def test_save_load_state_sharded(tmp_path):
     )
     with pytest.raises(ValueError):
         load_state(other, str(tmp_path / "ckpt.pkl"))
+
+
+def test_get_set_flat_costs_roundtrip():
+    """The bdd_mp-style cost accessors (ref get/set_solver_costs,
+    bdd_cuda_learned_mma_py.cu:557-573) round-trip the dual state."""
+    from bdd_tpu.bdd import BddPreprocessor
+    from bdd_tpu.solver.flatten import flatten_collection
+    from bdd_tpu.solver.wrapper import JaxSolver
+
+    ilp = parse_lp_string(fixtures.MATCHING_3x3)
+    pre = BddPreprocessor(ilp)
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    s = JaxSolver(flat, pre.objective_vector(), dtype=jnp.float64)
+    s.iteration_block(10)
+    lb = s.lower_bound_with_deferred()
+    lo, hi, dm = s.get_flat_costs()
+    s2 = JaxSolver(flat, pre.objective_vector(), dtype=jnp.float64)
+    s2.set_flat_costs(lo, hi, dm)
+    assert s2.lower_bound_with_deferred() == pytest.approx(lb, abs=1e-12)
