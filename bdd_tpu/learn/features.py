@@ -64,11 +64,17 @@ def compute_features(
     state: uf.UniformState,
     objective: jnp.ndarray,
     smoothing: float = 1.0,
+    history=None,
 ):
     """Returns (var_f [V+1, Fv], bdd_f [nb+1, Fb], layer_f [E, Fe]).
     Sentinel rows (index V / nb) are zero. Features follow DOGE's lists
     (solver_utils.py var/con/edge lp_f): objective, degree, costs, min-marginal
-    differences, per-BDD lower bounds, smoothed solutions."""
+    differences, per-BDD lower bounds, smoothed solutions.
+
+    ``history``: optional (sol_avg, lb_fo_avg, lb_so_avg) per-bucket tuples
+    from ``learned.learned_iterations_with_stats`` — appended as the
+    reference's prev_sol_avg edge feature and lb_first/sec_order_avg con
+    features (solver_utils.py:132-148)."""
     geom = host.geom
     lo = _flatten(state.lo)
     hi = _flatten(state.hi)
@@ -106,10 +112,28 @@ def compute_features(
         [c(obj), deg_v, c(seg_v(mmdiff)), c(seg_v(probs)), c(seg_v(hi - lo))],
         axis=-1,
     )
-    bdd_f = jnp.stack([deg_b, c(lb_per_bdd), c(seg_b(mmdiff))], axis=-1)
-    layer_f = jnp.stack(
-        [c(lo), c(hi), c(mmdiff), c(probs), valid.astype(lo.dtype)], axis=-1
-    )
+    bdd_cols = [deg_b, c(lb_per_bdd), c(seg_b(mmdiff))]
+    layer_cols = [c(lo), c(hi), c(mmdiff), c(probs), valid.astype(lo.dtype)]
+    if history is not None:
+        sol_avg, fo_avg, so_avg = history
+        layer_cols.append(c(_flatten(sol_avg)))
+
+        def per_bdd_from_roots(vals):
+            out = jnp.zeros((nb + 1,), lo.dtype)
+            for g, v_b, lbdd in zip(geom.buckets, vals, host.layer_bdd):
+                roots = np.asarray(uf.root_rows(g))
+                ids_np = np.where(
+                    roots & (np.asarray(lbdd) >= 0), np.asarray(lbdd), nb
+                )
+                out = out.at[jnp.asarray(ids_np.ravel(), jnp.int32)].add(
+                    v_b.ravel()
+                )
+            return out.at[nb].set(0.0)
+
+        bdd_cols.append(c(per_bdd_from_roots(fo_avg)))
+        bdd_cols.append(c(per_bdd_from_roots(so_avg)))
+    bdd_f = jnp.stack(bdd_cols, axis=-1)
+    layer_f = jnp.stack(layer_cols, axis=-1)
     return var_f, bdd_f, layer_f
 
 

@@ -40,6 +40,8 @@ class TrainConfig:
     use_lstm_var: bool = False  # per-variable LSTM over rounds (ref model.py:244-247)
     free_update: bool = False  # direct zero-sum dual step head (ref model.py:318-334)
     use_replay: bool = False  # resume epochs from replayed states (ref replay_buffer.py)
+    history_features: bool = False  # EMA history features (ref cu:185-270)
+    history_beta: float = 0.9  # TRAIN.HISTORY_AVG_BETA
 
 
 class Instance:
@@ -138,7 +140,7 @@ class DogeTrainer:
         var_f, bdd_f, edge_f = jax.jit(
             lambda st: ft.compute_features(
                 instance.host, instance.spec, st, instance.objective,
-                self.cfg.smoothing,
+                self.cfg.smoothing, history=self._zero_history(instance),
             )
         )(instance.state0)
         self.params = self.model.init(
@@ -148,10 +150,17 @@ class DogeTrainer:
         self.opt_state = self.opt.init(self.params)
 
     # ------------------------------------------------------------- internals
-    def _predict(self, params, instance: Instance, state, lstm=None):
+    def _zero_history(self, instance: Instance):
+        if not self.cfg.history_features:
+            return None
+        z = tuple(jnp.zeros_like(l) for l in instance.state0.lo)
+        return (z, z, z)
+
+    def _predict(self, params, instance: Instance, state, lstm=None,
+                 history=None):
         var_f, bdd_f, edge_f = ft.compute_features(
             instance.host, instance.spec, state, instance.objective,
-            self.cfg.smoothing,
+            self.cfg.smoothing, history=history,
         )
         out = self.model.apply(
             params, instance.spec, var_f, bdd_f, edge_f, lstm_state=lstm
@@ -193,22 +202,31 @@ class DogeTrainer:
         )
         return state._replace(hi=hi, cft=cft)
 
-    def _round_loss(self, params, instance: Instance, state, lstm=None):
-        """One round: predict, free update, n learned iterations (ONCE),
-        loss = -sum per-BDD lb after distributing the deferred deltas with
-        the LEARNED alphas (dual_loss semantics without the double
-        rollout)."""
+    def _round_loss(self, params, instance: Instance, state, lstm=None,
+                    history=None):
+        """One round: predict (with the previous round's EMA history
+        features when enabled, ref solver_utils.py:78-148), free update, n
+        learned iterations (ONCE), loss = -sum per-BDD lb after distributing
+        the deferred deltas with the LEARNED alphas."""
         geom = instance.host.geom
         alphas, omegas, update, lstm = self._predict(
-            params, instance, state, lstm
+            params, instance, state, lstm, history
         )
         state = self._apply_free_update(geom, state, update)
-        new_state = ln.learned_iterations(
-            geom, state, alphas, omegas, self.cfg.iters_per_round
-        )
+        if self.cfg.history_features:
+            new_state, sol_avg, fo, so = ln.learned_iterations_with_stats(
+                geom, state, alphas, omegas, self.cfg.iters_per_round,
+                history_itr=self.cfg.iters_per_round,
+                beta=self.cfg.history_beta,
+            )
+            history = (sol_avg, fo, so)
+        else:
+            new_state = ln.learned_iterations(
+                geom, state, alphas, omegas, self.cfg.iters_per_round
+            )
         dist = ln.distribute_delta_learned(geom, new_state, alphas)
         loss = -sum(jnp.sum(l) for l in ln.per_bdd_lower_bound(geom, dist))
-        return loss, new_state, lstm
+        return loss, new_state, lstm, history
 
     # ---------------------------------------------------------------- training
     def _get_jitted(self, instance: Instance):
@@ -227,17 +245,22 @@ class DogeTrainer:
 
         def step(params, opt_state, state0, lstm0):
             state, lstm = state0, lstm0
+            hist = self._zero_history(instance)
             for _ in range(cfg.nr_rounds - cfg.grad_rounds):
-                _, state, lstm = self._round_loss(params, instance, state, lstm)
+                _, state, lstm, hist = self._round_loss(
+                    params, instance, state, lstm, hist
+                )
             state = jax.lax.stop_gradient(state)
             if lstm is not None:
                 lstm = jax.lax.stop_gradient(lstm)
+            if hist is not None:
+                hist = jax.lax.stop_gradient(hist)
 
             def loss_fn(p):
-                s, l = state, lstm
+                s, l, h = state, lstm, hist
                 total = 0.0
                 for _ in range(cfg.grad_rounds):
-                    loss, s, l = self._round_loss(p, instance, s, l)
+                    loss, s, l, h = self._round_loss(p, instance, s, l, h)
                     total = total + loss
                 return total, s
 
@@ -248,20 +271,27 @@ class DogeTrainer:
             params = optax.apply_updates(params, updates)
             return loss, params, opt_state, jax.lax.stop_gradient(end_state)
 
-        def rollout_round(params, state, lstm):
+        def rollout_round(params, state, lstm, hist):
             geom = instance.host.geom
             alphas, omegas, update, lstm = self._predict(
-                params, instance, state, lstm
+                params, instance, state, lstm, hist
             )
             state = self._apply_free_update(geom, state, update)
-            state = ln.learned_iterations(
-                geom, state, alphas, omegas, cfg.iters_per_round
-            )
+            if cfg.history_features:
+                state, sol_avg, fo, so = ln.learned_iterations_with_stats(
+                    geom, state, alphas, omegas, cfg.iters_per_round,
+                    history_itr=cfg.iters_per_round, beta=cfg.history_beta,
+                )
+                hist = (sol_avg, fo, so)
+            else:
+                state = ln.learned_iterations(
+                    geom, state, alphas, omegas, cfg.iters_per_round
+                )
             # report the bound the loss optimizes: deferred deltas
             # distributed with the LEARNED alphas
             dist = ln.distribute_delta_learned(geom, state, alphas)
             lb = uf.lower_bound_from_cft(geom, dist.cft)
-            return state, lb, lstm
+            return state, lb, lstm, hist
 
         fns = (jax.jit(step), jax.jit(rollout_round))
         cached[key] = fns
@@ -293,10 +323,11 @@ class DogeTrainer:
         _, rollout = self._get_jitted(instance)
         state = instance.state0
         lstm = self._zero_lstm(instance)
+        hist = self._zero_history(instance)
         lbs = []
         n = nr_rounds if nr_rounds is not None else self.cfg.nr_rounds
         for _ in range(n):
-            state, lb, lstm = rollout(self.params, state, lstm)
+            state, lb, lstm, hist = rollout(self.params, state, lstm, hist)
             lbs.append(float(lb))
         return lbs
 

@@ -112,6 +112,73 @@ def learned_iterations(
     return state
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n", "history_itr", "delta_reduce")
+)
+def learned_iterations_with_stats(
+    geom: uf.UniformGeom,
+    state: uf.UniformState,
+    alphas: Tuple[jnp.ndarray, ...],
+    omegas: Tuple[jnp.ndarray, ...],
+    n: int,
+    history_itr: int = 0,
+    beta: float = 0.9,
+    delta_reduce=None,
+):
+    """n differentiable iterations ALSO tracking the reference's
+    exp-moving-average history features over the last ``history_itr``
+    iterations (bdd_cuda_learned_mma.cu:185-270): per-layer solution average
+    ``sol_avg`` (edge feature prev_sol_avg) and per-BDD lower-bound first/
+    second-order difference averages (con features lb_first_order_avg /
+    lb_sec_order_avg). Returns (state, sol_avg, lb_fo_avg, lb_so_avg), the
+    stats as per-bucket [H, B] tuples (lb stats live on root rows)."""
+    k0 = n - min(history_itr, n)
+
+    def zeros_like_layers(dtype):
+        return tuple(jnp.zeros_like(l) for l in state.lo)
+
+    def ema(avg, new, first):
+        return jnp.where(first, new, beta * avg + (1.0 - beta) * new)
+
+    def body(carry, i):
+        s, sol_avg, lb_prev, fo_prev, fo_avg, so_avg, cnt = carry
+        s = learned_iteration(geom, s, alphas, omegas, delta_reduce)
+        track = i >= k0
+        first = cnt == 0
+        sols = uf.bdds_solution(geom, s)
+        lbs = per_bdd_lower_bound(geom, s)
+        new_sol, new_fo_avg, new_so_avg, new_lb, new_fo = [], [], [], [], []
+        for sa, so_l, lb_p, fo_p, fa, sa2, lb_t in zip(
+            sol_avg, sols, lb_prev, fo_prev, fo_avg, so_avg, lbs
+        ):
+            sol_f = so_l.astype(sa.dtype)
+            sa_new = ema(sa, sol_f, first)
+            fo_t = lb_t - lb_p
+            so_t = fo_t - fo_p
+            fa_new = ema(fa, fo_t, first)
+            sa2_new = ema(sa2, so_t, first)
+            new_sol.append(jnp.where(track, sa_new, sa))
+            new_fo_avg.append(jnp.where(track, fa_new, fa))
+            new_so_avg.append(jnp.where(track, sa2_new, sa2))
+            new_lb.append(lb_t)
+            new_fo.append(jnp.where(track, fo_t, fo_p))
+        cnt = cnt + jnp.where(track, 1, 0)
+        return (
+            s, tuple(new_sol), tuple(new_lb), tuple(new_fo),
+            tuple(new_fo_avg), tuple(new_so_avg), cnt,
+        ), ()
+
+    z = zeros_like_layers(state.lo[0].dtype)
+    init = (
+        state, z, per_bdd_lower_bound(geom, state), z, z, z,
+        jnp.asarray(0, jnp.int32),
+    )
+    (s, sol_avg, _, _, fo_avg, so_avg, _), _ = jax.lax.scan(
+        body, init, jnp.arange(n)
+    )
+    return s, sol_avg, fo_avg, so_avg
+
+
 def distribute_delta_learned(
     geom: uf.UniformGeom,
     state: uf.UniformState,

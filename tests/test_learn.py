@@ -245,3 +245,35 @@ def test_replay_buffer_training():
     assert all(np.isfinite(losses))
     assert len(tr.replay._store) == 1  # keyed by this instance
     assert len(next(iter(tr.replay._store.values()))) >= 2
+
+
+def test_history_features_training():
+    """EMA history features (ref bdd_cuda_learned_mma.cu:185-270 sol_avg /
+    lb first+second-order diff averages, fed to the next round's GNN as in
+    solver_utils.py:78-148): training runs, features change predictions."""
+    inst = make_instance(fixtures.MATCHING_3x3)
+    tr = DogeTrainer(TrainConfig(dim=16, nr_rounds=3, iters_per_round=4,
+                                 history_features=True))
+    tr.init(inst)
+    losses = [tr.train_step(inst)["loss"] for _ in range(3)]
+    assert all(np.isfinite(losses))
+    lbs = tr.run_learned_rounds(inst)
+    assert all(np.isfinite(lbs))
+    for a, b in zip(lbs, lbs[1:]):
+        assert b >= a - 1e-4
+    # the history input actually reaches the policy: predictions at the same
+    # state differ between zero history and a rolled-out history
+    from bdd_tpu.solver import learned as ln
+    from bdd_tpu.solver import uniform as uf
+
+    al = ln.isotropic_alpha(inst.host.geom)
+    om = tuple(jnp.full_like(a, 0.5) for a in al)
+    _, sol_avg, fo, so = ln.learned_iterations_with_stats(
+        inst.host.geom, inst.state0, al, om, 4, history_itr=4
+    )
+    a0, o0, _, _ = tr._predict(tr.params, inst, inst.state0,
+                               history=tr._zero_history(inst))
+    a1, o1, _, _ = tr._predict(tr.params, inst, inst.state0,
+                               history=(sol_avg, fo, so))
+    diff = max(float(jnp.abs(x - y).max()) for x, y in zip(o0, o1))
+    assert diff > 0.0
