@@ -13,15 +13,27 @@ lbfgs.h:22-33, src/bdd_solver/lbfgs_impl.h; algorithm of Roetzer et al. 2023):
   decrease on failure / increase on weak success); falls back to plain MMA
   iterations until the history is full or after repeated failures.
 
-Host-side control flow orchestrating jitted device primitives.
+Two execution paths with identical semantics:
+  * device path (default for the dense and uniform backends): the WHOLE outer
+    iteration — solution supergradient, history ring-buffer update, two-loop
+    recursion, zero-sum projection, adaptive step search as a
+    ``lax.while_loop``, and the trailing MMA iteration — is one jitted
+    program; the step size / failure counters / lb history live on device.
+    The reference runs this loop on-GPU with thrust for the same reason
+    (lbfgs.cpp/.cu instantiations); a host-driven loop costs ~10-15 device
+    round-trips per outer iteration.
+  * host path (sharded backend, or BDD_TPU_LBFGS_HOST=1): readable reference
+    control flow orchestrating the same jitted primitives.
 """
 from __future__ import annotations
 
 import collections
+import os
 from typing import Any, Deque, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from bdd_tpu.solver import jax_solver as js
 from bdd_tpu.solver.wrapper import JaxSolver
@@ -109,6 +121,267 @@ class _HistEntry(NamedTuple):
     rho_inv: float
 
 
+def _dev_vdot(a, b):
+    """Device-resident pytree inner product (no host sync)."""
+    return sum(
+        jnp.vdot(x, y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def _push_scalar(buf, count, val, m):
+    """Append to a rolling last-m ring kept oldest->newest."""
+    shifted = jnp.where(count >= m, jnp.roll(buf, -1), buf)
+    idx = jnp.minimum(count, m - 1)
+    return jnp.where(jnp.arange(m) == idx, val, shifted), count + 1
+
+
+class _DeviceLbfgs:
+    """Fully jitted L-BFGS outer iteration for the dense / uniform backends.
+
+    One device program per outer iteration; history (S, Y, rho_inv) as stacked
+    [m, ...] ring buffers, the step-size search as a bounded lax.while_loop.
+    Bit-for-bit the control flow of the host path below (= lbfgs_impl.h)."""
+
+    def __init__(self, outer: "LbfgsSolver") -> None:
+        base = outer.base
+        self.base = base
+        m = outer.m
+        req = outer.req_rel_lb_increase
+        dec, inc = outer.dec, outer.inc
+        omega = base.omega
+
+        if isinstance(base, JaxSolver):
+            def grad_fn(geom, st):
+                sol = js.bdds_solution(geom, st.lo, st.hi)
+                return jnp.where(geom.layer_valid, sol.astype(st.lo.dtype), 0.0)
+
+            netc = js.net_solver_costs
+            feas = js.make_dual_feasible
+            gstep = js.gradient_step
+            lb = lambda geom, st: js.lower_bound_from_cft(geom, st.cft)
+            mma = lambda geom, st: js.iteration(geom, st, omega)
+        else:
+            from bdd_tpu.solver import uniform as uf
+
+            def grad_fn(geom, st):
+                sols = uf.bdds_solution(geom, st)
+                return tuple(
+                    s.astype(l.dtype) for s, l in zip(sols, st.lo)
+                )
+
+            netc = lambda geom, st: uf.net_solver_costs(geom, st)
+            feas = lambda geom, g: uf.make_dual_feasible(geom, g)
+            gstep = uf.gradient_step
+            lb = lambda geom, st: uf.lower_bound(geom, st)
+            mma = lambda geom, st: uf.iterations(geom, st, 1, omega)
+
+        def push_hist(hist, s_, y_, rho_new):
+            count = hist["count"]
+            full = count >= m
+            idx = jnp.minimum(count, m - 1)
+
+            def pb(buf, new):
+                shifted = jnp.where(full, jnp.roll(buf, -1, axis=0), buf)
+                onehot = (jnp.arange(m) == idx).reshape(
+                    (m,) + (1,) * new.ndim
+                )
+                return jnp.where(onehot, new[None], shifted)
+
+            rho_sh = jnp.where(full, jnp.roll(hist["rho"], -1), hist["rho"])
+            return {
+                "S": jax.tree.map(pb, hist["S"], s_),
+                "Y": jax.tree.map(pb, hist["Y"], y_),
+                "rho": jnp.where(jnp.arange(m) == idx, rho_new, rho_sh),
+                "count": jnp.minimum(count + 1, m),
+            }
+
+        def two_loop(hist, grad):
+            # only invoked when count == m: every ring entry is valid
+            S, Y, rho = hist["S"], hist["Y"], hist["rho"]
+            d = grad
+            alphas = [None] * m
+            for i in reversed(range(m)):
+                Si = jax.tree.map(lambda b: b[i], S)
+                Yi = jax.tree.map(lambda b: b[i], Y)
+                a = _dev_vdot(Si, d) / rho[i]
+                alphas[i] = a
+                d = _tree_axpy(-a, Yi, d)
+            Ym = jax.tree.map(lambda b: b[m - 1], Y)
+            h0 = rho[m - 1] / (1e-8 + _dev_vdot(Ym, Ym))
+            d = jax.tree.map(lambda x: h0 * x, d)
+            for i in range(m):
+                Si = jax.tree.map(lambda b: b[i], S)
+                Yi = jax.tree.map(lambda b: b[i], Y)
+                beta = _dev_vdot(Yi, d) / rho[i]
+                d = _tree_axpy(alphas[i] - beta, Si, d)
+            return d
+
+        def search(geom, state, d, step_size, fails, past):
+            lb_pre = lb(geom, state)
+            denom = 1e-9 + jnp.maximum(past, 0.0)
+            zero = jnp.zeros_like(step_size)
+
+            def cond_fn(c):
+                return ~c["done"]
+
+            def body(c):
+                st = gstep(geom, c["state"], d, c["step"] - c["prev_step"])
+                prev_step = c["step"]
+                cur_rel = (lb(geom, st) - lb_pre) / denom
+                better = cur_rel > c["best_rel"]
+                best_rel = jnp.where(better, cur_rel, c["best_rel"])
+                best_step = jnp.where(better, prev_step, c["best_step"])
+                new_step = jnp.where(
+                    cur_rel <= 0.0,
+                    c["step"] * dec,
+                    jnp.where(cur_rel < req, c["step"] * inc, c["step"]),
+                )
+                exhausted = c["num_updates"] > 5
+                num_updates = jnp.where(
+                    exhausted, c["num_updates"], c["num_updates"] + 1
+                )
+                success = (cur_rel >= req) & ~exhausted
+                return {
+                    "state": st,
+                    "prev_step": prev_step,
+                    "step": new_step,
+                    "best_step": best_step,
+                    "best_rel": best_rel,
+                    "num_updates": num_updates,
+                    "done": exhausted | success,
+                    "exhausted": exhausted,
+                }
+
+            c = lax.while_loop(
+                cond_fn,
+                body,
+                {
+                    "state": state,
+                    "prev_step": zero,
+                    "step": step_size,
+                    "best_step": zero,
+                    "best_rel": zero,
+                    "num_updates": jnp.zeros((), jnp.int32),
+                    "done": jnp.zeros((), bool),
+                    "exhausted": jnp.zeros((), bool),
+                },
+            )
+            kept = c["best_rel"] > req / 10.0
+            final_step = jnp.where(kept, c["best_step"], zero)
+            state = lax.cond(
+                c["exhausted"],
+                lambda op: gstep(geom, op[0], d, op[1]),
+                lambda op: op[0],
+                (c["state"], final_step - c["prev_step"]),
+            )
+            grew = (~c["exhausted"]) & (c["num_updates"] == 1) & (fails == 0)
+            step_out = jnp.where(grew, c["step"] * inc, c["step"])
+            fails_out = jnp.where(
+                c["exhausted"],
+                fails + (~kept).astype(fails.dtype),
+                jnp.zeros_like(fails),
+            )
+            return state, step_out, fails_out
+
+        def step_fn(geom, state, hist, aux):
+            def plain_branch(op):
+                st, h, a = op
+                return mma(geom, st), h, a
+
+            def full_branch(op):
+                state, hist, aux = op
+                lb0 = lb(geom, state)
+                lb_buf, lb_count = lax.cond(
+                    aux["lb_count"] == 0,
+                    lambda bc: _push_scalar(bc[0], bc[1], lb0, m),
+                    lambda bc: bc,
+                    (aux["lb_buf"], aux["lb_count"]),
+                )
+                cur_grad = grad_fn(geom, state)
+                cur_x = netc(geom, state)
+                s_ = jax.tree.map(lambda a, b: a - b, cur_x, aux["prev_x"])
+                y_ = jax.tree.map(
+                    lambda a, b: a - b, aux["prev_grad"], cur_grad
+                )
+                rho = _dev_vdot(s_, y_)
+                hist = lax.cond(
+                    aux["have_prev"] & (rho > 1e-8),
+                    lambda h: push_hist(h, s_, y_, rho),
+                    lambda h: h,
+                    hist,
+                )
+                past = jnp.where(
+                    lb_count >= m, lb_buf[1] - lb_buf[0], jnp.zeros_like(lb0)
+                )
+
+                def with_update(op2):
+                    st, step_size, fails = op2
+                    d = feas(geom, two_loop(hist, cur_grad))
+                    return search(geom, st, d, step_size, fails, past)
+
+                state, step_size, fails = lax.cond(
+                    (hist["count"] >= m) & (aux["fails"] <= 5),
+                    with_update,
+                    lambda op2: op2,
+                    (state, aux["step"], aux["fails"]),
+                )
+                state = mma(geom, state)
+                lb_buf, lb_count = _push_scalar(
+                    lb_buf, lb_count, lb(geom, state), m
+                )
+                aux = {
+                    **aux,
+                    "step": step_size,
+                    "fails": fails,
+                    "prev_x": cur_x,
+                    "prev_grad": cur_grad,
+                    "have_prev": jnp.ones((), bool),
+                    "lb_buf": lb_buf,
+                    "lb_count": lb_count,
+                }
+                return state, hist, aux
+
+            return lax.cond(
+                aux["fails"] > 5, plain_branch, full_branch, (state, hist, aux)
+            )
+
+        self._step = jax.jit(step_fn)
+        xs = jax.eval_shape(netc, base.geom, base.state)
+        zeros = lambda sd: jnp.zeros(sd.shape, sd.dtype)
+        ztree = jax.tree.map(zeros, xs)
+        dtype = jax.tree.leaves(xs)[0].dtype
+        stack = lambda z: jnp.zeros((m,) + z.shape, z.dtype)
+        self.hist = {
+            "S": jax.tree.map(stack, ztree),
+            "Y": jax.tree.map(stack, ztree),
+            "rho": jnp.zeros((m,), dtype),
+            "count": jnp.zeros((), jnp.int32),
+        }
+        self.aux = {
+            "step": jnp.asarray(outer.step_size, dtype),
+            "fails": jnp.zeros((), jnp.int32),
+            "prev_x": ztree,
+            "prev_grad": ztree,
+            "have_prev": jnp.zeros((), bool),
+            "lb_buf": jnp.zeros((m,), dtype),
+            "lb_count": jnp.zeros((), jnp.int32),
+        }
+
+    def iteration(self) -> None:
+        state, self.hist, self.aux = self._step(
+            self.base.geom, self.base.state, self.hist, self.aux
+        )
+        self.base.state = state
+
+    def flush(self) -> None:
+        self.hist = {**self.hist, "count": jnp.zeros((), jnp.int32)}
+        self.aux = {
+            **self.aux,
+            "fails": jnp.zeros((), jnp.int32),
+            "have_prev": jnp.zeros((), bool),
+        }
+
+
 class LbfgsSolver:
     """Wraps a JaxSolver; duck interface compatible with run_solver/rounding."""
 
@@ -136,6 +409,11 @@ class LbfgsSolver:
         self.prev_grad = None
         self.num_unsuccessful = 0
         self.lb_history: list = []
+        self._dev: _DeviceLbfgs | None = None
+        self._use_device = (
+            not self.ops.sharded
+            and os.environ.get("BDD_TPU_LBFGS_HOST") != "1"
+        )
 
     # ----------------------------------------------------------- base passthru
     def lower_bound(self) -> float:
@@ -159,6 +437,8 @@ class LbfgsSolver:
         self.prev_x = None
         self.prev_grad = None
         self.num_unsuccessful = 0
+        if self._dev is not None:
+            self._dev.flush()
 
     # -------------------------------------------------------------- lbfgs core
     def _grad(self):
@@ -251,6 +531,11 @@ class LbfgsSolver:
 
     # --------------------------------------------------------------- iteration
     def iteration(self) -> None:
+        if self._use_device:
+            if self._dev is None:
+                self._dev = _DeviceLbfgs(self)
+            self._dev.iteration()
+            return
         if self.num_unsuccessful > 5:
             # permanently disabled after repeated failed step searches
             # (ref lbfgs_impl.h:410-419): plain MMA, without paying the

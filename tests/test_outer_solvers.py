@@ -168,3 +168,42 @@ def test_outer_solver_on_uniform_backend(outer):
     lb = s.lower_bound_with_deferred()
     assert lb <= opt + 1e-6
     assert lb >= opt - 1e-2, f"{outer} on uniform: lb {lb} vs opt {opt}"
+
+
+def test_lbfgs_device_path_matches_host_path():
+    """The fully-jitted L-BFGS iteration (history ring buffers + while-loop
+    step search on device) must reproduce the host-orchestrated control flow
+    bit-for-bit in f64, including curvature skips, step growth/decay and the
+    exhausted-search fallbacks."""
+    import os
+
+    from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+    def make():
+        ilp = grid_mrf(4, 4, 3, seed=5)
+        ilp.normalize()
+        pre = BddPreprocessor(ilp)
+        return UniformSolver(
+            pre.collection,
+            pre.total_nr_variables(),
+            pre.objective_vector(),
+            nr_primal_vars=pre.nr_primal_variables,
+            dtype=jnp.float64,
+        )
+
+    os.environ["BDD_TPU_LBFGS_HOST"] = "1"
+    try:
+        host = LbfgsSolver(make())
+        host_lbs = []
+        for _ in range(40):
+            host.iteration()
+            host_lbs.append(host.lower_bound())
+    finally:
+        del os.environ["BDD_TPU_LBFGS_HOST"]
+    dev = LbfgsSolver(make())
+    assert dev._use_device
+    dev_lbs = []
+    for _ in range(40):
+        dev.iteration()
+        dev_lbs.append(dev.lower_bound())
+    np.testing.assert_allclose(dev_lbs, host_lbs, rtol=0, atol=1e-9)
