@@ -93,13 +93,16 @@ class BddSolver:
                 config["split implication"] = bool(
                     sb.get("implication bdd", sb.get("implication"))
                 )
-        if config.get("smoothing"):
-            # the reference accepts-and-ignores this key ("not currently
-            # implemented", bdd_solver.cpp:127-138); the smooth solver here
-            # lives in bdd_tpu.solver.smooth (sum marginals, smoothed lb)
-            bdd_log("[bdd solver] smoothing requested: the MMA relaxation "
-                    "solvers run unsmoothed (as in the reference); use "
-                    "bdd_tpu.solver.smooth for log-sum-exp sweeps")
+        if config.get("smoothing") and "smooth" not in str(
+            config.get("relaxation solver", "")
+        ):
+            # a "smoothing" key with a non-smooth solver selects the smoothed
+            # dual-ascent solver (the reference's dispatch marks this "not
+            # currently implemented", bdd_solver.cpp:127-138 — here it runs:
+            # solver/smooth_mma.py)
+            bdd_log("[bdd solver] smoothing requested: switching relaxation "
+                    "solver to 'smooth mma'")
+            config["relaxation solver"] = "smooth mma"
         self.config = config
         self._ilp = None
         self.solver = None
@@ -310,6 +313,35 @@ class BddSolver:
 
                 base = SubgradientSolver(base)
             self.solver = base
+        elif name in ("smooth mma", "mma smooth", "parallel mma smooth"):
+            # smoothed sum-marginal-averaging dual ascent with temperature
+            # annealing (ref classes: bdd_parallel_mma_base_smooth.h:1-631;
+            # their JSON dispatch never ran them — ours does)
+            import jax.numpy as jnp
+
+            from bdd_tpu.solver.smooth_mma import SmoothSolver
+
+            if double:
+                import jax
+
+                jax.config.update("jax_enable_x64", True)
+            self.solver = SmoothSolver(
+                self.pre.collection,
+                self.pre.total_nr_variables(),
+                obj,
+                nr_primal_vars=self.pre.nr_primal_variables,
+                dtype=jnp.float64 if double else jnp.float32,
+                smoothing=(
+                    float(self.config["smoothing"])
+                    if isinstance(self.config.get("smoothing"), (int, float))
+                    and not isinstance(self.config.get("smoothing"), bool)
+                    else 0.1
+                ),
+                smoothing_decay=float(
+                    self.config.get("smoothing decay factor", 0.5)
+                ),
+                min_smoothing=float(self.config.get("min smoothing", 1e-3)),
+            )
         elif name in ("cuda parallel mma", "jax mma", "mma", "uniform mma",
                       "lbfgs parallel mma", "lbfgs cuda parallel mma",
                       "lbfgs jax mma", "subgradient", "dense mma"):

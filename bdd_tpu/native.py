@@ -87,6 +87,32 @@ def load_library():
     lib.bh_fill_collection.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_int64)
     ] * 4
+    lib.bh_load_collection.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ] + [ctypes.POINTER(ctypes.c_int64)] * 4
+    lib.bh_load_collection.restype = ctypes.c_int
+    lib.bh_cpu_create.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+    lib.bh_cpu_create.restype = ctypes.c_void_p
+    lib.bh_cpu_destroy.argtypes = [ctypes.c_void_p]
+    lib.bh_cpu_iterations.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_double]
+    lib.bh_cpu_lower_bound.argtypes = [ctypes.c_void_p]
+    lib.bh_cpu_lower_bound.restype = ctypes.c_double
+    lib.bh_cpu_lower_bound_deferred.argtypes = [ctypes.c_void_p]
+    lib.bh_cpu_lower_bound_deferred.restype = ctypes.c_double
+    lib.bh_cpu_nr_threads.argtypes = [ctypes.c_void_p]
+    lib.bh_cpu_nr_layers.argtypes = [ctypes.c_void_p]
+    lib.bh_cpu_nr_layers.restype = ctypes.c_int64
+    lib.bh_cpu_layer_info.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bh_cpu_get_costs.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_double)
+    ] * 3
     _LIB = lib
     return lib
 
@@ -254,6 +280,15 @@ class NativeHost:
         return col
 
 
+    def cpu_solver(self, objective=None) -> "NativeCpuSolver":
+        """Multi-core OpenMP parallel-MMA solver over this context's BDDs —
+        the honest CPU performance baseline (reference semantics:
+        src/bdd_solver/bdd_parallel_mma_base.cpp:815-1044)."""
+        obj = self.objective() if objective is None else np.asarray(
+            objective, dtype=np.float64
+        )
+        return NativeCpuSolver(self, obj)
+
     def make_uniform_host(self, dtype=None, pack=None):
         """Assemble a solver-ready UniformHost from the native bucket arrays.
 
@@ -311,3 +346,117 @@ class NativeHost:
         if pack and raw:
             host = uf.pack_uniform_host(host, dtype=dtype)
         return uf.attach_exchange_plan(host)
+
+
+class NativeCpuSolver:
+    """ctypes wrapper for the native OpenMP parallel-MMA CPU solver.
+
+    Deferred min-marginal-averaging with the exact semantics of the numpy
+    oracle (solver/ref_solver.py) / the reference's OpenMP parallel solver
+    (src/bdd_solver/bdd_parallel_mma_base.cpp:815-1044), multi-threaded over
+    BDDs. Keeps a reference to the owning NativeHost so the context outlives
+    the solver.
+    """
+
+    def __init__(self, host: NativeHost, objective: np.ndarray) -> None:
+        self._host = host
+        self._lib = host._lib
+        obj = np.ascontiguousarray(objective, dtype=np.float64)
+        self._ptr = self._lib.bh_cpu_create(
+            host._ctx, obj.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
+        if not self._ptr:
+            raise RuntimeError(
+                "native cpu solver: " + self._lib.bh_error(host._ctx).decode()
+            )
+
+    def close(self) -> None:
+        if getattr(self, "_ptr", None):
+            self._lib.bh_cpu_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def iterations(self, n: int, omega: float = 0.5) -> None:
+        self._lib.bh_cpu_iterations(self._ptr, int(n), float(omega))
+
+    def lower_bound(self) -> float:
+        return float(self._lib.bh_cpu_lower_bound(self._ptr))
+
+    def lower_bound_with_deferred(self) -> float:
+        return float(self._lib.bh_cpu_lower_bound_deferred(self._ptr))
+
+    def nr_threads(self) -> int:
+        return int(self._lib.bh_cpu_nr_threads(self._ptr))
+
+    def nr_layers(self) -> int:
+        return int(self._lib.bh_cpu_nr_layers(self._ptr))
+
+    def layer_info(self):
+        n = self.nr_layers()
+        bdd = np.zeros(n, dtype=np.int32)
+        var = np.zeros(n, dtype=np.int32)
+        self._lib.bh_cpu_layer_info(
+            self._ptr,
+            bdd.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            var.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return bdd, var
+
+    def costs(self):
+        n = self.nr_layers()
+        lo = np.zeros(n, dtype=np.float64)
+        hi = np.zeros(n, dtype=np.float64)
+        mm = np.zeros(n, dtype=np.float64)
+        p = ctypes.POINTER(ctypes.c_double)
+        self._lib.bh_cpu_get_costs(
+            self._ptr,
+            lo.ctypes.data_as(p),
+            hi.ctypes.data_as(p),
+            mm.ctypes.data_as(p),
+        )
+        return lo, hi, mm
+
+
+def cpu_solver_from_collection(col, nr_vars: int, objective) -> NativeCpuSolver:
+    """Native OpenMP CPU-baseline solver over a python-built BddCollection
+    (covers instances the native parser declines: nonlinear, coalesce, OPB,
+    split). The collection must be quasi-reduced with topologically ordered
+    nodes (the BddPreprocessor output)."""
+    lib = load_library()
+
+    class _ColHost:
+        """Minimal NativeHost stand-in owning a context loaded from arrays."""
+
+        def __init__(self) -> None:
+            self._lib = lib
+            self._ctx = lib.bh_create()
+
+        close = NativeHost.close
+        __del__ = NativeHost.__del__
+
+    host = _ColHost()
+    var = np.asarray(col.var, dtype=np.int64)
+    lo = np.asarray(col.lo, dtype=np.int64)
+    hi = np.asarray(col.hi, dtype=np.int64)
+    delim = np.asarray(col.delim, dtype=np.int64)
+    p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.bh_load_collection(
+        host._ctx,
+        int(nr_vars),
+        len(var),
+        len(delim) - 1,
+        var.ctypes.data_as(p),
+        lo.ctypes.data_as(p),
+        hi.ctypes.data_as(p),
+        delim.ctypes.data_as(p),
+    )
+    if r != 0:
+        raise NativeUnsupported(
+            "load_collection: " + lib.bh_error(host._ctx).decode()
+        )
+    return NativeCpuSolver(host, np.asarray(objective, dtype=np.float64))

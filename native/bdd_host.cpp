@@ -25,9 +25,13 @@
 #include <stdexcept>
 #include <string>
 #include <atomic>
+#include <limits>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace bh {
 
@@ -979,6 +983,267 @@ struct Context {
     }
 };
 
+// ----------------------------------------------------- CPU parallel MMA
+// Honest multi-core CPU baseline: the FastDOG deferred min-marginal-averaging
+// iteration (semantics of the reference's OpenMP parallel solver,
+// src/bdd_solver/bdd_parallel_mma_base.cpp:815-1044, and bit-compatible with
+// our numpy oracle solver/ref_solver.py) with OpenMP parallelism over BDDs.
+// The per-variable delta is computed between half-sweeps from the stored
+// deferred mm differences (deterministic; replaces the reference's CAS float
+// atomics — same dual trajectory, no ordering hazards).
+struct CpuSolver {
+    // geometry (BDD-major, level-contiguous nodes)
+    int64_t nr_bdds = 0, nr_vars = 0, nr_nodes = 0, nr_layers = 0;
+    std::vector<int64_t> node_off;    // per bdd, nodes start (size nr_bdds+1)
+    std::vector<int64_t> layer_off;   // per bdd, layers start (size nr_bdds+1)
+    std::vector<int64_t> level_off;   // per layer, node range start; size
+                                      // nr_layers + nr_bdds (one sentinel per bdd)
+    std::vector<int64_t> lvl_idx;     // per bdd, index of its level_off base
+    std::vector<int64_t> lo_arc, hi_arc;  // per node: global node id or TOPv/BOTv
+    std::vector<int32_t> layer_var;       // per layer: global variable
+    std::vector<int32_t> nbpv;            // num bdds per var
+
+    // state
+    std::vector<double> lo_cost, hi_cost, def_mm;  // per layer
+    std::vector<double> cfr, cft;                  // per node
+    bool cft_valid = false;
+
+    // scratch
+    int n_threads = 1;
+    std::vector<std::vector<double>> tl_dlo, tl_dhi;  // per-thread deltas
+    std::vector<double> delta_lo, delta_hi;
+
+    static double term_cft(int64_t a, const double* cft) {
+        if (a == TOPv) return 0.0;
+        if (a == BOTv) return std::numeric_limits<double>::infinity();
+        return cft[a];
+    }
+
+    void build(const Collection& col, int64_t nvars, const double* obj) {
+        nr_bdds = (int64_t)col.bdds.size();
+        nr_vars = nvars;
+        node_off.assign(nr_bdds + 1, 0);
+        layer_off.assign(nr_bdds + 1, 0);
+        lvl_idx.assign(nr_bdds, 0);
+        int64_t lvl_total = 0;
+        for (int64_t b = 0; b < nr_bdds; ++b) {
+            node_off[b + 1] = node_off[b] + (int64_t)col.bdds[b].level.size();
+            layer_off[b + 1] = layer_off[b] + (int64_t)col.bdds[b].vars.size();
+            lvl_idx[b] = lvl_total;
+            lvl_total += (int64_t)col.bdds[b].vars.size() + 1;
+        }
+        nr_nodes = node_off[nr_bdds];
+        nr_layers = layer_off[nr_bdds];
+        lo_arc.resize(nr_nodes);
+        hi_arc.resize(nr_nodes);
+        layer_var.resize(nr_layers);
+        level_off.assign(lvl_total, 0);
+        nbpv.assign(nr_vars, 0);
+        for (int64_t b = 0; b < nr_bdds; ++b) {
+            const auto& q = col.bdds[b];
+            const int64_t nb = node_off[b];
+            const int64_t d = (int64_t)q.vars.size();
+            // nodes are level-sorted (make_qbdd stable sort); count per level
+            int64_t* lo_ = &level_off[lvl_idx[b]];
+            for (size_t i = 0; i < q.level.size(); ++i) lo_[q.level[i] + 1]++;
+            for (int64_t h = 0; h < d; ++h) lo_[h + 1] += lo_[h];
+            for (int64_t h = 0; h <= d; ++h) lo_[h] += nb;
+            for (size_t i = 0; i < q.level.size(); ++i) {
+                lo_arc[nb + i] = q.lo[i] < 0 ? q.lo[i] : nb + q.lo[i];
+                hi_arc[nb + i] = q.hi[i] < 0 ? q.hi[i] : nb + q.hi[i];
+            }
+            for (int64_t h = 0; h < d; ++h) {
+                layer_var[layer_off[b] + h] = q.vars[h];
+                nbpv[q.vars[h]]++;
+            }
+        }
+        lo_cost.assign(nr_layers, 0.0);
+        hi_cost.assign(nr_layers, 0.0);
+        def_mm.assign(nr_layers, 0.0);
+        for (int64_t l = 0; l < nr_layers; ++l)
+            hi_cost[l] = obj[layer_var[l]] / (double)nbpv[layer_var[l]];
+        cfr.assign(nr_nodes, 0.0);
+        cft.assign(nr_nodes, 0.0);
+#ifdef _OPENMP
+        n_threads = omp_get_max_threads();
+#endif
+        tl_dlo.assign(n_threads, std::vector<double>(nr_vars, 0.0));
+        tl_dhi.assign(n_threads, std::vector<double>(nr_vars, 0.0));
+        delta_lo.assign(nr_vars, 0.0);
+        delta_hi.assign(nr_vars, 0.0);
+    }
+
+    // delta[v] = sum_layers relu(-+def_mm) (ref_solver._compute_delta)
+    void compute_delta() {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            int t = 0;
+#ifdef _OPENMP
+            t = omp_get_thread_num();
+#endif
+            double* dlo = tl_dlo[t].data();
+            double* dhi = tl_dhi[t].data();
+            std::fill(tl_dlo[t].begin(), tl_dlo[t].end(), 0.0);
+            std::fill(tl_dhi[t].begin(), tl_dhi[t].end(), 0.0);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (int64_t l = 0; l < nr_layers; ++l) {
+                const double mm = def_mm[l];
+                const int32_t v = layer_var[l];
+                dlo[v] += std::max(-mm, 0.0);
+                dhi[v] += std::max(mm, 0.0);
+            }
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (int64_t v = 0; v < nr_vars; ++v) {
+                double slo = 0.0, shi = 0.0;
+                for (int tt = 0; tt < n_threads; ++tt) {
+                    slo += tl_dlo[tt][v];
+                    shi += tl_dhi[tt][v];
+                }
+                delta_lo[v] = slo;
+                delta_hi[v] = shi;
+            }
+        }
+    }
+
+    // shared per-layer MMA cost update (ref_solver._hop_cost_update)
+    static inline void layer_update(double m0, double m1, double omega,
+                                    double alpha, double din_lo, double din_hi,
+                                    double& lo, double& hi, double& mm_out) {
+        const double INFD = std::numeric_limits<double>::infinity();
+        const bool f0 = std::isfinite(m0), f1 = std::isfinite(m1);
+        if (f0 && f1) {
+            const double mm_rm = omega * (m1 - m0);
+            lo = lo - std::max(-mm_rm, 0.0) + alpha * din_lo;
+            hi = hi - std::max(mm_rm, 0.0) + alpha * din_hi;
+            mm_out = mm_rm;
+        } else {
+            lo = (f0 ? lo : INFD) + alpha * din_lo;
+            hi = (f1 ? hi : INFD) + alpha * din_hi;
+            mm_out = f1 ? -INFD : INFD;
+        }
+    }
+
+    void backward_run() {  // plain shortest-path to TOP with current costs
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+        for (int64_t b = 0; b < nr_bdds; ++b) {
+            const int64_t* lvl = &level_off[lvl_idx[b]];
+            const int64_t d = layer_off[b + 1] - layer_off[b];
+            for (int64_t h = d; h-- > 0;) {
+                const double cl = lo_cost[layer_off[b] + h];
+                const double ch = hi_cost[layer_off[b] + h];
+                for (int64_t i = lvl[h]; i < lvl[h + 1]; ++i)
+                    cft[i] = std::min(term_cft(lo_arc[i], cft.data()) + cl,
+                                      term_cft(hi_arc[i], cft.data()) + ch);
+            }
+        }
+        cft_valid = true;
+    }
+
+    // one forward (dir=+1) or backward (dir=-1) half-iteration
+    void half_iteration(double omega, int dir) {
+        compute_delta();
+        const double INFD = std::numeric_limits<double>::infinity();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+        for (int64_t b = 0; b < nr_bdds; ++b) {
+            const int64_t* lvl = &level_off[lvl_idx[b]];
+            const int64_t d = layer_off[b + 1] - layer_off[b];
+            const int64_t nb = node_off[b], ne = node_off[b + 1];
+            if (dir > 0) {
+                for (int64_t i = nb; i < ne; ++i) cfr[i] = INFD;
+                cfr[nb] = 0.0;  // root is node 0 of the bdd
+            }
+            for (int64_t hh = 0; hh < d; ++hh) {
+                const int64_t h = dir > 0 ? hh : d - 1 - hh;
+                const int64_t l = layer_off[b] + h;
+                // min marginals of this layer from cfr (current fwd state or
+                // cached) + cft (cached or current bwd state)
+                double m0 = INFD, m1 = INFD;
+                const double cl = lo_cost[l], ch = hi_cost[l];
+                for (int64_t i = lvl[h]; i < lvl[h + 1]; ++i) {
+                    const double r = cfr[i];
+                    m0 = std::min(m0, r + cl + term_cft(lo_arc[i], cft.data()));
+                    m1 = std::min(m1, r + ch + term_cft(hi_arc[i], cft.data()));
+                }
+                const int32_t v = layer_var[l];
+                layer_update(m0, m1, omega, 1.0 / (double)nbpv[v], delta_lo[v],
+                             delta_hi[v], lo_cost[l], hi_cost[l], def_mm[l]);
+                // propagate with updated costs
+                const double nl = lo_cost[l], nh = hi_cost[l];
+                if (dir > 0) {
+                    for (int64_t i = lvl[h]; i < lvl[h + 1]; ++i) {
+                        const double r = cfr[i];
+                        const int64_t a0 = lo_arc[i], a1 = hi_arc[i];
+                        if (a0 >= 0) cfr[a0] = std::min(cfr[a0], r + nl);
+                        if (a1 >= 0) cfr[a1] = std::min(cfr[a1], r + nh);
+                    }
+                } else {
+                    for (int64_t i = lvl[h]; i < lvl[h + 1]; ++i)
+                        cft[i] = std::min(term_cft(lo_arc[i], cft.data()) + nl,
+                                          term_cft(hi_arc[i], cft.data()) + nh);
+                }
+            }
+        }
+    }
+
+    void iteration(double omega) {
+        if (!cft_valid) backward_run();
+        half_iteration(omega, +1);
+        half_iteration(omega, -1);
+    }
+
+    double lower_bound() {
+        if (!cft_valid) backward_run();
+        double lb = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+ : lb)
+#endif
+        for (int64_t b = 0; b < nr_bdds; ++b) lb += cft[node_off[b]];
+        return lb;
+    }
+
+    // bound after distributing the deferred deltas (does not mutate state)
+    double lower_bound_deferred() {
+        compute_delta();
+        std::vector<double> slo(lo_cost), shi(hi_cost), scft(nr_nodes);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (int64_t l = 0; l < nr_layers; ++l) {
+            const int32_t v = layer_var[l];
+            const double a = 1.0 / (double)nbpv[v];
+            slo[l] += a * delta_lo[v];
+            shi[l] += a * delta_hi[v];
+        }
+        double lb = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16) reduction(+ : lb)
+#endif
+        for (int64_t b = 0; b < nr_bdds; ++b) {
+            const int64_t* lvl = &level_off[lvl_idx[b]];
+            const int64_t d = layer_off[b + 1] - layer_off[b];
+            for (int64_t h = d; h-- > 0;) {
+                const double cl = slo[layer_off[b] + h];
+                const double ch = shi[layer_off[b] + h];
+                for (int64_t i = lvl[h]; i < lvl[h + 1]; ++i)
+                    scft[i] = std::min(term_cft(lo_arc[i], scft.data()) + cl,
+                                       term_cft(hi_arc[i], scft.data()) + ch);
+            }
+            lb += scft[node_off[b]];
+        }
+        return lb;
+    }
+};
+
 }  // namespace bh
 
 // ------------------------------------------------------------------- C ABI
@@ -1093,6 +1358,108 @@ void bh_fill_collection(void* ctx, int64_t* var, int64_t* lo, int64_t* hi,
         base += (int64_t)q.level.size();
         delim[++bi] = base;
     }
+}
+
+// load a flat qbdd collection (python-preprocessed instances: nonlinear,
+// coalesced, split — anything the native parser declines) so the CPU
+// baseline solver can run on it. Arrays as in bh_fill_collection: per-node
+// global var + lo/hi (global node id or TOPv/BOTv), bdd delimiters.
+int bh_load_collection(void* ctx, int64_t nr_vars, int64_t nr_nodes,
+                       int64_t nr_bdds, const int64_t* var, const int64_t* lo,
+                       const int64_t* hi, const int64_t* delim) {
+    auto* c = (bh::Context*)ctx;
+    c->col.bdds.clear();
+    c->ilp.var_names.resize((size_t)nr_vars);
+    c->ilp.objective.assign((size_t)nr_vars, 0.0);
+    for (int64_t b = 0; b < nr_bdds; ++b) {
+        const int64_t s = delim[b], e = delim[b + 1];
+        bh::QbddOut q;
+        // support: distinct vars in node order (level-sorted collections)
+        std::unordered_map<int64_t, int32_t> level_of;
+        for (int64_t i = s; i < e; ++i) {
+            auto it = level_of.find(var[i]);
+            if (it == level_of.end()) {
+                level_of.emplace(var[i], (int32_t)q.vars.size());
+                q.vars.push_back((int32_t)var[i]);
+            }
+        }
+        std::vector<int64_t> order(e - s);
+        std::iota(order.begin(), order.end(), 0);
+        std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t bb) {
+            return level_of[var[s + a]] < level_of[var[s + bb]];
+        });
+        std::vector<int64_t> newid(e - s);
+        for (size_t k = 0; k < order.size(); ++k) newid[order[k]] = (int64_t)k;
+        q.level.resize(e - s);
+        q.lo.resize(e - s);
+        q.hi.resize(e - s);
+        for (size_t k = 0; k < order.size(); ++k) {
+            const int64_t i = s + order[k];
+            q.level[k] = level_of[var[i]];
+            q.lo[k] = lo[i] < 0 ? lo[i] : newid[lo[i] - s];
+            q.hi[k] = hi[i] < 0 ? hi[i] : newid[hi[i] - s];
+        }
+        // qbdd check: internal arcs go exactly one level down (the solver's
+        // backward sweep recomputation order relies on it)
+        for (size_t k = 0; k < q.level.size(); ++k) {
+            for (int64_t a : {q.lo[k], q.hi[k]})
+                if (a >= 0 && q.level[(size_t)a] != q.level[k] + 1) {
+                    c->err = "collection is not quasi-reduced";
+                    return -2;
+                }
+        }
+        c->col.bdds.push_back(std::move(q));
+    }
+    return 0;
+}
+
+// --- CPU parallel MMA baseline (built from a parsed+built context) ---------
+
+void* bh_cpu_create(void* ctx, const double* objective) {
+    auto* c = (bh::Context*)ctx;
+    auto* s = new bh::CpuSolver();
+    try {
+        s->build(c->col, (int64_t)c->ilp.var_names.size(), objective);
+    } catch (const std::exception& e) {
+        c->err = e.what();
+        delete s;
+        return nullptr;
+    }
+    return s;
+}
+
+void bh_cpu_destroy(void* s) { delete (bh::CpuSolver*)s; }
+
+void bh_cpu_iterations(void* s, int n, double omega) {
+    auto* sv = (bh::CpuSolver*)s;
+    for (int i = 0; i < n; ++i) sv->iteration(omega);
+}
+
+double bh_cpu_lower_bound(void* s) { return ((bh::CpuSolver*)s)->lower_bound(); }
+
+double bh_cpu_lower_bound_deferred(void* s) {
+    return ((bh::CpuSolver*)s)->lower_bound_deferred();
+}
+
+int bh_cpu_nr_threads(void* s) { return ((bh::CpuSolver*)s)->n_threads; }
+
+int64_t bh_cpu_nr_layers(void* s) { return ((bh::CpuSolver*)s)->nr_layers; }
+
+// layer order is bdd-major; expose (bdd, var) per layer for parity remapping
+void bh_cpu_layer_info(void* s, int32_t* bdd, int32_t* var) {
+    auto* sv = (bh::CpuSolver*)s;
+    for (int64_t b = 0; b < sv->nr_bdds; ++b)
+        for (int64_t l = sv->layer_off[b]; l < sv->layer_off[b + 1]; ++l) {
+            bdd[l] = (int32_t)b;
+            var[l] = sv->layer_var[l];
+        }
+}
+
+void bh_cpu_get_costs(void* s, double* lo, double* hi, double* mm) {
+    auto* sv = (bh::CpuSolver*)s;
+    std::memcpy(lo, sv->lo_cost.data(), sv->nr_layers * sizeof(double));
+    std::memcpy(hi, sv->hi_cost.data(), sv->nr_layers * sizeof(double));
+    std::memcpy(mm, sv->def_mm.data(), sv->nr_layers * sizeof(double));
 }
 
 }  // extern "C"

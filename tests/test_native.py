@@ -196,3 +196,47 @@ def test_native_declines_fractional_constants_and_bounds():
     ):
         with pytest.raises(Exception):
             NativeHost(lp, "input")
+
+
+@pytest.mark.parametrize("lp", FIXTURE_LPS)
+def test_cpu_solver_parity_vs_oracle(lp):
+    """The native OpenMP parallel-MMA baseline reproduces the numpy oracle's
+    per-iteration bounds (semantics of bdd_parallel_mma_base.cpp:815-1044)."""
+    nh = NativeHost(lp)
+    cs = nh.cpu_solver()
+    ilp, pre = python_pipeline(lp)
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for it in range(30):
+        cs.iterations(1, 0.5)
+        ref.iteration(0.5)
+        a = cs.lower_bound_with_deferred()
+        b = ref.lower_bound_with_deferred()
+        assert a == pytest.approx(b, abs=1e-9), f"iter {it}"
+    assert cs.lower_bound() == pytest.approx(ref.lower_bound(), abs=1e-9)
+
+
+def test_cpu_solver_from_collection_nonlinear():
+    """The collection loader covers python-preprocessed instances (nonlinear
+    monomials) that the native parser declines."""
+    from bdd_tpu import native
+    from bdd_tpu.utils.problems import quadratic_assignment
+
+    ilp = quadratic_assignment(4, seed=3)
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    cs = native.cpu_solver_from_collection(
+        pre.collection, pre.total_nr_variables(), pre.objective_vector()
+    )
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for it in range(10):
+        cs.iterations(1, 0.5)
+        ref.iteration(0.5)
+        a = cs.lower_bound_with_deferred()
+        b = ref.lower_bound_with_deferred()
+        assert a == pytest.approx(b, abs=1e-8), f"iter {it}"
