@@ -542,12 +542,9 @@ class BddSolver:
             # frontend-built ILPs (UAI MRF, graph matching, generators):
             # serialize through write_lp so they too get the C++ host
             # pipeline (parse + order + BDD DP + buckets, ~6x faster than
-            # the python pipeline at scale) — linear-only, no coalesce sets
-            if (
-                self._ilp is not None
-                and not self._ilp.coalesce_sets_
-                and all(c.is_linear() for c in self._ilp.constraints())
-            ):
+            # the python pipeline at scale); the native pipeline handles
+            # monomials (Fortet linearization) and coalesce sets directly
+            if self._ilp is not None:
                 try:
                     self._lp_text = self._ilp.write_lp()
                 except Exception:

@@ -39,10 +39,18 @@ enum class Ineq : uint8_t { LEQ = 0, GEQ = 1, EQ = 2 };
 
 struct Constraint {
     std::vector<int64_t> coeffs;
-    std::vector<int32_t> vars;  // degree-1 monomials only (native path)
+    std::vector<int32_t> vars;  // degree-1 view (valid when monos empty)
+    // nonlinear terms: monos[i] lists the distinct vars of term i (size>=2
+    // for true products); empty when the constraint is linear. Linearized
+    // away by linearize_nonlinear before BDD construction (Fortet; mirrors
+    // bdd_tpu/bdd/preprocessor._linearize_nonlinear and ref
+    // convert_pb_to_bdd.h nonlinear path).
+    std::vector<std::vector<int32_t>> monos;
     Ineq ineq = Ineq::LEQ;
     int64_t rhs = 0;
     std::string name;
+
+    bool is_linear() const { return monos.empty(); }
 };
 
 struct Ilp {
@@ -51,6 +59,7 @@ struct Ilp {
     std::vector<double> objective;
     double constant = 0.0;
     std::vector<Constraint> constraints;
+    std::vector<std::vector<int32_t>> coalesce_sets;  // constraint indices
 
     int32_t get_or_create(const std::string& name) {
         auto it = var_index.find(name);
@@ -228,10 +237,19 @@ inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
                       std::string(ps.p, std::min<size_t>(20, ps.end - ps.p)) + "'";
                 return false;
             }
-            ps.skip_ws();
-            if (ps.p < ps.end && *ps.p == '*') {
-                err = "nonlinear monomial (python fallback required)";
-                return false;
+            // monomial chain: var (* var)* — degree>=2 terms recorded in
+            // c.monos (Fortet-linearized before BDD construction)
+            std::vector<int32_t> mono{ilp.get_or_create(var)};
+            for (;;) {
+                ps.skip_ws();
+                if (!(ps.p < ps.end && *ps.p == '*')) break;
+                ps.p++;
+                std::string v2;
+                if (!ps.read_ident(v2)) {
+                    err = "monomial: expected variable after '*'";
+                    return false;
+                }
+                mono.push_back(ilp.get_or_create(v2));
             }
             double sc = sign * coeff;
             if (sc != std::llround(sc)) {
@@ -239,7 +257,15 @@ inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
                 return false;
             }
             c.coeffs.push_back((int64_t)std::llround(sc));
-            c.vars.push_back(ilp.get_or_create(var));
+            c.vars.push_back(mono[0]);
+            if (!c.monos.empty() || mono.size() > 1) {
+                // switch this constraint to monomial form (backfill earlier
+                // linear terms)
+                if (c.monos.empty())
+                    for (size_t i = 0; i + 1 < c.vars.size(); ++i)
+                        c.monos.push_back({c.vars[i]});
+                c.monos.push_back(std::move(mono));
+            }
         }
         // inequality
         if (ps.p < ps.end && *ps.p == '<') {
@@ -351,9 +377,34 @@ inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
             }
             continue;
         }
-        if (ps.peek_keyword("coalesce")) {
-            err = "coalesce section (python fallback required)";
-            return false;
+        if (ps.eat_keyword("coalesce")) {
+            // one group per line: constraint names to meld into one BDD
+            std::unordered_map<std::string, int32_t> con_idx;
+            for (size_t ci = 0; ci < ilp.constraints.size(); ++ci)
+                if (!ilp.constraints[ci].name.empty())
+                    con_idx[ilp.constraints[ci].name] = (int32_t)ci;
+            for (;;) {
+                ps.skip_ws_nl();
+                if (ps.peek_keyword("end") || ps.peek_keyword("bounds") ||
+                    ps.peek_keyword("binaries") || ps.peek_keyword("generals") ||
+                    ps.p >= ps.end)
+                    break;
+                std::vector<int32_t> group;
+                for (;;) {
+                    ps.skip_ws();
+                    if (ps.p >= ps.end || *ps.p == '\n') break;
+                    std::string nm;
+                    if (!ps.read_ident(nm)) { err = "coalesce: expected name"; return false; }
+                    auto it = con_idx.find(nm);
+                    if (it == con_idx.end()) {
+                        err = "coalesce: unknown constraint '" + nm + "'";
+                        return false;
+                    }
+                    group.push_back(it->second);
+                }
+                if (group.size() > 1) ilp.coalesce_sets.push_back(std::move(group));
+            }
+            continue;
         }
         err = "unexpected content near '" +
               std::string(ps.p, std::min<size_t>(20, ps.end - ps.p)) + "'";
@@ -381,54 +432,150 @@ inline bool parse_lp(const std::string& text, Ilp& ilp, std::string& err) {
             nc.ineq = c.ineq;
             nc.rhs = c.rhs;
             nc.name = c.name;
-            for (size_t i = 0; i < c.vars.size(); ++i) {
-                int32_t v = c.vars[i];
-                if (fixed[v] < 0) {
-                    nc.coeffs.push_back(c.coeffs[i]);
-                    nc.vars.push_back(remap[v]);
-                } else if (fixed[v] == 1) {
-                    nc.rhs -= c.coeffs[i];
+            if (c.is_linear()) {
+                for (size_t i = 0; i < c.vars.size(); ++i) {
+                    int32_t v = c.vars[i];
+                    if (fixed[v] < 0) {
+                        nc.coeffs.push_back(c.coeffs[i]);
+                        nc.vars.push_back(remap[v]);
+                    } else if (fixed[v] == 1) {
+                        nc.rhs -= c.coeffs[i];
+                    }
                 }
+            } else {
+                for (size_t i = 0; i < c.monos.size(); ++i) {
+                    std::vector<int32_t> m;
+                    bool zero = false;
+                    for (int32_t v : c.monos[i]) {
+                        if (fixed[v] == 0) { zero = true; break; }
+                        if (fixed[v] < 0) m.push_back(remap[v]);
+                        // fixed == 1: drop from the product
+                    }
+                    if (zero) continue;
+                    if (m.empty()) {  // whole product fixed to 1
+                        nc.rhs -= c.coeffs[i];
+                        continue;
+                    }
+                    nc.coeffs.push_back(c.coeffs[i]);
+                    nc.vars.push_back(m[0]);
+                    nc.monos.push_back(std::move(m));
+                }
+                if (std::all_of(nc.monos.begin(), nc.monos.end(),
+                                [](const std::vector<int32_t>& m) {
+                                    return m.size() == 1;
+                                }))
+                    nc.monos.clear();
             }
             out.constraints.push_back(std::move(nc));
         }
+        out.coalesce_sets = std::move(ilp.coalesce_sets);
         ilp = std::move(out);
     }
     return true;
 }
 
 // ----------------------------------------------------- normalize + preprocess
+// Monomial-aware normalize: merge terms by (sorted, deduped) monomial key,
+// drop zeros, sort terms by key lexicographically (order parity with
+// ilp/model.Constraint.normalize so the Fortet product-variable creation
+// order matches the python pipeline).
 inline void normalize(Ilp& ilp) {
     for (auto& c : ilp.constraints) {
-        std::vector<size_t> order(c.vars.size());
-        std::iota(order.begin(), order.end(), 0);
-        std::sort(order.begin(), order.end(),
-                  [&](size_t a, size_t b) { return c.vars[a] < c.vars[b]; });
-        std::vector<int64_t> nc;
-        std::vector<int32_t> nv;
-        for (size_t k : order) {
-            if (!nv.empty() && nv.back() == c.vars[k]) {
-                nc.back() += c.coeffs[k];
-            } else {
-                nv.push_back(c.vars[k]);
-                nc.push_back(c.coeffs[k]);
+        std::map<std::vector<int32_t>, int64_t> merged;
+        if (c.is_linear()) {
+            for (size_t i = 0; i < c.vars.size(); ++i)
+                merged[{c.vars[i]}] += c.coeffs[i];
+        } else {
+            for (size_t i = 0; i < c.monos.size(); ++i) {
+                std::vector<int32_t> key = c.monos[i];
+                if (key.size() > 1) {
+                    std::sort(key.begin(), key.end());
+                    key.erase(std::unique(key.begin(), key.end()), key.end());
+                }
+                merged[key] += c.coeffs[i];
             }
         }
-        // drop zero coefficients
         c.coeffs.clear();
         c.vars.clear();
-        for (size_t i = 0; i < nv.size(); ++i) {
-            if (nc[i] != 0) {
-                c.coeffs.push_back(nc[i]);
-                c.vars.push_back(nv[i]);
-            }
+        c.monos.clear();
+        bool nonlinear = false;
+        for (auto& [key, coeff] : merged)
+            if (coeff != 0 && key.size() > 1) nonlinear = true;
+        for (auto& [key, coeff] : merged) {
+            if (coeff == 0) continue;
+            c.coeffs.push_back(coeff);
+            c.vars.push_back(key[0]);
+            if (nonlinear) c.monos.push_back(key);
         }
     }
+}
+
+// Fortet linearization of degree>=2 monomials: one product variable per
+// distinct key with linking constraints y<=x_v (each v) and
+// y >= sum x_v - (k-1), appended AFTER the main constraints so coalesce
+// indices stay valid. Mirrors bdd/preprocessor._linearize_nonlinear
+// (creation-order parity: constraints in order, terms in normalized order).
+inline void linearize_nonlinear(Ilp& ilp) {
+    bool any = false;
+    for (auto& c : ilp.constraints)
+        if (!c.is_linear()) any = true;
+    if (!any) return;
+    std::map<std::vector<int32_t>, int32_t> prod_var;
+    std::vector<Constraint> links;
+    for (auto& c : ilp.constraints) {
+        if (c.is_linear()) continue;
+        std::vector<int64_t> coeffs;
+        std::vector<int32_t> vars;
+        for (size_t i = 0; i < c.monos.size(); ++i) {
+            const auto& m = c.monos[i];
+            if (m.size() == 1) {
+                coeffs.push_back(c.coeffs[i]);
+                vars.push_back(m[0]);
+                continue;
+            }
+            // keys are sorted+deduped by normalize
+            auto it = prod_var.find(m);
+            int32_t y;
+            if (it != prod_var.end()) {
+                y = it->second;
+            } else {
+                std::string nm = "prod_";
+                for (size_t k = 0; k < m.size(); ++k)
+                    nm += (k ? "_" : "") + std::to_string(m[k]);
+                y = ilp.get_or_create(nm);
+                prod_var.emplace(m, y);
+                for (int32_t v : m) {
+                    Constraint lc;
+                    lc.coeffs = {1, -1};
+                    lc.vars = {y, v};
+                    lc.ineq = Ineq::LEQ;
+                    lc.rhs = 0;
+                    links.push_back(std::move(lc));
+                }
+                Constraint gc;
+                gc.coeffs.assign(m.size() + 1, -1);
+                gc.coeffs[0] = 1;
+                gc.vars = m;
+                gc.vars.insert(gc.vars.begin(), y);
+                gc.ineq = Ineq::GEQ;
+                gc.rhs = -(int64_t)(m.size() - 1);
+                links.push_back(std::move(gc));
+            }
+            coeffs.push_back(c.coeffs[i]);
+            vars.push_back(y);
+        }
+        c.coeffs = std::move(coeffs);
+        c.vars = std::move(vars);
+        c.monos.clear();
+    }
+    for (auto& lc : links) ilp.constraints.push_back(std::move(lc));
 }
 
 // returns false on trivial infeasibility (ref: ILP_input.cpp:300-389)
 inline bool preprocess(Ilp& ilp) {
     std::vector<Constraint> kept;
+    std::unordered_map<int32_t, int32_t> old_to_new;
+    int32_t idx = 0;
     for (auto& c : ilp.constraints) {
         bool remove = false;
         if (c.vars.empty()) {
@@ -448,9 +595,24 @@ inline bool preprocess(Ilp& ilp) {
                 if (c.rhs != 0 && c.rhs != coeff) return false;
             }
         }
-        if (!remove) kept.push_back(std::move(c));
+        if (!remove) {
+            old_to_new[idx] = (int32_t)kept.size();
+            kept.push_back(std::move(c));
+        }
+        ++idx;
     }
     ilp.constraints = std::move(kept);
+    // remap coalesce groups over the surviving constraints
+    std::vector<std::vector<int32_t>> cs;
+    for (auto& s : ilp.coalesce_sets) {
+        std::vector<int32_t> ns;
+        for (int32_t i : s) {
+            auto it = old_to_new.find(i);
+            if (it != old_to_new.end()) ns.push_back(it->second);
+        }
+        if (ns.size() > 1) cs.push_back(std::move(ns));
+    }
+    ilp.coalesce_sets = std::move(cs);
     return true;
 }
 
@@ -459,7 +621,14 @@ inline std::vector<std::vector<int32_t>> adjacency(const Ilp& ilp) {
     size_t n = ilp.var_names.size();
     std::vector<std::unordered_set<int32_t>> adj(n);
     for (auto& c : ilp.constraints) {
-        const auto& vs = c.vars;
+        std::vector<int32_t> union_vars;
+        if (!c.is_linear()) {  // union of monomial supports, first-seen order
+            std::unordered_set<int32_t> seen;
+            for (auto& m : c.monos)
+                for (int32_t v : m)
+                    if (seen.insert(v).second) union_vars.push_back(v);
+        }
+        const auto& vs = c.is_linear() ? c.vars : union_vars;
         if (vs.size() > 64) {
             for (size_t i = 0; i + 1 < vs.size(); ++i) {
                 adj[vs[i]].insert(vs[i + 1]);
@@ -532,8 +701,11 @@ inline void apply_order(Ilp& ilp, const std::vector<int32_t>& order) {
     ilp.objective = std::move(obj);
     ilp.var_index.clear();
     for (size_t i = 0; i < n; ++i) ilp.var_index.emplace(ilp.var_names[i], (int32_t)i);
-    for (auto& c : ilp.constraints)
+    for (auto& c : ilp.constraints) {
         for (auto& v : c.vars) v = new_of_old[v];
+        for (auto& m : c.monos)
+            for (auto& v : m) v = new_of_old[v];
+    }
     normalize(ilp);
 }
 
@@ -688,6 +860,133 @@ inline int build_inequality_bdd(const Constraint& cin, BddNodes& out) {
     return 1;
 }
 
+// product (meld) of k reduced BDDs over the union of their supports —
+// coalesce groups (semantics of collection.bdd_and / ref bdd_collection
+// multi-way meld, bdd_collection.h:495-600, different construction: operand-
+// node-tuple BFS per union level + bottom-up signature merge, reusing the
+// two-pass canonicalization of build_inequality_bdd).
+// Returns 1 (bdd in out), 0 (always true), -1 (empty product).
+inline int meld_product(const std::vector<const BddNodes*>& ops, BddNodes& out) {
+    const size_t K = ops.size();
+    // union support (operand supports are sorted ascending)
+    std::vector<int32_t> support;
+    {
+        std::vector<int32_t> all;
+        for (auto* o : ops)
+            all.insert(all.end(), o->support.begin(), o->support.end());
+        std::sort(all.begin(), all.end());
+        all.erase(std::unique(all.begin(), all.end()), all.end());
+        support = std::move(all);
+    }
+    const size_t D = support.size();
+    // per-operand: local level of union level k (-1 when absent)
+    std::vector<std::vector<int32_t>> pos(K, std::vector<int32_t>(D, -1));
+    for (size_t i = 0; i < K; ++i) {
+        size_t j = 0;
+        for (size_t k = 0; k < D; ++k)
+            if (j < ops[i]->support.size() && ops[i]->support[j] == support[k])
+                pos[i][k] = (int32_t)j++;
+    }
+
+    using Tuple = std::vector<int64_t>;
+    // normalize: any BOT -> BOT; all TOP -> TOP; else keep
+    auto classify = [&](const Tuple& t) -> int64_t {
+        bool all_top = true;
+        for (int64_t x : t) {
+            if (x == BOTv) return BOTv;
+            if (x != TOPv) all_top = false;
+        }
+        return all_top ? TOPv : 0;
+    };
+    auto advance = [&](const Tuple& t, size_t k, bool hi) {
+        Tuple n(t);
+        for (size_t i = 0; i < K; ++i) {
+            int64_t x = t[i];
+            if (x >= 0 && pos[i][k] >= 0 && ops[i]->level[(size_t)x] == pos[i][k])
+                n[i] = hi ? ops[i]->hi[(size_t)x] : ops[i]->lo[(size_t)x];
+        }
+        return n;
+    };
+
+    Tuple root(K, 0);
+    if (int64_t c = classify(root); c != 0) return c == TOPv ? 0 : -1;
+
+    // pass 1: reachable tuples per level
+    std::vector<std::map<Tuple, int64_t>> states(D + 1);
+    states[0].emplace(root, -3);  // value filled in pass 2
+    size_t total = 1;
+    for (size_t k = 0; k < D; ++k) {
+        for (auto& [t, _] : states[k]) {
+            for (bool hi : {false, true}) {
+                Tuple n = advance(t, k, hi);
+                if (classify(n) != 0) continue;
+                if (states[k + 1].emplace(std::move(n), -3).second &&
+                    ++total > (size_t)1 << 22)
+                    throw std::runtime_error("meld: state explosion");
+            }
+        }
+    }
+
+    // pass 2: bottom-up with (lo, hi) signature merge per level
+    std::vector<int32_t> node_level;
+    std::vector<int64_t> node_lo, node_hi;
+    auto resolve = [&](size_t k, const Tuple& t) -> int64_t {
+        int64_t c = classify(t);
+        if (c != 0) return c;
+        return states[k].at(t);
+    };
+    for (size_t k = D; k-- > 0;) {
+        std::map<std::pair<int64_t, int64_t>, int64_t> sig;
+        for (auto& [t, val] : states[k]) {
+            int64_t lo = resolve(k + 1, advance(t, k, false));
+            int64_t hi = resolve(k + 1, advance(t, k, true));
+            if (lo == hi) {
+                val = lo;
+                continue;
+            }
+            auto key = std::make_pair(lo, hi);
+            auto it = sig.find(key);
+            if (it == sig.end()) {
+                node_level.push_back((int32_t)k);
+                node_lo.push_back(lo);
+                node_hi.push_back(hi);
+                it = sig.emplace(key, (int64_t)node_level.size() - 1).first;
+            }
+            val = it->second;
+        }
+    }
+    int64_t root_id = states[0].at(root);
+    if (root_id == TOPv) return 0;
+    if (root_id == BOTv) return -1;
+
+    // topological order, root first (same post-processing as
+    // build_inequality_bdd)
+    size_t m = node_level.size();
+    std::vector<int64_t> order(m);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return node_level[a] < node_level[b];
+    });
+    if (order[0] != root_id) {
+        auto it = std::find(order.begin(), order.end(), root_id);
+        order.erase(it);
+        order.insert(order.begin(), root_id);
+    }
+    std::vector<int64_t> newid(m);
+    for (size_t k2 = 0; k2 < m; ++k2) newid[order[k2]] = (int64_t)k2;
+    out.level.resize(m);
+    out.lo.resize(m);
+    out.hi.resize(m);
+    for (size_t k2 = 0; k2 < m; ++k2) {
+        int64_t o = order[k2];
+        out.level[k2] = node_level[o];
+        out.lo[k2] = node_lo[o] < 0 ? node_lo[o] : newid[node_lo[o]];
+        out.hi[k2] = node_hi[o] < 0 ? node_hi[o] : newid[node_hi[o]];
+    }
+    out.support = support;
+    return 1;
+}
+
 // quasi-reduction over the *used* support (collection.make_qbdd semantics):
 // re-levels to the compact support of variables actually appearing, chains
 // skipped levels and TOP arcs, leaves BOT arcs direct.
@@ -814,6 +1113,16 @@ struct Context {
 
     bool build() {
         normalize(ilp);
+        linearize_nonlinear(ilp);
+        normalize(ilp);
+        for (auto& c : ilp.constraints) {
+            int64_t mx = 0;
+            for (int64_t x : c.coeffs) mx = std::max(mx, std::abs(x));
+            if (mx > ((int64_t)1 << 20) && c.vars.size() > 64)
+                throw std::runtime_error(
+                    "huge coefficients (python coefficient decomposition "
+                    "fallback required)");
+        }
         if (!preprocess(ilp)) {
             infeasible = true;
             return false;
@@ -822,7 +1131,11 @@ struct Context {
         // parallel per-constraint BDD construction, ordered assembly
         // (ref: OpenMP ordered loop, bdd_preprocessor.cpp:146-359)
         const size_t nc = ilp.constraints.size();
+        std::vector<int32_t> in_group(nc, -1);
+        for (size_t gi = 0; gi < ilp.coalesce_sets.size(); ++gi)
+            for (int32_t ci : ilp.coalesce_sets[gi]) in_group[ci] = (int32_t)gi;
         std::vector<QbddOut> results(nc);
+        std::vector<BddNodes> raws(nc);  // kept only for coalesce members
         std::vector<int8_t> status(nc, 0);
         std::atomic<bool> thrown{false};
 #ifdef _OPENMP
@@ -836,7 +1149,12 @@ struct Context {
                 BddNodes raw;
                 int r = build_inequality_bdd(ilp.constraints[ci], raw);
                 status[ci] = (int8_t)r;
-                if (r == 1) make_qbdd(raw, results[ci]);
+                if (r == 1) {
+                    if (in_group[ci] >= 0)
+                        raws[ci] = std::move(raw);
+                    else
+                        make_qbdd(raw, results[ci]);
+                }
             } catch (...) {
                 thrown.store(true);
             }
@@ -844,14 +1162,41 @@ struct Context {
         if (thrown.load())
             throw std::runtime_error(
                 "exception during parallel BDD construction");
-        for (size_t ci = 0; ci < nc; ++ci) {
+        for (size_t ci = 0; ci < nc; ++ci)
             if (status[ci] == -1) {
                 infeasible = true;
                 return false;
             }
-            if (status[ci] == 0) continue;
-            for (int32_t v : results[ci].vars) covered[v] = 1;
-            col.bdds.push_back(std::move(results[ci]));
+        // meld coalesce groups into one BDD each (emitted at the first
+        // contributing member's position; bdd/preprocessor.py:73-106)
+        std::vector<QbddOut> group_bdd(ilp.coalesce_sets.size());
+        std::vector<int8_t> group_status(ilp.coalesce_sets.size(), 0);
+        for (size_t gi = 0; gi < ilp.coalesce_sets.size(); ++gi) {
+            std::vector<const BddNodes*> members;
+            for (int32_t ci : ilp.coalesce_sets[gi])
+                if (status[ci] == 1) members.push_back(&raws[ci]);
+            if (members.empty()) continue;
+            BddNodes melded;
+            int r = meld_product(members, melded);
+            if (r == -1) {
+                infeasible = true;
+                return false;
+            }
+            group_status[gi] = (int8_t)r;
+            if (r == 1) make_qbdd(melded, group_bdd[gi]);
+        }
+        std::vector<char> group_emitted(ilp.coalesce_sets.size(), 0);
+        for (size_t ci = 0; ci < nc; ++ci) {
+            const int32_t gi = in_group[ci];
+            if (gi < 0) {
+                if (status[ci] == 0) continue;
+                for (int32_t v : results[ci].vars) covered[v] = 1;
+                col.bdds.push_back(std::move(results[ci]));
+            } else if (!group_emitted[gi] && group_status[gi] == 1) {
+                group_emitted[gi] = 1;
+                for (int32_t v : group_bdd[gi].vars) covered[v] = 1;
+                col.bdds.push_back(std::move(group_bdd[gi]));
+            }
         }
         // free-variable BDDs for uncovered vars with nonzero objective
         for (size_t v = 0; v < covered.size(); ++v) {

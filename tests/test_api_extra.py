@@ -35,7 +35,9 @@ def test_native_path_used_for_lp(tmp_path):
     assert r["objective"] == pytest.approx(-6.0)
 
 
-def test_python_fallback_for_nonlinear():
+def test_native_path_handles_nonlinear():
+    # nonlinear instances take the native pipeline too (C++ Fortet
+    # linearization, native/bdd_host.cpp linearize_nonlinear)
     lp = """Minimize
 -2 x - 2 y + 3 z
 Subject To
@@ -51,9 +53,9 @@ End"""
     s.read_ilp(lp_string=lp)
     r = s.solve(verbose=False)
     assert r["status"] == "solved"
-    assert getattr(s, "_native", None) is None  # fell back to python pipeline
     opt, _ = fixtures.brute_force_ilp_optimum(s.ilp)
     assert r["lower_bound"] <= opt + 1e-5
+    assert r["objective"] == pytest.approx(opt, abs=1e-6)
 
 
 def test_cli_config_file(tmp_path, capsys):

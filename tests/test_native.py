@@ -146,14 +146,51 @@ def test_native_grid_mrf_convergence_matches_python():
 
 
 def test_native_unsupported_fallback():
+    # fractional constraint coefficients stay on the python (exact) pipeline
     with pytest.raises(NativeUnsupported):
         NativeHost(
             """Minimize
 x + y
 Subject To
-x*y + x <= 1
+0.5 x + y <= 1
 End"""
         )
+
+
+def test_native_nonlinear_and_coalesce_parity():
+    """Native Fortet linearization + coalesce melding reproduce the python
+    pipeline (counts and per-iteration bounds)."""
+    from bdd_tpu.utils.problems import quadratic_assignment
+
+    qap = quadratic_assignment(4, seed=5)
+    coal = """Minimize
+x + y + z
+Subject To
+c1: x + y >= 1
+c2: y + z >= 1
+c3: x + z >= 1
+Coalesce
+c1 c2
+End"""
+    for lp in [qap.write_lp(), coal]:
+        ilp = parse_lp_string(lp)
+        ilp.normalize()
+        pre = BddPreprocessor(ilp)
+        flat = flatten_collection(
+            pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+        )
+        ref = RefSolver(flat, pre.objective_vector())
+        nh = NativeHost(lp)
+        assert nh.nr_bdds() == pre.collection.nr_bdds()
+        assert nh.nr_vars() == pre.total_nr_variables()
+        host = nh.make_uniform_host(dtype=jnp.float64)
+        state = uf.init_uniform_state(host, nh.objective(), dtype=jnp.float64)
+        for it in range(12):
+            state = uf.iterations(host.geom, state, 1, 0.5)
+            ref.iteration(0.5)
+            a = float(uf.lower_bound_with_deferred(host.geom, state))
+            b = ref.lower_bound_with_deferred()
+            assert a == pytest.approx(b, abs=1e-8), f"iter {it}"
 
 
 def test_native_bounds_fixations():
