@@ -557,7 +557,13 @@ class BddSolver:
             if not available():
                 return None
             order = cfg["variable order"]
-            nh = NativeHost(self._lp_text, order if order in ("input", "bfs", "cuthill") else "input")
+            nh = NativeHost(
+                self._lp_text,
+                order
+                if order in ("input", "bfs", "cuthill", "minimum degree",
+                             "mindegree")
+                else "input",
+            )
             self.var_perm = nh.var_perm()  # for min_marginals(original_order)
         except Exception:
             return None

@@ -297,7 +297,42 @@ class ILPInput:
                         adj[b].add(a)
         return [sorted(s) for s in adj]
 
-    def _bfs_order(self, sort_neighbors_by_degree: bool) -> List[int]:
+    @staticmethod
+    def _pseudo_peripheral_start(adj, start: int, visited) -> int:
+        """Double-sweep pseudo-peripheral node of ``start``'s unvisited
+        component (ref: include/pseudo_peripheral_node.hxx:60-100 — repeated
+        farthest-node BFS until the eccentricity stops growing; the
+        reference's farthest_node has a bug returning its argument, fixed
+        here). Deterministic tie-break: smallest index at max distance."""
+
+        def farthest(x: int):
+            dist = {x: 0}
+            q = deque([x])
+            best, best_d = x, 0
+            while q:
+                u = q.popleft()
+                for v in adj[u]:
+                    if not visited[v] and v not in dist:
+                        dist[v] = dist[u] + 1
+                        if dist[v] > best_d or (
+                            dist[v] == best_d and v < best
+                        ):
+                            best, best_d = v, dist[v]
+                        q.append(v)
+            return best, best_d
+
+        y, d_y = farthest(start)
+        z, d_z = farthest(y)
+        while d_z > d_y:
+            y, d_y = z, d_z
+            z, d_z = farthest(y)
+        return y
+
+    def _bfs_order(
+        self,
+        sort_neighbors_by_degree: bool,
+        pseudo_peripheral_starts: bool = False,
+    ) -> List[int]:
         n = self.nr_variables()
         adj = self.variable_adjacency()
         deg = [len(a) for a in adj]
@@ -307,6 +342,8 @@ class ILPInput:
         for start in remaining:
             if visited[start]:
                 continue
+            if pseudo_peripheral_starts:
+                start = self._pseudo_peripheral_start(adj, start, visited)
             visited[start] = True
             q = deque([start])
             while q:
@@ -327,7 +364,13 @@ class ILPInput:
         return self.reorder(self._bfs_order(sort_neighbors_by_degree=False))
 
     def reorder_cuthill_mckee(self) -> List[int]:
-        return self.reorder(self._bfs_order(sort_neighbors_by_degree=True))
+        """Cuthill-McKee with pseudo-peripheral start nodes per component
+        (ref: include/cuthill-mckee.h:29 + pseudo_peripheral_node.hxx)."""
+        return self.reorder(
+            self._bfs_order(
+                sort_neighbors_by_degree=True, pseudo_peripheral_starts=True
+            )
+        )
 
     def reorder_minimum_degree(self) -> List[int]:
         """Greedy minimum-degree ordering (approximate; no fill-in updates)."""

@@ -125,7 +125,13 @@ def available() -> bool:
         return False
 
 
-_ORDER_MODES = {"input": 0, "bfs": 1, "cuthill": 2}
+_ORDER_MODES = {
+    "input": 0,
+    "bfs": 1,
+    "cuthill": 2,  # pseudo-peripheral starts, like the reference
+    "minimum degree": 3,
+    "mindegree": 3,
+}
 
 
 class NativeHost:

@@ -650,8 +650,48 @@ inline std::vector<std::vector<int32_t>> adjacency(const Ilp& ilp) {
     return out;
 }
 
-// BFS / Cuthill-McKee variable ordering (semantics of ILPInput._bfs_order)
-inline std::vector<int32_t> bfs_order(const Ilp& ilp, bool by_degree) {
+// double-sweep pseudo-peripheral node of start's unvisited component
+// (ref: include/pseudo_peripheral_node.hxx:60-100; the reference's
+// farthest_node returns its argument — bug — fixed here; smallest-index
+// tie-break at max distance, matching ILPInput._pseudo_peripheral_start)
+inline int32_t pseudo_peripheral_start(
+    const std::vector<std::vector<int32_t>>& adj,
+    const std::vector<char>& visited, int32_t start) {
+    std::vector<int32_t> dist(adj.size());
+    auto farthest = [&](int32_t x) -> std::pair<int32_t, int32_t> {
+        std::fill(dist.begin(), dist.end(), -1);
+        dist[x] = 0;
+        std::deque<int32_t> q{x};
+        int32_t best = x, best_d = 0;
+        while (!q.empty()) {
+            int32_t u = q.front();
+            q.pop_front();
+            for (int32_t v : adj[u])
+                if (!visited[v] && dist[v] < 0) {
+                    dist[v] = dist[u] + 1;
+                    if (dist[v] > best_d || (dist[v] == best_d && v < best)) {
+                        best = v;
+                        best_d = dist[v];
+                    }
+                    q.push_back(v);
+                }
+        }
+        return {best, best_d};
+    };
+    auto [y, d_y] = farthest(start);
+    auto [z, d_z] = farthest(y);
+    while (d_z > d_y) {
+        y = z;
+        d_y = d_z;
+        std::tie(z, d_z) = farthest(y);
+    }
+    return y;
+}
+
+// BFS / Cuthill-McKee variable ordering (semantics of ILPInput._bfs_order;
+// Cuthill uses pseudo-peripheral starts per component like the reference)
+inline std::vector<int32_t> bfs_order(const Ilp& ilp, bool by_degree,
+                                      bool pseudo_peripheral = false) {
     auto adj = adjacency(ilp);
     size_t n = adj.size();
     std::vector<int32_t> deg(n);
@@ -666,6 +706,7 @@ inline std::vector<int32_t> bfs_order(const Ilp& ilp, bool by_degree) {
     std::deque<int32_t> q;
     for (int32_t s : start) {
         if (visited[s]) continue;
+        if (pseudo_peripheral) s = pseudo_peripheral_start(adj, visited, s);
         visited[s] = 1;
         q.push_back(s);
         while (!q.empty()) {
@@ -683,6 +724,39 @@ inline std::vector<int32_t> bfs_order(const Ilp& ilp, bool by_degree) {
                 q.push_back(v);
             }
         }
+    }
+    return order;
+}
+
+// greedy minimum-degree ordering with lazy degree recomputation (semantics
+// of ILPInput.reorder_minimum_degree: degree among alive nodes, ties by
+// index ascending)
+inline std::vector<int32_t> min_degree_order(const Ilp& ilp) {
+    auto adj = adjacency(ilp);
+    size_t n = adj.size();
+    std::vector<char> alive(n, 1);
+    auto alive_deg = [&](int32_t v) {
+        int32_t d = 0;
+        for (int32_t u : adj[v]) d += alive[u];
+        return d;
+    };
+    using Item = std::pair<int32_t, int32_t>;  // (degree, node)
+    std::priority_queue<Item, std::vector<Item>, std::greater<Item>> heap;
+    for (size_t v = 0; v < n; ++v)
+        heap.push({(int32_t)adj[v].size(), (int32_t)v});
+    std::vector<int32_t> order;
+    order.reserve(n);
+    while (!heap.empty()) {
+        auto [d, v] = heap.top();
+        heap.pop();
+        if (!alive[v]) continue;
+        int32_t cur = alive_deg(v);
+        if (d != cur) {
+            heap.push({cur, v});
+            continue;
+        }
+        alive[v] = 0;
+        order.push_back(v);
     }
     return order;
 }
@@ -1610,7 +1684,8 @@ int bh_parse_lp(void* ctx, const char* text) {
 int bh_reorder(void* ctx, int mode) {
     auto* c = (bh::Context*)ctx;
     if (mode == 0) return 0;
-    auto order = bh::bfs_order(c->ilp, mode == 2);
+    auto order = mode == 3 ? bh::min_degree_order(c->ilp)
+                           : bh::bfs_order(c->ilp, mode == 2, mode == 2);
     bh::apply_order(c->ilp, order);
     c->last_order = order;
     return 0;

@@ -277,3 +277,29 @@ def test_cpu_solver_from_collection_nonlinear():
         a = cs.lower_bound_with_deferred()
         b = ref.lower_bound_with_deferred()
         assert a == pytest.approx(b, abs=1e-8), f"iter {it}"
+
+
+@pytest.mark.parametrize("order,method", [
+    ("bfs", "reorder_bfs"),
+    ("cuthill", "reorder_cuthill_mckee"),
+    ("minimum degree", "reorder_minimum_degree"),
+])
+def test_ordering_parity_native_vs_python(order, method):
+    """All native ordering modes produce the exact python permutation
+    (cuthill uses pseudo-peripheral starts per the reference,
+    include/cuthill-mckee.h:29 + pseudo_peripheral_node.hxx)."""
+    from bdd_tpu.utils.problems import set_cover
+
+    ilp = grid_mrf(5, 5, 3, seed=3)
+    lp = ilp.write_lp()
+    p = parse_lp_string(lp)
+    getattr(p, method)()
+    nh = NativeHost(lp, order)
+    assert nh.var_names() == p.var_names
+
+    ilp2 = set_cover(30, 60, seed=4)
+    lp2 = ilp2.write_lp()
+    p2 = parse_lp_string(lp2)
+    getattr(p2, method)()
+    nh2 = NativeHost(lp2, order)
+    assert nh2.var_names() == p2.var_names
