@@ -20,7 +20,8 @@ def config_mis(**overrides) -> TrainConfig:
     """Maximum independent set (ref config_mis.py: 20 rounds x 20 iters,
     batch 8, free update on)."""
     base = dict(nr_rounds=20, iters_per_round=20, grad_rounds=1,
-                free_update=True)
+                free_update=True, layer_norm=True, history_features=True,
+                smooth_temps=(0.1, 1.0, 10.0, 100.0, 1000.0))
     base.update(overrides)
     return TrainConfig(**base)
 
@@ -28,7 +29,8 @@ def config_mis(**overrides) -> TrainConfig:
 def config_gm(**overrides) -> TrainConfig:
     """Graph matching (ref config_gm.py: 20 rounds x 20 iters, batch 2)."""
     base = dict(nr_rounds=20, iters_per_round=20, grad_rounds=1,
-                free_update=True)
+                free_update=True, layer_norm=True, history_features=True,
+                smooth_temps=(0.1, 1.0, 10.0, 100.0))
     base.update(overrides)
     return TrainConfig(**base)
 
@@ -36,7 +38,8 @@ def config_gm(**overrides) -> TrainConfig:
 def config_qaplib(**overrides) -> TrainConfig:
     """QAPLib (ref config_qaplib.py: 500 rounds x 5 iters, batch 4)."""
     base = dict(nr_rounds=500, iters_per_round=5, grad_rounds=1,
-                free_update=True)
+                free_update=True, layer_norm=True, history_features=True,
+                smooth_temps=(0.1, 1.0, 10.0, 100.0))
     base.update(overrides)
     return TrainConfig(**base)
 
@@ -46,6 +49,7 @@ def config_ct(**overrides) -> TrainConfig:
     model — no dist-weight/omega prediction in the reference; here the heads
     coexist, the free update dominating at 1 iteration/round)."""
     base = dict(nr_rounds=400, iters_per_round=1, grad_rounds=1,
-                free_update=True)
+                free_update=True, layer_norm=True,
+                smooth_temps=(1.0, 10.0, 100.0, 1000.0))
     base.update(overrides)
     return TrainConfig(**base)

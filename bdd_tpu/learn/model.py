@@ -19,14 +19,22 @@ from bdd_tpu.learn.features import GraphSpec
 
 
 class MLP(nn.Module):
+    """Feature MLP with the reference's normalization/activation options
+    (DOGE/model/model.py:204-260: layer norm + CELU in the extractor MLPs)."""
+
     widths: Sequence[int]
+    layer_norm: bool = False
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x):
+        act = nn.celu if self.activation == "celu" else nn.relu
         for i, w in enumerate(self.widths):
             x = nn.Dense(w)(x)
             if i + 1 < len(self.widths):
-                x = nn.relu(x)
+                if self.layer_norm:
+                    x = nn.LayerNorm()(x)
+                x = act(x)
         return x
 
 
@@ -35,14 +43,22 @@ class MessagePassingLayer(nn.Module):
     (ref: FeatureExtractorLayer, model.py:57-130)."""
 
     dim: int
+    layer_norm: bool = False
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, spec: GraphSpec, var_e, bdd_e, edge_e):
         E = spec.E
+        mlp = lambda: MLP(
+            [self.dim, self.dim],
+            layer_norm=self.layer_norm,
+            activation=self.activation,
+        )
+        act = nn.celu if self.activation == "celu" else nn.relu
         ve = var_e[spec.layer_var]
         be = bdd_e[spec.layer_bdd]
         msg_in = jnp.concatenate([ve, be, edge_e], axis=-1)
-        edge_new = MLP([self.dim, self.dim])(msg_in)
+        edge_new = mlp()(msg_in)
         edge_new = jnp.where(spec.layer_valid[:, None], edge_new, 0.0)
 
         def seg(x, ids, n):
@@ -54,9 +70,9 @@ class MessagePassingLayer(nn.Module):
 
         var_msg = seg(edge_new, spec.layer_var, spec.nr_vars + 1)
         bdd_msg = seg(edge_new, spec.layer_bdd, spec.nr_bdds + 1)
-        var_new = MLP([self.dim, self.dim])(jnp.concatenate([var_e, var_msg], -1))
-        bdd_new = MLP([self.dim, self.dim])(jnp.concatenate([bdd_e, bdd_msg], -1))
-        return nn.relu(var_new), nn.relu(bdd_new), nn.relu(edge_new)
+        var_new = mlp()(jnp.concatenate([var_e, var_msg], -1))
+        bdd_new = mlp()(jnp.concatenate([bdd_e, bdd_msg], -1))
+        return act(var_new), act(bdd_new), act(edge_new)
 
 
 class DogePredictor(nn.Module):
@@ -75,6 +91,8 @@ class DogePredictor(nn.Module):
     nr_rounds: int = 2
     use_lstm_var: bool = False
     free_update: bool = False  # direct dual step head (ref model.py:318-334)
+    layer_norm: bool = False  # LayerNorm in all MLPs (ref model.py option)
+    activation: str = "relu"  # or "celu" (ref model.py option)
 
     def zero_lstm_state(self, nr_vars: int, dtype=jnp.float32):
         z = jnp.zeros((nr_vars + 1, self.dim), dtype)
@@ -82,13 +100,16 @@ class DogePredictor(nn.Module):
 
     @nn.compact
     def __call__(self, spec: GraphSpec, var_f, bdd_f, edge_f, lstm_state=None):
-        var_e = nn.relu(nn.Dense(self.dim)(var_f))
-        bdd_e = nn.relu(nn.Dense(self.dim)(bdd_f))
-        edge_e = nn.relu(nn.Dense(self.dim)(edge_f))
+        act = nn.celu if self.activation == "celu" else nn.relu
+        var_e = act(nn.Dense(self.dim)(var_f))
+        bdd_e = act(nn.Dense(self.dim)(bdd_f))
+        edge_e = act(nn.Dense(self.dim)(edge_f))
         for _ in range(self.nr_rounds):
-            var_e, bdd_e, edge_e = MessagePassingLayer(self.dim)(
-                spec, var_e, bdd_e, edge_e
-            )
+            var_e, bdd_e, edge_e = MessagePassingLayer(
+                self.dim,
+                layer_norm=self.layer_norm,
+                activation=self.activation,
+            )(spec, var_e, bdd_e, edge_e)
         var_head = var_e
         new_lstm_state = None
         if self.use_lstm_var:
@@ -100,7 +121,11 @@ class DogePredictor(nn.Module):
         head_in = jnp.concatenate(
             [edge_e, var_head[spec.layer_var], bdd_e[spec.layer_bdd]], axis=-1
         )
-        out = MLP([self.dim, 2 + int(self.free_update)])(head_in)
+        out = MLP(
+            [self.dim, 2 + int(self.free_update)],
+            layer_norm=self.layer_norm,
+            activation=self.activation,
+        )(head_in)
         alpha_logits = out[:, 0]
         omega_logits = out[:, 1]
         rets = [alpha_logits, omega_logits]

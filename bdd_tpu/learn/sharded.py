@@ -48,6 +48,7 @@ class ShardedDogeTrainer:
         self.model = DogePredictor(
             dim=config.dim, free_update=config.free_update,
             use_lstm_var=config.use_lstm_var,
+            layer_norm=config.layer_norm, activation=config.activation,
         )
         self.opt = optax.adam(config.lr)
         self.params = None
@@ -74,9 +75,19 @@ class ShardedDogeTrainer:
     # ------------------------------------------------------------- internals
     def _features(self, state_stacked):
         view_state = self._view_state(state_stacked)
+        # prev_lb is not threaded through the sharded rollout (yet); a zero
+        # column keeps the feature layout identical to the single-device
+        # trainer so configs and models transfer
+        prev_lb = (
+            jnp.zeros((self.view_host.nr_bdds + 1,), self.solver.dtype)
+            if self.cfg.prev_lb_features
+            else None
+        )
         return ft.compute_features(
             self.view_host, self.spec, view_state, self.objective,
             self.cfg.smoothing,
+            smooth_temps=self.cfg.smooth_temps,
+            prev_lb_per_bdd=prev_lb,
         )
 
     def _view_state(self, state_stacked):

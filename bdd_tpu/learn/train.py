@@ -42,16 +42,21 @@ class TrainConfig:
     use_replay: bool = False  # resume epochs from replayed states (ref replay_buffer.py)
     history_features: bool = False  # EMA history features (ref cu:185-270)
     history_beta: float = 0.9  # TRAIN.HISTORY_AVG_BETA
+    layer_norm: bool = False  # LayerNorm in the GNN MLPs (ref model.py option)
+    activation: str = "relu"  # "celu" per the reference's extractor option
+    smooth_temps: Tuple[float, ...] = ()  # smooth_sol@T edge features
+    prev_lb_features: bool = True  # 'prev_lb'/'lb_change' con features
 
 
 class Instance:
     """A preprocessed training instance (pickled-solver analogue,
     ref: DOGE/data/ilp_converters.py create_bdd_repr)."""
 
-    def __init__(self, host: uf.UniformHost, objective, dtype=jnp.float32):
+    def __init__(self, host: uf.UniformHost, objective, dtype=jnp.float32,
+                 pre=None):
         self.host = host
         self.objective = jnp.asarray(np.asarray(objective), dtype)
-        self.spec = ft.graph_spec(host)
+        self.spec = ft.graph_spec(host, pre)
         self.state0 = uf.init_uniform_state(host, objective, dtype=dtype)
 
     @classmethod
@@ -67,7 +72,7 @@ class Instance:
             dtype=dtype,
         )
         obj = pre.objective_vector()
-        return cls(host, obj, dtype=dtype)
+        return cls(host, obj, dtype=dtype, pre=pre)
 
     @classmethod
     def from_ilps(cls, ilps, dtype=jnp.float32):
@@ -85,7 +90,7 @@ class Instance:
         host = uf.flatten_uniform(
             bi.collection, bi.nr_vars, bi.nr_vars, dtype=dtype
         )
-        return cls(host, bi.objective, dtype=dtype)
+        return cls(host, bi.objective, dtype=dtype, pre=bi)
 
 
 class ReplayBuffer:
@@ -117,6 +122,8 @@ class DogeTrainer:
             dim=config.dim,
             use_lstm_var=config.use_lstm_var,
             free_update=config.free_update,
+            layer_norm=config.layer_norm,
+            activation=config.activation,
         )
         self.params = None
         self.opt = optax.adam(config.lr)
@@ -141,6 +148,8 @@ class DogeTrainer:
             lambda st: ft.compute_features(
                 instance.host, instance.spec, st, instance.objective,
                 self.cfg.smoothing, history=self._zero_history(instance),
+                smooth_temps=self.cfg.smooth_temps,
+                prev_lb_per_bdd=self._zero_prev_lb(instance),
             )
         )(instance.state0)
         self.params = self.model.init(
@@ -150,6 +159,13 @@ class DogeTrainer:
         self.opt_state = self.opt.init(self.params)
 
     # ------------------------------------------------------------- internals
+    def _zero_prev_lb(self, instance: Instance):
+        if not self.cfg.prev_lb_features:
+            return None
+        return jnp.zeros(
+            (instance.host.nr_bdds + 1,), instance.objective.dtype
+        )
+
     def _zero_history(self, instance: Instance):
         if not self.cfg.history_features:
             return None
@@ -157,10 +173,14 @@ class DogeTrainer:
         return (z, z, z)
 
     def _predict(self, params, instance: Instance, state, lstm=None,
-                 history=None):
+                 history=None, prev_lb=None):
+        if prev_lb is None:
+            prev_lb = self._zero_prev_lb(instance)
         var_f, bdd_f, edge_f = ft.compute_features(
             instance.host, instance.spec, state, instance.objective,
             self.cfg.smoothing, history=history,
+            smooth_temps=self.cfg.smooth_temps,
+            prev_lb_per_bdd=prev_lb,
         )
         out = self.model.apply(
             params, instance.spec, var_f, bdd_f, edge_f, lstm_state=lstm
@@ -203,15 +223,17 @@ class DogeTrainer:
         return state._replace(hi=hi, cft=cft)
 
     def _round_loss(self, params, instance: Instance, state, lstm=None,
-                    history=None):
+                    history=None, prev_lb=None):
         """One round: predict (with the previous round's EMA history
         features when enabled, ref solver_utils.py:78-148), free update, n
         learned iterations (ONCE), loss = -sum per-BDD lb after distributing
         the deferred deltas with the LEARNED alphas."""
         geom = instance.host.geom
         alphas, omegas, update, lstm = self._predict(
-            params, instance, state, lstm, history
+            params, instance, state, lstm, history, prev_lb
         )
+        if self.cfg.prev_lb_features:
+            prev_lb = ft.per_bdd_lb_vector(instance.host, state)
         state = self._apply_free_update(geom, state, update)
         if self.cfg.history_features:
             new_state, sol_avg, fo, so = ln.learned_iterations_with_stats(
@@ -226,7 +248,7 @@ class DogeTrainer:
             )
         dist = ln.distribute_delta_learned(geom, new_state, alphas)
         loss = -sum(jnp.sum(l) for l in ln.per_bdd_lower_bound(geom, dist))
-        return loss, new_state, lstm, history
+        return loss, new_state, lstm, history, prev_lb
 
     # ---------------------------------------------------------------- training
     def _get_jitted(self, instance: Instance):
@@ -246,21 +268,37 @@ class DogeTrainer:
         def step(params, opt_state, state0, lstm0):
             state, lstm = state0, lstm0
             hist = self._zero_history(instance)
-            for _ in range(cfg.nr_rounds - cfg.grad_rounds):
-                _, state, lstm, hist = self._round_loss(
-                    params, instance, state, lstm, hist
+            plb = self._zero_prev_lb(instance)
+            n_pre = cfg.nr_rounds - cfg.grad_rounds
+            if n_pre > 0:
+                # identical-shape rounds: scan instead of unrolling (a
+                # 20-round protocol would otherwise compile 20 copies of
+                # features+GNN+iterations)
+                def pre_round(carry, _):
+                    s, l, h, pl = carry
+                    _, s, l, h, pl = self._round_loss(
+                        params, instance, s, l, h, pl
+                    )
+                    return (s, l, h, pl), ()
+
+                (state, lstm, hist, plb), _ = jax.lax.scan(
+                    pre_round, (state, lstm, hist, plb), None, length=n_pre
                 )
             state = jax.lax.stop_gradient(state)
             if lstm is not None:
                 lstm = jax.lax.stop_gradient(lstm)
             if hist is not None:
                 hist = jax.lax.stop_gradient(hist)
+            if plb is not None:
+                plb = jax.lax.stop_gradient(plb)
 
             def loss_fn(p):
-                s, l, h = state, lstm, hist
+                s, l, h, pl = state, lstm, hist, plb
                 total = 0.0
                 for _ in range(cfg.grad_rounds):
-                    loss, s, l, h = self._round_loss(p, instance, s, l, h)
+                    loss, s, l, h, pl = self._round_loss(
+                        p, instance, s, l, h, pl
+                    )
                     total = total + loss
                 return total, s
 
@@ -271,11 +309,13 @@ class DogeTrainer:
             params = optax.apply_updates(params, updates)
             return loss, params, opt_state, jax.lax.stop_gradient(end_state)
 
-        def rollout_round(params, state, lstm, hist):
+        def rollout_round(params, state, lstm, hist, plb):
             geom = instance.host.geom
             alphas, omegas, update, lstm = self._predict(
-                params, instance, state, lstm, hist
+                params, instance, state, lstm, hist, plb
             )
+            if cfg.prev_lb_features:
+                plb = ft.per_bdd_lb_vector(instance.host, state)
             state = self._apply_free_update(geom, state, update)
             if cfg.history_features:
                 state, sol_avg, fo, so = ln.learned_iterations_with_stats(
@@ -291,7 +331,7 @@ class DogeTrainer:
             # distributed with the LEARNED alphas
             dist = ln.distribute_delta_learned(geom, state, alphas)
             lb = uf.lower_bound_from_cft(geom, dist.cft)
-            return state, lb, lstm, hist
+            return state, lb, lstm, hist, plb
 
         fns = (jax.jit(step), jax.jit(rollout_round))
         cached[key] = fns
@@ -324,10 +364,13 @@ class DogeTrainer:
         state = instance.state0
         lstm = self._zero_lstm(instance)
         hist = self._zero_history(instance)
+        plb = self._zero_prev_lb(instance)
         lbs = []
         n = nr_rounds if nr_rounds is not None else self.cfg.nr_rounds
         for _ in range(n):
-            state, lb, lstm, hist = rollout(self.params, state, lstm, hist)
+            state, lb, lstm, hist, plb = rollout(
+                self.params, state, lstm, hist, plb
+            )
             lbs.append(float(lb))
         return lbs
 
@@ -349,11 +392,16 @@ class DogeTrainer:
 
         with open(path, "rb") as fh:
             blob = pickle.load(fh)
-        self.cfg = TrainConfig(**blob["config"])
+        cfg_d = dict(blob["config"])
+        if "smooth_temps" in cfg_d:
+            cfg_d["smooth_temps"] = tuple(cfg_d["smooth_temps"])
+        self.cfg = TrainConfig(**cfg_d)
         self.model = DogePredictor(
             dim=self.cfg.dim,
             use_lstm_var=self.cfg.use_lstm_var,
             free_update=self.cfg.free_update,
+            layer_norm=self.cfg.layer_norm,
+            activation=self.cfg.activation,
         )
         # the optimizer and any jitted closures captured the OLD config
         self.opt = optax.adam(self.cfg.lr)

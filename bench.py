@@ -1,16 +1,18 @@
-"""Benchmark: dual MMA iterations/s of the TPU dense hop-scan backend.
+"""Benchmark: dual MMA iterations/s of the uniform TPU backend.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Baseline proxy: the numpy oracle solver (vectorized equivalent of the
-reference's parallel CPU MMA, bdd_parallel_mma_base.cpp) on the same instance
-and iteration count — the reference's own GPU speedup claim is measured against
-its CPU solver (README.md FastDOG [2]). vs_baseline = tpu_iters_per_s /
-cpu_ref_iters_per_s.
+Baseline: the native multi-core C++ OpenMP parallel-MMA solver
+(native/bdd_host.cpp CpuSolver — the semantics of the reference's
+bdd_parallel_mma_base.cpp on this machine's cores). The numpy oracle rate is
+reported in the diagnostics for continuity with round-1 numbers.
 
-Instance: grid MRF local-polytope relaxation (color-seg style, SURVEY.md §6)
-sized to exercise thousands of BDDs batched per hop.
+Instances:
+  primary  — grid MRF 12x12x4 local polytope (2.5k BDDs; round-1 metric,
+             kept for cross-round comparability)
+  extra    — graph matching 120x120 w/ 2k quadratic terms (50k BDDs, 168k
+             vars; the exchange-bound regime the design is stressed by)
 """
 from __future__ import annotations
 
@@ -21,101 +23,147 @@ import time
 import numpy as np
 
 
-def main() -> int:
-    from bdd_tpu.utils.platform import ensure_device
+def measure_tpu(host, objective, block, n_blocks):
+    import jax.numpy as jnp
 
-    print(f"# platform: {ensure_device(tpu_retries=8)}", file=sys.stderr)
-
-    from bdd_tpu.bdd.preprocessor import BddPreprocessor
     from bdd_tpu.solver import uniform as js_uf
-    from bdd_tpu.solver.flatten import densify, flatten_collection
-    from bdd_tpu.solver.ref_solver import RefSolver
-    from bdd_tpu.utils.problems import grid_mrf
 
-    rows, cols, labels = 12, 12, 4
-    block = 50
-    n_blocks = 4
-    n_iters = block * n_blocks
-    t0 = time.time()
-    ilp = grid_mrf(rows, cols, labels, seed=0)
-    ilp.reorder_bfs()
-    ilp.normalize()
-    pre = BddPreprocessor(ilp)
-    flat = flatten_collection(
-        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
-    )
-    dense = densify(flat)
-    build_s = time.time() - t0
-    print(
-        f"# instance: {flat.nr_bdds} bdds, {flat.nr_nodes} nodes, "
-        f"{flat.nr_layers} layers, H={flat.nr_hops} W={dense.W} L={dense.L}, "
-        f"build {build_s:.1f}s",
-        file=sys.stderr,
-    )
-
-    host = js_uf.flatten_uniform(
-        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
-    )
     geom = host.geom
-    state = js_uf.init_uniform_state(host, pre.objective_vector())
+    state = js_uf.init_uniform_state(host, objective)
 
     def sync(s):
         # the axon remote backend is lazy: block_until_ready returns before
         # execution; pulling a scalar to host forces the queue to drain
         return float(s.lo[0][0, 0])
 
-    # warm-up / compile (same block size as the timed loop -> one executable);
-    # the remote tunnel occasionally wedges after unrelated killed clients, so
-    # retry the timed section once
     for attempt in range(2):
         try:
             t0 = time.time()
             warm = js_uf.iterations(geom, state, block, 0.5)
             sync(warm)
             print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
-
             t0 = time.time()
             out = warm
             for _ in range(n_blocks):
                 out = js_uf.iterations(geom, out, block, 0.5)
             sync(out)
-            tpu_time = time.time() - t0
+            dt = time.time() - t0
             break
         except Exception as e:  # pragma: no cover - tunnel flake path
             if attempt == 1:
                 raise
             print(f"# retrying after error: {e}", file=sys.stderr)
             time.sleep(5)
-    tpu_ips = n_iters / tpu_time
-    t0 = time.time()
     lb = float(js_uf.lower_bound_with_deferred(geom, out))
-    print(f"# lb compile+eval: {time.time() - t0:.1f}s", file=sys.stderr)
-    print(
-        f"# tpu: {n_iters} iters in {tpu_time:.2f}s = {tpu_ips:.1f} it/s, lb={lb:.4f}",
-        file=sys.stderr,
-    )
+    return block * n_blocks / dt, lb
 
-    # CPU reference-baseline proxy (numpy oracle = reference parallel CPU MMA)
-    ref = RefSolver(flat, pre.objective_vector(), dtype=np.float64)
-    n_ref = 10
+
+def measure_native_cpu(cs, target_s=3.0):
+    cs.iterations(2, 0.5)
     t0 = time.time()
-    for _ in range(n_ref):
-        ref.iteration(0.5)
-    ref_time = time.time() - t0
-    ref_ips = n_ref / ref_time
+    cs.iterations(3, 0.5)
+    per = (time.time() - t0) / 3
+    n = max(5, min(1000, int(target_s / max(per, 1e-9))))
+    t0 = time.time()
+    cs.iterations(n, 0.5)
+    return n / (time.time() - t0)
+
+
+def main() -> int:
+    from bdd_tpu.utils.platform import ensure_device
+
+    platform = ensure_device(tpu_retries=8)
+    print(f"# platform: {platform}", file=sys.stderr)
+
+    from bdd_tpu import native
+    from bdd_tpu.bdd.preprocessor import BddPreprocessor
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+    from bdd_tpu.solver.flatten import flatten_collection
+    from bdd_tpu.solver.ref_solver import RefSolver
+    from bdd_tpu.utils.problems import graph_matching, grid_mrf
+
+    # ---------------------------------------------------------- primary: grid
+    t0 = time.time()
+    ilp = grid_mrf(12, 12, 4, seed=0)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
     print(
-        f"# cpu ref: {n_ref} iters in {ref_time:.2f}s = {ref_ips:.1f} it/s, "
-        f"lb={ref.lower_bound_with_deferred():.4f}",
+        f"# grid12: {flat.nr_bdds} bdds, {flat.nr_nodes} nodes, "
+        f"{flat.nr_layers} layers, build {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    from bdd_tpu.solver import uniform as js_uf
+
+    host = js_uf.flatten_uniform(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    grid_ips, grid_lb = measure_tpu(host, pre.objective_vector(), 50, 4)
+    print(f"# grid12 tpu: {grid_ips:.1f} it/s, lb={grid_lb:.4f}", file=sys.stderr)
+
+    # honest CPU baseline: native OpenMP parallel MMA on this machine's cores
+    cs = native.cpu_solver_from_collection(
+        pre.collection, pre.total_nr_variables(), pre.objective_vector()
+    )
+    grid_cpu_ips = measure_native_cpu(cs)
+    thr = cs.nr_threads()
+    print(
+        f"# grid12 native C++ ({thr} threads): {grid_cpu_ips:.1f} it/s",
+        file=sys.stderr,
+    )
+    # numpy-oracle rate for continuity with round-1 numbers
+    ref = RefSolver(flat, pre.objective_vector(), dtype=np.float64)
+    t0 = time.time()
+    for _ in range(10):
+        ref.iteration(0.5)
+    print(
+        f"# grid12 numpy oracle: {10 / (time.time() - t0):.1f} it/s "
+        f"(round-1 baseline proxy)",
         file=sys.stderr,
     )
 
+    # ------------------------------------------------------- extra: GM-50k
+    extra = {}
+    try:
+        t0 = time.time()
+        inst = graph_matching(120, 120, seed=0, candidates=6, nr_quadratic=2000)
+        gm_ilp = construct_graph_matching_ilp(inst)[0]
+        nh = native.NativeHost(gm_ilp.write_lp(), "bfs")
+        gm_host = nh.make_uniform_host()
+        print(
+            f"# gm50k: {nh.nr_bdds()} bdds, {nh.nr_vars()} vars, "
+            f"build {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        gm_ips, gm_lb = measure_tpu(gm_host, nh.objective(), 100, 2)
+        gm_cs = nh.cpu_solver()
+        gm_cpu_ips = measure_native_cpu(gm_cs, target_s=5.0)
+        print(
+            f"# gm50k tpu: {gm_ips:.1f} it/s, lb={gm_lb:.4f}; "
+            f"native C++ ({thr} threads): {gm_cpu_ips:.1f} it/s",
+            file=sys.stderr,
+        )
+        extra = {
+            "gm50k_it_per_s": round(gm_ips, 2),
+            "gm50k_vs_baseline": round(gm_ips / gm_cpu_ips, 2),
+            "gm50k_cpu_it_per_s": round(gm_cpu_ips, 2),
+        }
+    except Exception as e:  # the scale row must not sink the primary metric
+        print(f"# gm50k failed: {e}", file=sys.stderr)
+        extra = {"gm50k_error": str(e)[:200]}
+
+    extra["baseline"] = f"native C++ OpenMP parallel MMA, {thr} threads"
     print(
         json.dumps(
             {
                 "metric": "dual MMA iterations/s (grid MRF 12x12x4 local polytope)",
-                "value": round(tpu_ips, 2),
+                "value": round(grid_ips, 2),
                 "unit": "iterations/s",
-                "vs_baseline": round(tpu_ips / ref_ips, 2),
+                "vs_baseline": round(grid_ips / grid_cpu_ips, 2),
+                "extra": extra,
             }
         )
     )

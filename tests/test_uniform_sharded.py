@@ -259,8 +259,13 @@ def test_sharded_doge_training():
     tr = ShardedDogeTrainer(s, pre.objective_vector(), cfg)
     tr.init()
     vf_s, bf_s, _ = tr._features(tr.state0)
+    # same feature options as the sharded trainer: spec without the static
+    # ILP columns (it builds its own from the global view), zero prev_lb
+    spec1 = ft.graph_spec(inst.host)
     vf_1, bf_1, _ = ft.compute_features(
-        inst.host, inst.spec, inst.state0, inst.objective, cfg.smoothing
+        inst.host, spec1, inst.state0, inst.objective, cfg.smoothing,
+        smooth_temps=cfg.smooth_temps,
+        prev_lb_per_bdd=jnp.zeros((inst.host.nr_bdds + 1,), jnp.float32),
     )
     np.testing.assert_allclose(np.asarray(vf_s), np.asarray(vf_1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(bf_s), np.asarray(bf_1), atol=1e-5)
