@@ -1,0 +1,185 @@
+"""Time-to-gap: the BASELINE.json north-star metric, measured as written.
+
+Wall time to reach a RELATIVE 1e-6 (and 1e-3) dual gap to the converged
+bound, per family, for:
+  - TPU uniform MMA (f32, the production config)
+  - TPU uniform MMA (f64, the reference's default precision — README.md:53)
+  - native C++ OpenMP parallel MMA (the honest CPU baseline, 4 threads here)
+  - TPU L-BFGS outer loop (post direction-fix; defaults of lbfgs.h:29-33)
+
+The converged reference bound per family = max over a long f64 MMA run and a
+long L-BFGS run. Methods that exhaust their iteration budget report the gap
+they reached (MMA's tail is sublinear on LP-loose families; L-BFGS is the
+configuration meant for tight gaps).
+
+Usage: python benchmarks/time_to_gap.py [fast]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bdd_tpu.utils.platform import ensure_device
+
+_platform = ensure_device(tpu_retries=8)
+print(f"# platform: {_platform}", flush=True)
+if _platform != "tpu":
+    print("# WARNING: not on TPU — numbers are NOT BENCH.md conditions")
+
+import jax.numpy as jnp
+
+from bdd_tpu import native
+from bdd_tpu.native import NativeHost
+from bdd_tpu.solver import uniform as uf
+from bdd_tpu.solver.lbfgs import LbfgsSolver
+from bdd_tpu.solver.uniform_wrapper import UniformSolver
+from bdd_tpu.utils.problems import (
+    cell_tracking,
+    graph_matching,
+    grid_mrf,
+    quadratic_assignment,
+)
+
+
+def make_solver(nh, dtype=jnp.float32) -> UniformSolver:
+    if dtype == jnp.float64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    return UniformSolver(nh.collection(), nh.nr_vars(), nh.objective(),
+                         dtype=dtype)
+
+
+def converged_bound(nh, mma_iters, lbfgs_iters) -> float:
+    """Reference bound from the native C++ double solver + TPU L-BFGS.
+
+    Deliberately avoids f64 on the TPU: v5e has no f64 hardware and the
+    emulated path crashed the TPU worker repeatedly (driver restarts) — the
+    C++ CpuSolver runs the same deferred-MMA iteration in real doubles.
+    """
+    cs = nh.cpu_solver()
+    cs.iterations(mma_iters, 0.5)
+    best = cs.lower_bound_with_deferred()
+    ls = LbfgsSolver(make_solver(nh))
+    for _ in range(lbfgs_iters):
+        ls.iteration()
+    return max(best, ls.lower_bound_with_deferred())
+
+
+def time_to(lb_fn, iterate, targets, max_iters, block):
+    """Generic: returns {rel: (secs, iters)} plus the final (lb, iters)."""
+    remaining = dict(targets)
+    hit = {}
+    t0 = time.time()
+    iters = 0
+    while iters < max_iters and remaining:
+        iterate(block)
+        iters += block
+        lb = lb_fn()
+        for rel, tgt in list(remaining.items()):
+            if lb >= tgt:
+                hit[rel] = (time.time() - t0, iters)
+                del remaining[rel]
+    return hit, (lb_fn(), iters, time.time() - t0)
+
+
+def fmt(hit, rel):
+    if rel in hit:
+        t, it = hit[rel]
+        return f"{t:7.2f}s ({it:5d} it)"
+    return "      —  (budget)  "
+
+
+def run(name, ilp_or_lp, mma_ref=20000, lbfgs_ref=1500, max_iters=40000,
+        block=100, cpu_max=25000):
+    lp = ilp_or_lp if isinstance(ilp_or_lp, str) else ilp_or_lp.write_lp()
+    nh = NativeHost(lp, "bfs")
+    t0 = time.time()
+    best = converged_bound(nh, mma_ref, lbfgs_ref)
+    targets = {r: best - abs(best) * r for r in (1e-3, 1e-6)}
+    print(f"[{name}] converged lb {best:.6f} (ref {time.time()-t0:.0f}s)",
+          flush=True)
+
+    rows = []
+
+    # TPU f32 MMA
+    s = make_solver(nh)
+    s.iteration_block(block)
+    s.lower_bound_with_deferred()  # warm/compile
+    s = make_solver(nh)
+    hit, fin = time_to(
+        s.lower_bound_with_deferred, s.iteration_block, targets, max_iters,
+        block,
+    )
+    rows.append(("tpu mma f32", hit, fin))
+
+    # f64 MMA at the reference's default precision. On-TPU f64 is opt-in
+    # (BDD_TPU_TTG_F64=1): v5e has no f64 ALUs and the emulated path crashed
+    # the TPU worker (driver restart) — the default f64 row is the native C++
+    # double solver below, which IS the reference's precision.
+    if os.environ.get("BDD_TPU_TTG_F64") == "1":
+        s = make_solver(nh, jnp.float64)
+        s.iteration_block(block)
+        s.lower_bound_with_deferred()
+        s = make_solver(nh, jnp.float64)
+        hit, fin = time_to(
+            s.lower_bound_with_deferred, s.iteration_block, targets,
+            max_iters, block,
+        )
+        rows.append(("tpu mma f64", hit, fin))
+
+    # native C++ CPU baseline
+    cs = nh.cpu_solver()
+    hit, fin = time_to(
+        cs.lower_bound_with_deferred,
+        lambda n: cs.iterations(n, 0.5),
+        targets,
+        cpu_max,
+        block,
+    )
+    rows.append(("cpu C++ 4thr", hit, fin))
+
+    # TPU L-BFGS (outer loop; check every 10 outer iterations)
+    warm = LbfgsSolver(make_solver(nh))
+    for _ in range(12):
+        warm.iteration()
+    warm.lower_bound_with_deferred()
+    ls = LbfgsSolver(make_solver(nh))
+
+    def lb_iterate(n):
+        for _ in range(n):
+            ls.iteration()
+
+    hit, fin = time_to(
+        ls.lower_bound_with_deferred, lb_iterate, targets, 4000, 10
+    )
+    rows.append(("tpu lbfgs", hit, fin))
+
+    for label, hit, (lb, iters, secs) in rows:
+        gap = abs(best - lb) / max(abs(best), 1e-12)
+        print(f"[{name}] {label:13s} 1e-3: {fmt(hit, 1e-3)}  "
+              f"1e-6: {fmt(hit, 1e-6)}  final gap {gap:.1e} "
+              f"after {iters} it / {secs:.1f}s", flush=True)
+
+
+def main():
+    fast = len(sys.argv) > 1 and sys.argv[1] == "fast"
+    run("grid-mrf-12x12x4", grid_mrf(12, 12, 4, seed=0))
+    if fast:
+        return
+    run("qap-18", quadratic_assignment(18, seed=0, density=0.06))
+    run("cell-tracking-30x40", cell_tracking(30, 40, nr_transitions=4, seed=0))
+    run("grid-mrf-24x24x8", grid_mrf(24, 24, 8, seed=0), mma_ref=12000,
+        max_iters=20000, cpu_max=8000)
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+
+    gm = construct_graph_matching_ilp(
+        graph_matching(120, 120, seed=0, candidates=6, nr_quadratic=2000)
+    )[0]
+    run("graph-matching-120", gm, mma_ref=8000, lbfgs_ref=800,
+        max_iters=12000, cpu_max=5000)
+
+
+if __name__ == "__main__":
+    main()
