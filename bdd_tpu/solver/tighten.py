@@ -81,10 +81,57 @@ def tighten_collection(
             else:
                 owner[v] = b
 
-    groups: Dict[int, List[int]] = {}
+    components: Dict[int, List[int]] = {}
     for b in range(nb):
         if candidate[b]:
-            groups.setdefault(uf.find(b), []).append(b)
+            components.setdefault(uf.find(b), []).append(b)
+
+    # Oversized components (e.g. every variable tight at an LP-optimal MIS
+    # fractional point: ONE component spanning all constraints) are
+    # partitioned into BFS clusters of <= max_group_size over the
+    # shares-a-tight-variable adjacency, instead of being rejected outright —
+    # melding neighborhoods is what closes local (odd-cycle-like) gaps.
+    var_bdds: Dict[int, List[int]] = {}
+    for b in range(nb):
+        if candidate[b]:
+            for v in collection.variables(b):
+                if v in tight:
+                    var_bdds.setdefault(v, []).append(b)
+    groups: Dict[int, List[int]] = {}
+    visited: set = set()
+    gid = 0
+    for root, members in components.items():
+        if len(members) <= max_group_size:
+            groups[gid] = members
+            gid += 1
+            continue
+        mset = set(members)
+        for start in members:
+            if start in visited:
+                continue
+            cluster = [start]
+            visited.add(start)
+            frontier = [start]
+            while frontier and len(cluster) < max_group_size:
+                nxt: List[int] = []
+                for b in frontier:
+                    for v in collection.variables(b):
+                        if v not in tight:
+                            continue
+                        for b2 in var_bdds.get(v, ()):  # neighbors
+                            if b2 in mset and b2 not in visited:
+                                visited.add(b2)
+                                cluster.append(b2)
+                                nxt.append(b2)
+                                if len(cluster) >= max_group_size:
+                                    break
+                        if len(cluster) >= max_group_size:
+                            break
+                    if len(cluster) >= max_group_size:
+                        break
+                frontier = nxt
+            groups[gid] = cluster
+            gid += 1
 
     out = BddCollection()
     out_costs: Dict[Tuple[int, int], Tuple[float, float]] = {}

@@ -1,10 +1,14 @@
 """Cut tightening at benchmark scale: gap closed vs meld budget.
 
-The reference intends tightening for the GM/QAP families
-(include/bdd_tightening.h:168-274, experimental there). Protocol: solve the
-LP relaxation to near-convergence, round a primal solution (upper bound),
-meld BDD groups around tight variables under a node budget, re-solve, and
-report the integrality gap closed: (lb_after - lb_before) / (ub - lb_before).
+The reference intends tightening for instances whose converged LP relaxation
+has an integrality gap (include/bdd_tightening.h:168-274, experimental
+there). Protocol: converge the dual (MMA + L-BFGS polish), round a primal
+solution (upper bound), meld BDD groups around tight variables under a node
+budget, re-solve, report the integrality gap closed:
+(lb_after - lb_before) / (ub - lb_before).
+
+Families: MIS (odd-cycle gaps — the canonical tightening target), QAP
+(Fortet relaxation gaps), graph matching.
 
 Usage: python benchmarks/tightening_scale.py
 """
@@ -21,25 +25,36 @@ print(f"# platform: {ensure_device(tpu_retries=8)}", flush=True)
 import numpy as np
 
 from bdd_tpu.bdd.preprocessor import BddPreprocessor
-from bdd_tpu.solver.rounding_device import incremental_rounding_device
+from bdd_tpu.solver.lbfgs import LbfgsSolver
+from bdd_tpu.solver.rounding_device import incremental_mm_rounding_device
 from bdd_tpu.solver.run import run_solver
 from bdd_tpu.solver.tighten import tight_variables, tighten_collection
 from bdd_tpu.solver.uniform_wrapper import UniformSolver
-from bdd_tpu.utils.problems import graph_matching, quadratic_assignment
+from bdd_tpu.utils.problems import (
+    graph_matching,
+    independent_set,
+    quadratic_assignment,
+)
 
 
-def solve(col, nr_vars, obj, nr_primal, iters):
+def solve(col, nr_vars, obj, nr_primal, mma_iters=1000, lbfgs_iters=200):
+    """Converge the dual: MMA block then L-BFGS polish (plain MMA plateaus
+    on GM/MIS far from the dual optimum — tight variables need converged
+    multipliers)."""
     s = UniformSolver(col, nr_vars, obj, nr_primal_vars=nr_primal)
-    run_solver(s, max_iter=iters, verbose=False,
+    run_solver(s, max_iter=mma_iters, verbose=False,
                block_size=s.default_block_size)
+    ls = LbfgsSolver(s)
+    for _ in range(lbfgs_iters):
+        ls.iteration()
     s.distribute_delta()
     return s
 
 
-def upper_bound(s, pre, ilp):
+def upper_bound(s, ilp):
     """Rounded primal objective (+inf when rounding fails)."""
     try:
-        sol = incremental_rounding_device(s)
+        sol = incremental_mm_rounding_device(s, verbose=False)
         if sol is None:
             return float("inf")
         x = np.asarray(sol)[: ilp.nr_variables()]
@@ -49,39 +64,44 @@ def upper_bound(s, pre, ilp):
         return float("inf")
 
 
-def run(name, ilp, iters=2000, budgets=(20000, 200000)):
+def run(name, ilp, budgets=(20000, 200000), **solve_kw):
     t0 = time.time()
+    ilp_eval = ilp  # evaluate() needs the pre-normalize objective constant
     ilp.reorder_bfs()
     ilp.normalize()
     pre = BddPreprocessor(ilp)
     col = pre.collection
     nv, npv = pre.total_nr_variables(), pre.nr_primal_variables
     obj = pre.objective_vector()
-    s = solve(col, nv, obj, npv, iters)
+    s = solve(col, nv, obj, npv, **solve_kw)
     lb0 = s.lower_bound_with_deferred()
-    ub = upper_bound(s, pre, ilp)
+    # min-marginals BEFORE rounding: incremental rounding perturbs the
+    # solver's costs in place (forced state => huge |mm|, zero tight vars)
+    m0, m1 = s.min_marginals()
+    tv = tight_variables(s.f, m0, m1, eps=1e-4)
+    ub = upper_bound(s, ilp_eval)
     print(
         f"[{name}] bdds={col.nr_bdds()} lb={lb0:.4f} ub={ub:.4f} "
         f"(base solve {time.time()-t0:.0f}s)",
         flush=True,
     )
-    m0, m1 = s.min_marginals()
-    tv = tight_variables(s.f, m0, m1)
+    if not np.isfinite(ub) or ub <= lb0 + 1e-9 * max(1.0, abs(lb0)):
+        print(f"[{name}] LP-tight (no integrality gap) — nothing to close",
+              flush=True)
+        return
     print(f"[{name}] tight vars: {len(tv)} / {nv}", flush=True)
     for budget in budgets:
         t0 = time.time()
-        new_col, _, groups = tighten_collection(
-            col, tv, node_limit=budget
-        )
-        melded = sum(1 for g in groups if len(g) > 1)
+        new_col, _, groups = tighten_collection(col, tv, node_limit=budget)
+        melded = sum(1 for g in groups.values() if len(g) > 1)
         t_meld = time.time() - t0
+        if melded == 0:
+            print(f"[{name}] budget {budget}: no groups melded", flush=True)
+            continue
         t0 = time.time()
-        s2 = solve(new_col, nv, obj, npv, iters)
+        s2 = solve(new_col, nv, obj, npv, **solve_kw)
         lb1 = s2.lower_bound_with_deferred()
-        closed = (
-            (lb1 - lb0) / (ub - lb0) if np.isfinite(ub) and ub > lb0 else
-            float("nan")
-        )
+        closed = (lb1 - lb0) / (ub - lb0)
         print(
             f"[{name}] budget {budget}: {melded} groups melded, "
             f"bdds {col.nr_bdds()} -> {new_col.nr_bdds()}, "
@@ -95,8 +115,9 @@ def run(name, ilp, iters=2000, budgets=(20000, 200000)):
 def main():
     from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
 
-    run("qap-8", quadratic_assignment(8, seed=0, density=0.3))
-    run("qap-12", quadratic_assignment(12, seed=0, density=0.15))
+    run("mis-100", independent_set(100, edge_prob=0.25, seed=0))
+    run("mis-200", independent_set(200, edge_prob=0.15, seed=0))
+    run("qap-12", quadratic_assignment(12, seed=0, density=0.3))
     gm = construct_graph_matching_ilp(
         graph_matching(40, 40, seed=0, candidates=5, nr_quadratic=400)
     )[0]
