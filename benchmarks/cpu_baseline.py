@@ -34,13 +34,20 @@ def build(name):
     if name == "grid32":
         return grid_mrf(32, 32, 12, seed=0)
     if name == "cover":
-        return set_cover(3000, 6000, seed=0)
+        # match benchmarks/run_all.py conditions
+        return set_cover(3000, 6000, density=0.004, seed=0)
     if name == "gm120":
-        return graph_matching(120, 120, seed=0)
+        from bdd_tpu.frontends.graph_matching import (
+            construct_graph_matching_ilp,
+        )
+
+        return construct_graph_matching_ilp(
+            graph_matching(120, 120, seed=0, candidates=6, nr_quadratic=2000)
+        )[0]
     if name == "qap18":
-        return quadratic_assignment(18, seed=0)
+        return quadratic_assignment(18, seed=0, density=0.06)
     if name == "ct":
-        return cell_tracking(30, 40, seed=0)
+        return cell_tracking(30, 40, nr_transitions=4, seed=0)
     raise KeyError(name)
 
 
