@@ -359,7 +359,11 @@ class DogeTrainer:
         self, instance: Instance, nr_rounds: Optional[int] = None
     ) -> List[float]:
         """Inference: run rounds with the trained policy; returns the lb after
-        each round (DualMetrics per-round lb, ref: DOGE/metrics/dual_metrics.py)."""
+        each round (DualMetrics per-round lb, ref: DOGE/metrics/dual_metrics.py).
+
+        Every round's bound is a valid dual bound, and a trained-on-last-round
+        policy can drift slightly after converging — use ``best_bound`` (or
+        ``max(lbs)``) for the solver-quality readout."""
         _, rollout = self._get_jitted(instance)
         state = instance.state0
         lstm = self._zero_lstm(instance)
@@ -373,6 +377,12 @@ class DogeTrainer:
             )
             lbs.append(float(lb))
         return lbs
+
+    def best_bound(
+        self, instance: Instance, nr_rounds: Optional[int] = None
+    ) -> float:
+        """Max dual bound over a learned rollout (each round is valid)."""
+        return max(self.run_learned_rounds(instance, nr_rounds))
 
     # ------------------------------------------------------------ checkpoints
     def save(self, path: str) -> None:
@@ -416,4 +426,9 @@ def dual_metrics(lbs: List[float], reference_lb: float) -> Dict[str, Any]:
     gaps = [
         abs(reference_lb - lb) / max(abs(reference_lb), 1e-9) for lb in lbs
     ]
-    return {"lb_per_round": lbs, "rel_gap_per_round": gaps, "final_gap": gaps[-1]}
+    return {
+        "lb_per_round": lbs,
+        "rel_gap_per_round": gaps,
+        "final_gap": gaps[-1],
+        "best_gap": min(gaps),
+    }

@@ -192,13 +192,23 @@ def build_exchange_plan(
     Vp = _pad_to(V + 1, lane)
 
     def class_layout(c):
-        """Class blocks for count > c: W(v) = pow2(ceil(count/c)); returns
-        (W per var [V] with 0 for light, ordered class list, total cols)."""
+        """Class blocks for count > c: W(v) = ceil(count/c) rounded up to the
+        {pow2, 1.5*pow2} ladder (1,2,3,4,6,8,12,...) — <=33% padding at <=2x
+        the class count of pure pow2. Returns (W per var [V] with 0 for
+        light, ordered class list, total cols)."""
         heavy = counts > c
         W = np.zeros(V, dtype=np.int64)
         if heavy.any():
             need = (counts[heavy] + c - 1) // c
-            W[heavy] = 1 << np.ceil(np.log2(need)).astype(np.int64)
+            p2 = (1 << np.maximum(
+                np.ceil(np.log2(np.maximum(need, 1))).astype(np.int64) - 1, 0
+            ))
+            # smallest ladder value >= need: p2, 1.5*p2, or 2*p2
+            w = np.where(
+                need <= p2, p2,
+                np.where(need <= p2 + p2 // 2, p2 + p2 // 2, 2 * p2),
+            )
+            W[heavy] = np.maximum(w, need)  # ladder floor (p2//2=0 at need=1)
         ws = sorted(int(w) for w in np.unique(W[W > 0]))
         return W, ws, int(W.sum())
 
