@@ -169,6 +169,7 @@ def build_exchange_plan(
     lane: int = 128,
     max_blowup: float = 4.0,
     force_C: Optional[int] = None,
+    global_counts: Optional[np.ndarray] = None,
 ) -> Optional[ExchangePlan]:
     """Precompute the exchange permutation keys (host side, numpy).
 
@@ -176,19 +177,28 @@ def build_exchange_plan(
     same order as ``_exchange_ids``). ``valid``: matching layer_valid mask.
     ``force_C``: use this C instead of the local max count (the sharded path
     passes the global maximum so per-shard plans have identical shapes and
-    stack on the device axis). Returns None when the count distribution is
-    too skewed (C*Vp would blow past ``max_blowup``x the slot count) —
-    callers fall back to segment ops.
+    stack on the device axis). ``global_counts``: per-variable GLOBAL layer
+    counts (sum over shards) — the C cap and the class layout are derived
+    from them so every shard builds the same [C, Vx] geometry while routing
+    only its local occurrences (per-shard column sums then meet in the psum).
+    Returns None when the count distribution is too skewed (C*Vp would blow
+    past ``max_blowup``x the slot count) — callers fall back to segment ops.
     """
     ids = np.asarray(ids)
     valid = np.asarray(valid)
     E = ids.size
     real = np.nonzero(valid)[0]
-    if real.size == 0 and force_C is None:
+    if real.size == 0 and force_C is None and global_counts is None:
         return None
     rv = ids[real]
     counts = np.bincount(rv, minlength=V) if rv.size else np.zeros(V, np.int64)
-    cmax = max(int(counts.max()) if counts.size else 0, 1)
+    layout_counts = (
+        np.asarray(global_counts, dtype=np.int64)
+        if global_counts is not None
+        else counts
+    )
+    assert (counts <= layout_counts).all()
+    cmax = max(int(layout_counts.max()) if layout_counts.size else 0, 1)
     Vp = _pad_to(V + 1, lane)
 
     def class_layout(c):
@@ -196,10 +206,10 @@ def build_exchange_plan(
         {pow2, 1.5*pow2} ladder (1,2,3,4,6,8,12,...) — <=33% padding at <=2x
         the class count of pure pow2. Returns (W per var [V] with 0 for
         light, ordered class list, total cols)."""
-        heavy = counts > c
+        heavy = layout_counts > c
         W = np.zeros(V, dtype=np.int64)
         if heavy.any():
-            need = (counts[heavy] + c - 1) // c
+            need = (layout_counts[heavy] + c - 1) // c
             p2 = (1 << np.maximum(
                 np.ceil(np.log2(np.maximum(need, 1))).astype(np.int64) - 1, 0
             ))
@@ -213,7 +223,7 @@ def build_exchange_plan(
         return W, ws, int(W.sum())
 
     if force_C is not None:
-        # sharded path: fixed shapes across shards, no class blocks
+        # legacy sharded path: fixed shapes across shards, no class blocks
         assert force_C >= cmax, (force_C, cmax)
         C = force_C
         Wvar = np.zeros(V, dtype=np.int64)
@@ -224,7 +234,8 @@ def build_exchange_plan(
         # small C shrinks the primary region but pads heavy variables into
         # wider class blocks; large C pads every light column. All the
         # resulting ops are dense (sort + reshape-sums), so sort volume IS
-        # the cost.
+        # the cost. With global_counts the inputs (E, layout) are identical
+        # on every shard, so all shards pick the same C deterministically.
         best = None
         cand = sorted({cmax} | {1 << k for k in range(0, cmax.bit_length() + 1)})
         for c in cand:

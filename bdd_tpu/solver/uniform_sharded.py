@@ -216,9 +216,10 @@ class ShardedUniformSolver:
             )
         # per-shard static-permutation exchange plans with GLOBAL shapes
         # (same bucket keys + padded column counts on every shard -> equal E;
-        # C forced to the global max so key arrays stack on the device axis)
+        # C cap + class layout from the global counts so key arrays stack on
+        # the device axis)
         if dtype == jnp.float32:
-            shard_ids, shard_valid, c_loc = [], [], []
+            shard_ids, shard_valid = [], []
             for geom in geoms:
                 ids = np.concatenate(
                     [np.asarray(g.layer_var).ravel() for g in geom.buckets]
@@ -228,29 +229,28 @@ class ShardedUniformSolver:
                 )
                 shard_ids.append(ids)
                 shard_valid.append(val)
-                rv = ids[val]
-                c_loc.append(
-                    int(np.bincount(rv, minlength=nr_vars).max()) if rv.size else 0
-                )
-            c_glob = max(max(c_loc), 1)
-            # force_C plans have no extended columns, so apply the same
-            # skew guard build_exchange_plan uses for local plans: a
-            # heavy-tailed count distribution (C_glob*Vp >> E) would blow
-            # the sort volume — fall back to the segment exchange instead
-            E = len(shard_ids[0])
-            Vp = uf._pad_to(nr_vars + 1, 128)
-            # the blowup only matters when the absolute sort volume is
-            # material (small instances pass regardless: their N is tiny)
-            if c_glob * Vp <= 4.0 * max(E, 1) or c_glob * Vp <= (1 << 20):
-                plans = [
-                    uf.build_exchange_plan(i, v, nr_vars, force_C=c_glob)
-                    for i, v in zip(shard_ids, shard_valid)
+            # GLOBAL class layout: the C cap and heavy-variable class blocks
+            # are derived from the summed (global) per-variable counts, so
+            # every shard builds the same [C, Vx] geometry and routes only
+            # its local occurrences — per-shard column sums meet in the
+            # psum. This replaces the old force_C=global-cmax plan whose
+            # skew guard silently dropped GM/QAP-like instances back to the
+            # segment exchange (C_glob*Vp >> E blew the sort volume; class
+            # blocks keep N within ~1.5x of E for any skew).
+            g_counts = np.zeros(nr_vars, dtype=np.int64)
+            for i, v in zip(shard_ids, shard_valid):
+                rv = i[v]
+                if rv.size:
+                    g_counts += np.bincount(rv, minlength=nr_vars)
+            plans = [
+                uf.build_exchange_plan(i, v, nr_vars, global_counts=g_counts)
+                for i, v in zip(shard_ids, shard_valid)
+            ]
+            if all(p is not None for p in plans):
+                assert len({(p.C, p.Vp, p.Vx, p.classes) for p in plans}) == 1
+                geoms = [
+                    g._replace(exchange=p) for g, p in zip(geoms, plans)
                 ]
-                if all(p is not None for p in plans):
-                    geoms = [
-                        g._replace(exchange=p)
-                        for g, p in zip(geoms, plans)
-                    ]
         self.geom_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *geoms)
         # per-bucket GLOBAL-view layer_bdd: shard columns concatenated
         self._view_layer_bdd = tuple(

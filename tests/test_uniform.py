@@ -160,10 +160,17 @@ def test_perm_exchange_matches_segment_exchange():
     """The static-permutation (sort-based) exchange must agree with the
     segment_sum + gather path at every valid slot, including ±inf forcing
     values, and produce identical iteration trajectories (float32 path)."""
-    from bdd_tpu.utils.problems import set_cover
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+    from bdd_tpu.utils.problems import graph_matching, set_cover
 
+    # the GM instance has a heavy-tailed count distribution (max ~25 BDDs
+    # per variable at C=2) producing SIX ladder class blocks (W = 2,3,4,6,
+    # 8,12) — it exercises the dense class-fold path end to end
+    gm = construct_graph_matching_ilp(
+        graph_matching(12, 12, seed=3, candidates=4, nr_quadratic=80)
+    )[0]
     for ilp in [parse_lp_string(fixtures.COVERING), grid_mrf(4, 4, 3, seed=0),
-                set_cover(30, 60, seed=1)]:
+                set_cover(30, 60, seed=1), gm]:
         pre = BddPreprocessor(ilp)
 
         def make(build_plan):
@@ -178,6 +185,8 @@ def test_perm_exchange_matches_segment_exchange():
         host_a, st_a = make(False)
         host_b, st_b = make(True)
         assert host_b.geom.exchange is not None
+        if ilp is gm:
+            assert len(host_b.geom.exchange.classes) >= 3
         st_a = uf.iterations(host_a.geom, st_a, 3, 0.5)
         st_b = uf.iterations(host_b.geom, st_b, 3, 0.5)
 

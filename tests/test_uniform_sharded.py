@@ -110,6 +110,44 @@ def test_sharded_perm_exchange_parity(n_dev):
 
 
 @pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_class_block_exchange_parity(n_dev):
+    """Heavy-tailed instances (graph matching: some variables in ~25 BDDs)
+    now get GLOBAL class-block plans on the sharded path — the old
+    force_C=global-cmax plan blew the sort volume and silently fell back to
+    segment ops. Plans must exist, agree in geometry across shards, and the
+    trajectory must match the f64 oracle."""
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+    from bdd_tpu.utils.problems import graph_matching
+
+    ilp = construct_graph_matching_ilp(
+        graph_matching(12, 12, seed=3, candidates=4, nr_quadratic=80)
+    )[0]
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float32,
+    )
+    plan = s.geom_stacked.exchange
+    assert plan is not None
+    assert len(plan.classes) >= 3  # the skewed tail produced class blocks
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for it in range(8):
+        s.iteration()
+        ref.iteration(0.5)
+        assert s.lower_bound() == pytest.approx(
+            ref.lower_bound_with_deferred(), abs=2e-3
+        ), f"iter {it}"
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
 def test_sharded_column_packing_parity(n_dev):
     """f32 sharded shards pack their columns with globally-pooled caps
     (uniform.choose_pack_caps), so the per-shard buckets still stack on the
