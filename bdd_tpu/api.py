@@ -38,8 +38,12 @@ DEFAULT_CONFIG = {
     "split implication": False,  # redundant cross-chunk implication BDD (ref bdd_solver.cpp:108-120)
     "termination criteria": {
         "maximum iterations": 1000,
-        "improvement slope": 1e-6,
-        "minimum improvement": 1e-9,
+        # reference code defaults (bdd_solver.cpp:279-282): minimum
+        # improvement (relative tolerance) 1e-6, improvement slope 1e-9
+        # (the reference README documents 1e-6 for the slope; its code uses
+        # 1e-9 — we follow the code, which is what the binaries run with)
+        "improvement slope": 1e-9,
+        "minimum improvement": 1e-6,
         "time limit": 3600,
     },
     "perturbation rounding": {

@@ -16,8 +16,8 @@ from bdd_tpu.utils.logging import bdd_log
 def run_solver(
     s,
     max_iter: int = 1000,
-    tolerance: float = 1e-9,
-    improvement_slope: float = 1e-6,
+    tolerance: float = 1e-6,
+    improvement_slope: float = 1e-9,
     time_limit: float = 3600.0,
     verbose: bool = True,
     block_size: int = 1,

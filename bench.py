@@ -42,12 +42,17 @@ def measure_tpu(host, objective, block, n_blocks):
             warm = js_uf.iterations(geom, state, block, 0.5)
             sync(warm)
             print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
-            t0 = time.time()
+            # median of 3 full measurements (baseline-pinning protocol,
+            # VERDICT r2 #1); each measurement enqueues n_blocks blocks and
+            # syncs once so per-call dispatch stays amortized
+            rates = []
             out = warm
-            for _ in range(n_blocks):
-                out = js_uf.iterations(geom, out, block, 0.5)
-            sync(out)
-            dt = time.time() - t0
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(n_blocks):
+                    out = js_uf.iterations(geom, out, block, 0.5)
+                sync(out)
+                rates.append(block * n_blocks / (time.time() - t0))
             break
         except Exception as e:  # pragma: no cover - tunnel flake path
             if attempt == 1:
@@ -55,18 +60,23 @@ def measure_tpu(host, objective, block, n_blocks):
             print(f"# retrying after error: {e}", file=sys.stderr)
             time.sleep(5)
     lb = float(js_uf.lower_bound_with_deferred(geom, out))
-    return block * n_blocks / dt, lb
+    return float(np.median(rates)), lb
 
 
-def measure_native_cpu(cs, target_s=3.0):
+def measure_native_cpu(cs, target_s=3.0, repeats=3):
+    """Median of `repeats` warm measurements (VERDICT r2 #1: the single-shot
+    baseline swung ~15% run-to-run, more than the claimed edge)."""
     cs.iterations(2, 0.5)
     t0 = time.time()
     cs.iterations(3, 0.5)
     per = (time.time() - t0) / 3
     n = max(5, min(1000, int(target_s / max(per, 1e-9))))
-    t0 = time.time()
-    cs.iterations(n, 0.5)
-    return n / (time.time() - t0)
+    rates = []
+    for _ in range(repeats):
+        t0 = time.time()
+        cs.iterations(n, 0.5)
+        rates.append(n / (time.time() - t0))
+    return float(np.median(rates))
 
 
 def main() -> int:
@@ -155,7 +165,90 @@ def main() -> int:
         print(f"# gm50k failed: {e}", file=sys.stderr)
         extra = {"gm50k_error": str(e)[:200]}
 
-    extra["baseline"] = f"native C++ OpenMP parallel MMA, {thr} threads"
+    # ------------------------------------------- serving surfaces (VERDICT #7)
+    # (a) warm same-geometry serve latency: new instance, jit-cache hit
+    try:
+        from bdd_tpu.serve import handle_request
+
+        base_cfg = {
+            "relaxation solver": "uniform mma",
+            "variable order": "bfs",
+            "termination criteria": {"maximum iterations": 1000},
+        }
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            paths = []
+            for seed in (0, 7):
+                p = os.path.join(td, f"g{seed}.lp")
+                open(p, "w").write(grid_mrf(12, 12, 4, seed=seed).write_lp())
+                paths.append(p)
+            t0 = time.time()
+            handle_request({**base_cfg, "input": paths[0]})
+            cold = time.time() - t0
+            t0 = time.time()
+            handle_request({**base_cfg, "input": paths[1]})
+            warm = time.time() - t0
+        extra["serve_cold_s"] = round(cold, 2)
+        extra["serve_warm_s"] = round(warm, 2)
+        print(
+            f"# serve grid12: cold {cold:.2f}s, warm same-geometry {warm:.2f}s"
+            f" ({cold / warm:.1f}x)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# serve latency failed: {e}", file=sys.stderr)
+        extra["serve_error"] = str(e)[:200]
+
+    # (b) batched solving: 64 MIS instances as one device program
+    try:
+        from bdd_tpu.utils.batching import BatchedInstances
+        from bdd_tpu.utils.problems import independent_set
+
+        K, blk = 64, 100
+        ilps = [independent_set(100, edge_prob=0.08, seed=s) for s in range(K)]
+        bat = BatchedInstances(ilps)
+        bhost = js_uf.flatten_uniform(bat.collection, len(bat.objective))
+        bstate = js_uf.init_uniform_state(bhost, bat.objective)
+
+        def _sync(s):
+            return float(s.lo[0][0, 0])
+
+        s = js_uf.iterations(bhost.geom, bstate, blk, 0.5)
+        _sync(s)
+        t0 = time.time()
+        out = s
+        for _ in range(4):
+            out = js_uf.iterations(bhost.geom, out, blk, 0.5)
+        _sync(out)
+        dt_batch = (time.time() - t0) / 4
+
+        pre1 = BddPreprocessor(ilps[0])
+        h1 = js_uf.flatten_uniform(
+            pre1.collection, pre1.total_nr_variables(), pre1.nr_primal_variables
+        )
+        s1 = js_uf.init_uniform_state(h1, pre1.objective_vector())
+        w = js_uf.iterations(h1.geom, s1, blk, 0.5)
+        _sync(w)
+        t0 = time.time()
+        o = w
+        for _ in range(4):
+            o = js_uf.iterations(h1.geom, o, blk, 0.5)
+        _sync(o)
+        dt_one = (time.time() - t0) / 4
+        extra["batch64_speedup"] = round(K * dt_one / dt_batch, 1)
+        extra["batch64_instance_iters_per_s"] = round(K * blk / dt_batch)
+        print(
+            f"# batch64 MIS-100: {dt_batch * 1e3:.1f} ms/{blk} iters batched, "
+            f"{dt_one * 1e3:.1f} ms single -> {K * dt_one / dt_batch:.1f}x",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# batch serving failed: {e}", file=sys.stderr)
+        extra["batch_error"] = str(e)[:200]
+
+    extra["baseline"] = f"native C++ OpenMP parallel MMA, {thr} threads (median of 3)"
     print(
         json.dumps(
             {
