@@ -237,7 +237,11 @@ def build_exchange_plan(
         # the cost. With global_counts the inputs (E, layout) are identical
         # on every shard, so all shards pick the same C deterministically.
         best = None
-        cand = sorted({cmax} | {1 << k for k in range(0, cmax.bit_length() + 1)})
+        cand = sorted(
+            {cmax}
+            | {1 << k for k in range(0, cmax.bit_length() + 1)}
+            | {3 * (1 << k) for k in range(0, cmax.bit_length())}
+        )
         for c in cand:
             _, _, nc = class_layout(c)
             vx = _pad_to(Vp + nc, lane)
@@ -1054,43 +1058,42 @@ def _exchange_perm(
     else:
         _, mm_s = jax.lax.sort((plan.key_fwd, mm_p), num_keys=1)
     mm_cv = mm_s[:CV].reshape(plan.C, plan.Vx)
-    dlo_col = jnp.sum(jnp.maximum(-mm_cv, 0.0), axis=0)  # [Vx] per-column
-    dhi_col = jnp.sum(jnp.maximum(mm_cv, 0.0), axis=0)
+    # stacked (lo, hi) glue: every fold/concat/broadcast below runs ONCE on a
+    # [2, ...] array instead of twice — on small instances the dense glue
+    # chain is op-count-bound (grid12: 39 us/iter of 177), so halving the op
+    # count matters more than the negligible extra arithmetic
+    d_col = jnp.stack(
+        [
+            jnp.sum(jnp.maximum(-mm_cv, 0.0), axis=0),
+            jnp.sum(jnp.maximum(mm_cv, 0.0), axis=0),
+        ]
+    )  # [2, Vx] per-column (lo, hi)
     # per-variable totals: light variables ARE their primary column; each
-    # heavy class folds its [nv, W] block densely (no scatter — the old
+    # heavy class folds its [2, nv, W] block densely (no scatter — the old
     # scatter-add fold measured 2.9 ms/iter on GM-50k, ~45% of iteration)
-    dlo_parts = [dlo_col[: plan.Vp]]
-    dhi_parts = [dhi_col[: plan.Vp]]
+    d_parts = [d_col[:, : plan.Vp]]
     for base, w, nv in plan.classes:
-        dlo_parts.append(dlo_col[base : base + nv * w].reshape(nv, w).sum(1))
-        dhi_parts.append(dhi_col[base : base + nv * w].reshape(nv, w).sum(1))
+        d_parts.append(d_col[:, base : base + nv * w].reshape(2, nv, w).sum(2))
     if delta_reduce is not None:
-        sizes = [p.shape[0] for p in dlo_parts]
-        d = delta_reduce(
-            jnp.stack(
-                [jnp.concatenate(dlo_parts), jnp.concatenate(dhi_parts)],
-                axis=-1,
-            )
-        )
-        dlo_parts, dhi_parts, off = [], [], 0
+        sizes = [p.shape[1] for p in d_parts]
+        d = delta_reduce(jnp.concatenate(d_parts, axis=1).T)  # [sum, 2]
+        d = d.T
+        d_parts, off = [], 0
         for s in sizes:
-            dlo_parts.append(d[off : off + s, 0])
-            dhi_parts.append(d[off : off + s, 1])
+            d_parts.append(d[:, off : off + s])
             off += s
     # broadcast back: primary region verbatim, class blocks as dense repeats
-    w_lo = [dlo_parts[0]]
-    w_hi = [dhi_parts[0]]
-    for (base, w, nv), plo, phi in zip(plan.classes, dlo_parts[1:], dhi_parts[1:]):
-        w_lo.append(jnp.broadcast_to(plo[:, None], (nv, w)).reshape(nv * w))
-        w_hi.append(jnp.broadcast_to(phi[:, None], (nv, w)).reshape(nv * w))
+    w_parts = [d_parts[0]]
+    for (base, w, nv), p in zip(plan.classes, d_parts[1:]):
+        w_parts.append(
+            jnp.broadcast_to(p[:, :, None], (2, nv, w)).reshape(2, nv * w)
+        )
     tail = plan.Vx - plan.Vp - sum(w * nv for _, w, nv in plan.classes)
     if tail:
-        w_lo.append(jnp.zeros((tail,), dtype=mm_flat.dtype))
-        w_hi.append(jnp.zeros((tail,), dtype=mm_flat.dtype))
-    dlo = jnp.concatenate(w_lo) if len(w_lo) > 1 else w_lo[0]
-    dhi = jnp.concatenate(w_hi) if len(w_hi) > 1 else w_hi[0]
-    t_lo = jnp.broadcast_to(dlo, (plan.C, plan.Vx)).reshape(CV)
-    t_hi = jnp.broadcast_to(dhi, (plan.C, plan.Vx)).reshape(CV)
+        w_parts.append(jnp.zeros((2, tail), dtype=mm_flat.dtype))
+    d_all = jnp.concatenate(w_parts, axis=1) if len(w_parts) > 1 else w_parts[0]
+    t = jnp.broadcast_to(d_all[:, None, :], (2, plan.C, plan.Vx)).reshape(2, CV)
+    t_lo, t_hi = t[0], t[1]
     if Nfull > CV:
         pad = jnp.zeros((Nfull - CV,), dtype=mm_flat.dtype)
         t_lo = jnp.concatenate([t_lo, pad])

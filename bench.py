@@ -111,7 +111,10 @@ def main() -> int:
     host = js_uf.flatten_uniform(
         pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
     )
-    grid_ips, grid_lb = measure_tpu(host, pre.objective_vector(), 50, 4)
+    # block*n_blocks iterations per measurement: the per-call dispatch+sync
+    # floor through the relay measured ~25 ms (r3 bisect) — at 0.18 ms/iter
+    # a 200-iteration measurement under-reported the grid12 rate by ~40%
+    grid_ips, grid_lb = measure_tpu(host, pre.objective_vector(), 500, 4)
     print(f"# grid12 tpu: {grid_ips:.1f} it/s, lb={grid_lb:.4f}", file=sys.stderr)
 
     # honest CPU baseline: native OpenMP parallel MMA on this machine's cores
@@ -148,7 +151,7 @@ def main() -> int:
             f"build {time.time() - t0:.1f}s",
             file=sys.stderr,
         )
-        gm_ips, gm_lb = measure_tpu(gm_host, nh.objective(), 100, 2)
+        gm_ips, gm_lb = measure_tpu(gm_host, nh.objective(), 250, 2)
         gm_cs = nh.cpu_solver()
         gm_cpu_ips = measure_native_cpu(gm_cs, target_s=5.0)
         print(
