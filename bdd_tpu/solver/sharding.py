@@ -33,28 +33,36 @@ from bdd_tpu.solver.flatten import DenseBdds, FlatBdds, densify, flatten_collect
 
 
 def partition_bdds(collection: BddCollection, nr_shards: int) -> List[List[int]]:
-    """Contiguous partition of BDD numbers balanced by node count."""
+    """Partition of BDD numbers balanced by node count, contiguous in the
+    MINIMUM-VARIABLE order. Collection order follows constraint order, which
+    need not track the variable ordering (e.g. grid MRFs list all unary
+    simplexes first) — splitting in min-var order gives every shard a tight
+    variable window (~V/D with a BFS/Cuthill ordering), which the windowed
+    exchange plans exploit to keep per-shard sort volume ~E/D."""
     nb = collection.nr_bdds()
     sizes = [collection.nr_bdd_nodes(b) for b in range(nb)]
+    order = sorted(
+        range(nb), key=lambda b: (min(collection.level_variables(b)), b)
+    )
     total = sum(sizes)
     target = total / nr_shards
     parts: List[List[int]] = []
     cur: List[int] = []
     acc = 0.0
-    remaining_shards = nr_shards
-    for b in range(nb):
+    for b in order:
         cur.append(b)
         acc += sizes[b]
         # leave enough bdds so every remaining shard gets at least one
         if (
             acc >= target
             and len(parts) < nr_shards - 1
-            and (nb - b - 1) >= (nr_shards - len(parts) - 1)
+            and (nb - len(cur) - sum(len(p) for p in parts))
+            >= (nr_shards - len(parts) - 1)
         ):
-            parts.append(cur)
+            parts.append(sorted(cur))
             cur = []
             acc = 0.0
-    parts.append(cur)
+    parts.append(sorted(cur))
     while len(parts) < nr_shards:  # degenerate: fewer bdds than shards
         parts.append([])
     assert sum(len(p) for p in parts) == nb

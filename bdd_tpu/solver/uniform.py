@@ -147,6 +147,17 @@ class ExchangePlan:
     Vp: int
     Vx: int
     classes: Tuple[Tuple[int, int, int], ...] = ()  # (base_col, W, nv)
+    # class members' (window-relative) variable ids, class-ordered,
+    # concatenated [sum nv] — the static scatter/gather indices that merge
+    # class totals into the primary vector for WINDOWED (sharded) plans
+    class_members: Optional[jnp.ndarray] = None
+    # windowed (sharded) plans: this shard's occurrences are routed within
+    # its variable window [window_lo, window_lo + Vp); before the psum the
+    # [2, Vp] window totals are placed at window_lo into a [2, Vg] global
+    # vector (dynamic_update_slice — dense), summed across shards, and
+    # sliced back. Vg == 0 means not windowed.
+    window_lo: Optional[jnp.ndarray] = None  # int32 scalar
+    Vg: int = 0
     # Optional Benes-network routing (solver/benes.py): 2*log2(Np)-1 swap
     # masks per direction, Np = N padded to a power of two. Routes the same
     # permutations with ~10x fewer passes than the bitonic `lax.sort`.
@@ -157,8 +168,11 @@ class ExchangePlan:
 
 jax.tree_util.register_dataclass(
     ExchangePlan,
-    data_fields=["key_fwd", "key_inv", "benes_fwd", "benes_inv"],
-    meta_fields=["C", "Vp", "Vx", "classes", "benes_dists"],
+    data_fields=[
+        "key_fwd", "key_inv", "class_members", "window_lo",
+        "benes_fwd", "benes_inv",
+    ],
+    meta_fields=["C", "Vp", "Vx", "classes", "Vg", "benes_dists"],
 )
 
 
@@ -270,12 +284,17 @@ def build_exchange_plan(
     classes: List[Tuple[int, int, int]] = []
     col_of_var = np.arange(V, dtype=np.int64)  # light default: primary col
     base = Vp
+    all_members: List[np.ndarray] = []
     for w in ws:
         members = np.nonzero(Wvar == w)[0]
         nv = members.size
         col_of_var[members] = base + np.arange(nv, dtype=np.int64) * w
         classes.append((base, w, nv))
+        all_members.append(members)
         base += nv * w
+    members_cat = (
+        np.concatenate(all_members) if all_members else np.zeros(0, np.int64)
+    )
     heavy_mask = Wvar > 0
     Wocc = np.where(heavy_mask[sv], Wvar[sv], np.int64(1))
     is_h = heavy_mask[sv]
@@ -317,10 +336,85 @@ def build_exchange_plan(
         Vp=Vp,
         Vx=Vx,
         classes=tuple(classes),
+        class_members=jnp.asarray(members_cat, dtype=jnp.int32),
         benes_fwd=benes_fwd,
         benes_inv=benes_inv,
         benes_dists=benes_dists,
     )
+
+
+def build_windowed_plans(
+    shard_ids: Sequence[np.ndarray],
+    shard_valid: Sequence[np.ndarray],
+    V: int,
+    lane: int = 128,
+    max_blowup: float = 4.0,
+    min_shrink: float = 0.75,
+) -> Optional[List[ExchangePlan]]:
+    """Per-shard WINDOWED exchange plans for the multi-device path.
+
+    The plain sharded plan keeps the [C, Vx] column matrix globally sized on
+    every shard, so the per-shard sort volume N = max(E_shard, C*Vx) never
+    shrinks with the shard count — the sorts (the dominant per-iteration
+    cost) stop scaling. With a variable-ordered BDD partition each shard's
+    occurrences live in a tight variable WINDOW [lo_s, lo_s + Wv) of width
+    ~V/D, so the columns can be window-relative: N scales with E/D.
+
+    Alignment for the psum: all shards share one static layout (same C, Wv,
+    classes — derived from the elementwise MAX of the window-relative count
+    profiles); each shard's class totals are merged into its [2, Vp] window
+    vector by a tiny static scatter-add over ``class_members``, the window
+    vectors are placed at ``window_lo`` into a [2, Vg] global vector
+    (``lax.dynamic_update_slice`` — dense), psum'd, and sliced back. Window
+    overlap is handled by the sum; out-of-window columns only ever carry
+    zeros (invalid slots have zero deferred min-marginals).
+
+    Returns None when the windows don't shrink the problem (max window >
+    ``min_shrink`` * V) or any shard's count profile is too skewed — callers
+    fall back to the global-column plans.
+    """
+    D = len(shard_ids)
+    los: List[int] = []
+    Wv = 0
+    for ids, val in zip(shard_ids, shard_valid):
+        ids = np.asarray(ids)
+        val = np.asarray(val)
+        rv = ids[val]
+        lo = (int(rv.min()) // lane) * lane if rv.size else 0
+        hi = int(rv.max()) + 1 if rv.size else 1
+        los.append(lo)
+        Wv = max(Wv, hi - lo)
+    if D < 2 or Wv > min_shrink * V:
+        return None
+    counts_rel = np.zeros(Wv, np.int64)
+    for ids, val, lo in zip(shard_ids, shard_valid, los):
+        ids = np.asarray(ids)
+        val = np.asarray(val)
+        rv = np.asarray(ids[val], dtype=np.int64) - lo
+        if rv.size:
+            counts_rel = np.maximum(
+                counts_rel, np.bincount(rv, minlength=Wv)
+            )
+    plans: List[ExchangePlan] = []
+    for ids, val, lo in zip(shard_ids, shard_valid, los):
+        ids = np.asarray(ids, dtype=np.int64)
+        val = np.asarray(val)
+        rel = np.where(val, ids - lo, np.int64(Wv))
+        p = build_exchange_plan(
+            rel, val, Wv, lane=lane, max_blowup=max_blowup,
+            global_counts=counts_rel,
+        )
+        if p is None:
+            return None
+        plans.append(p)
+    assert len({(p.C, p.Vp, p.Vx, p.classes) for p in plans}) == 1
+    Vg = _pad_to(max(V + 1, max(los) + plans[0].Vp), lane)
+    return [
+        dataclasses.replace(
+            p, window_lo=jnp.asarray(lo, dtype=jnp.int32), Vg=Vg
+        )
+        for p, lo in zip(plans, los)
+    ]
 
 
 class UniformGeom(NamedTuple):
@@ -1074,7 +1168,32 @@ def _exchange_perm(
     d_parts = [d_col[:, : plan.Vp]]
     for base, w, nv in plan.classes:
         d_parts.append(d_col[:, base : base + nv * w].reshape(2, nv, w).sum(2))
-    if delta_reduce is not None:
+    if plan.Vg:
+        # windowed (sharded) plan: merge class totals into the window vector
+        # (tiny static scatter-add), place the window into the [2, Vg]
+        # global vector for the cross-shard reduce, slice it back, and read
+        # the class totals back out with one gather over the same indices
+        merged = d_parts[0]
+        if plan.classes:
+            cls = jnp.concatenate(d_parts[1:], axis=1)  # [2, sum nv]
+            merged = merged.at[:, plan.class_members].add(cls)
+        if delta_reduce is not None:
+            gvec = jnp.zeros((2, plan.Vg), dtype=merged.dtype)
+            gvec = jax.lax.dynamic_update_slice(
+                gvec, merged, (jnp.int32(0), plan.window_lo)
+            )
+            gvec = delta_reduce(gvec.T).T
+            merged = jax.lax.dynamic_slice(
+                gvec, (jnp.int32(0), plan.window_lo), merged.shape
+            )
+        d_parts = [merged]
+        if plan.classes:
+            cls_tot = merged[:, plan.class_members]  # [2, sum nv]
+            off = 0
+            for base, w, nv in plan.classes:
+                d_parts.append(cls_tot[:, off : off + nv])
+                off += nv
+    elif delta_reduce is not None:
         sizes = [p.shape[1] for p in d_parts]
         d = delta_reduce(jnp.concatenate(d_parts, axis=1).T)  # [sum, 2]
         d = d.T

@@ -72,6 +72,191 @@ def _empty_bucket(
     )
 
 
+def build_shard_geoms(
+    collection: BddCollection,
+    nr_vars: int,
+    D: int,
+    dtype=jnp.float32,
+    pack: Optional[bool] = None,
+    nr_primal_vars: Optional[int] = None,
+):
+    """Build the D per-shard uniform geometries (equal shapes across shards:
+    global bucket keys, padded column counts, globally-shaped exchange plans).
+    Returns (geoms, hosts, layer_bdd_padded, counts). Standalone so the
+    multi-chip projection benchmark can measure per-shard compute on one real
+    chip without constructing a mesh."""
+    parts = partition_bdds(collection, D)
+    # global counts over all shards
+    counts = np.zeros(nr_vars, dtype=np.int32)
+    for b in range(collection.nr_bdds()):
+        for v in collection.level_variables(b):
+            counts[v] += 1
+
+    hosts = [
+        uf.flatten_uniform(
+            collection,
+            nr_vars,
+            nr_primal_vars,
+            dtype=dtype,
+            counts_override=counts,
+            keep_bdds=p,
+            build_plan=False,
+        )
+        if len(p) > 0
+        else None
+        for p in parts
+    ]
+    # vertical column packing (f32 default, matching the single-device
+    # policy): pool all shards' segment depths, choose ONE cap per
+    # (width, tier) class, pack every shard with it, then pad rows to the
+    # class-global H so the per-shard buckets stack on the device axis
+    if pack is None:
+        pack = dtype == jnp.float32
+    packed = False
+    if pack:
+        pooled: dict = {}
+        for h in hosts:
+            if h is None:
+                continue
+            for k, g in enumerate(h.geom.buckets):
+                deps = np.asarray(h.depths[k])
+                pooled.setdefault(int(g.P), []).extend(
+                    int(x) for x in deps[deps > 0]
+                )
+        if pooled:
+            caps = uf.choose_pack_caps(
+                {p: np.asarray(v) for p, v in pooled.items()}
+            )
+            hosts = [
+                uf.pack_uniform_host(h, dtype=dtype, caps=caps)
+                if h is not None
+                else None
+                for h in hosts
+            ]
+            packed = True
+
+    # global bucket key set: (P, H) unpacked (H is a per-BDD-class
+    # property, equal across shards); (P, depth tier) packed (each
+    # shard's FFD may stop below the cap -> rows padded to the class max)
+    def key_of(g):
+        H = int(g.node_valid.shape[0])
+        if packed:
+            return (int(g.P), -1 - int(H > uf.PACK_H_CAP))
+        return (int(g.P), H)
+
+    def keys_of(h):
+        return [key_of(g) for g in h.geom.buckets] if h else []
+
+    all_keys = sorted({k for h in hosts for k in keys_of(h)})
+    H_per_key: dict = {}
+    B_per_key: dict = {}
+    for h in hosts:
+        for g in h.geom.buckets if h else ():
+            k = key_of(g)
+            H_per_key[k] = max(
+                H_per_key.get(k, 0), int(g.node_valid.shape[0])
+            )
+            B_per_key[k] = max(B_per_key.get(k, 0), g.B)
+    geoms = []
+    layer_bdd_padded: list = []  # per shard: per bucket [H_key, B_key]
+    for h in hosts:
+        bl = []
+        lbd = []
+        hk = keys_of(h)
+        for k in all_keys:
+            if h and k in hk:
+                idx = hk.index(k)
+                bl.append(
+                    _pad_bucket(
+                        h.geom.buckets[idx],
+                        B_per_key[k],
+                        nr_vars,
+                        dtype,
+                        H=H_per_key[k],
+                    )
+                )
+                src = np.asarray(h.layer_bdd[idx])
+                pad = np.full(
+                    (H_per_key[k], B_per_key[k]), -1, dtype=np.int64
+                )
+                pad[: src.shape[0], : src.shape[1]] = src
+                lbd.append(pad)
+            else:
+                bl.append(
+                    _empty_bucket(
+                        (k[0], H_per_key[k]),
+                        B_per_key[k],
+                        nr_vars,
+                        dtype,
+                        packed=packed,
+                    )
+                )
+                lbd.append(np.full(
+                    (H_per_key[k], B_per_key[k]), -1, dtype=np.int64
+                ))
+        layer_bdd_padded.append(lbd)
+        geoms.append(
+            uf.UniformGeom(
+                buckets=tuple(bl),
+                num_bdds_per_var=jnp.asarray(counts, dtype=jnp.int32),
+            )
+        )
+    # per-shard static-permutation exchange plans with GLOBAL shapes
+    # (same bucket keys + padded column counts on every shard -> equal E;
+    # C cap + class layout from the global counts so key arrays stack on
+    # the device axis)
+    if dtype == jnp.float32:
+        shard_ids, shard_valid = [], []
+        for geom in geoms:
+            ids = np.concatenate(
+                [np.asarray(g.layer_var).ravel() for g in geom.buckets]
+            )
+            val = np.concatenate(
+                [np.asarray(g.layer_valid).ravel() for g in geom.buckets]
+            )
+            shard_ids.append(ids)
+            shard_valid.append(val)
+        # SHARED class layout from the per-shard MAXIMUM local counts: the
+        # psum only needs every shard to emit per-variable totals in the
+        # same [2, Vp + sum(nv)] order, so the class layout (C cap, heavy
+        # membership, W widths) must be identical across shards but does
+        # NOT need to accommodate the summed global counts — only the
+        # largest local count of each variable. With balanced partitions
+        # max-local ~ global/D, so the [C, Vx] matrix (and with it the
+        # per-shard sort volume N = max(E_shard, C*Vx)) shrinks ~D-fold
+        # instead of staying global-sized — the sorts are the dominant
+        # per-iteration cost, so this is what makes iterations/s actually
+        # scale with the mesh. (An earlier revision summed the counts,
+        # which kept N at the single-chip size on every shard; and the
+        # original force_C=global-cmax plan's skew guard silently dropped
+        # GM/QAP-like instances back to the segment exchange.) All shards
+        # feed the same (E, layout_counts) into the plan builder, so they
+        # deterministically pick the same C/classes and the key arrays
+        # stack on the device axis.
+        m_counts = np.zeros(nr_vars, dtype=np.int64)
+        for i, v in zip(shard_ids, shard_valid):
+            rv = i[v]
+            if rv.size:
+                m_counts = np.maximum(
+                    m_counts, np.bincount(rv, minlength=nr_vars)
+                )
+        # windowed plans first (per-shard sort volume ~E/D; see
+        # uf.build_windowed_plans) — fall back to global-column plans when
+        # the windows don't shrink, then to the segment exchange
+        plans = uf.build_windowed_plans(shard_ids, shard_valid, nr_vars)
+        if plans is None:
+            plans = [
+                uf.build_exchange_plan(i, v, nr_vars, global_counts=m_counts)
+                for i, v in zip(shard_ids, shard_valid)
+            ]
+        if all(p is not None for p in plans):
+            assert len({(p.C, p.Vp, p.Vx, p.classes) for p in plans}) == 1
+            geoms = [
+                g._replace(exchange=p) for g, p in zip(geoms, plans)
+            ]
+    return geoms, hosts, layer_bdd_padded, counts
+
+
 class ShardedUniformSolver:
     """Duck-interface sharded solver over a 1-D device mesh."""
 
@@ -97,160 +282,12 @@ class ShardedUniformSolver:
         self.omega = omega
         self.dtype = dtype
 
-        parts = partition_bdds(collection, D)
-        # global counts over all shards
-        counts = np.zeros(nr_vars, dtype=np.int32)
-        for b in range(collection.nr_bdds()):
-            for v in collection.level_variables(b):
-                counts[v] += 1
-
-        hosts = [
-            uf.flatten_uniform(
-                collection,
-                nr_vars,
-                nr_primal_vars,
-                dtype=dtype,
-                counts_override=counts,
-                keep_bdds=p,
-                build_plan=False,
-            )
-            if len(p) > 0
-            else None
-            for p in parts
-        ]
-        # vertical column packing (f32 default, matching the single-device
-        # policy): pool all shards' segment depths, choose ONE cap per
-        # (width, tier) class, pack every shard with it, then pad rows to the
-        # class-global H so the per-shard buckets stack on the device axis
-        if pack is None:
-            pack = dtype == jnp.float32
-        packed = False
-        if pack:
-            pooled: dict = {}
-            for h in hosts:
-                if h is None:
-                    continue
-                for k, g in enumerate(h.geom.buckets):
-                    deps = np.asarray(h.depths[k])
-                    pooled.setdefault(int(g.P), []).extend(
-                        int(x) for x in deps[deps > 0]
-                    )
-            if pooled:
-                caps = uf.choose_pack_caps(
-                    {p: np.asarray(v) for p, v in pooled.items()}
-                )
-                hosts = [
-                    uf.pack_uniform_host(h, dtype=dtype, caps=caps)
-                    if h is not None
-                    else None
-                    for h in hosts
-                ]
-                packed = True
-
-        # global bucket key set: (P, H) unpacked (H is a per-BDD-class
-        # property, equal across shards); (P, depth tier) packed (each
-        # shard's FFD may stop below the cap -> rows padded to the class max)
-        def key_of(g):
-            H = int(g.node_valid.shape[0])
-            if packed:
-                return (int(g.P), -1 - int(H > uf.PACK_H_CAP))
-            return (int(g.P), H)
-
-        def keys_of(h):
-            return [key_of(g) for g in h.geom.buckets] if h else []
-
-        all_keys = sorted({k for h in hosts for k in keys_of(h)})
-        H_per_key: dict = {}
-        B_per_key: dict = {}
-        for h in hosts:
-            for g in h.geom.buckets if h else ():
-                k = key_of(g)
-                H_per_key[k] = max(
-                    H_per_key.get(k, 0), int(g.node_valid.shape[0])
-                )
-                B_per_key[k] = max(B_per_key.get(k, 0), g.B)
-        geoms = []
+        geoms, hosts, layer_bdd_padded, counts = build_shard_geoms(
+            collection, nr_vars, D, dtype=dtype, pack=pack,
+            nr_primal_vars=nr_primal_vars,
+        )
         self._shard_hosts = hosts
-        layer_bdd_padded: list = []  # per shard: per bucket [H_key, B_key]
-        for h in hosts:
-            bl = []
-            lbd = []
-            hk = keys_of(h)
-            for k in all_keys:
-                if h and k in hk:
-                    idx = hk.index(k)
-                    bl.append(
-                        _pad_bucket(
-                            h.geom.buckets[idx],
-                            B_per_key[k],
-                            nr_vars,
-                            dtype,
-                            H=H_per_key[k],
-                        )
-                    )
-                    src = np.asarray(h.layer_bdd[idx])
-                    pad = np.full(
-                        (H_per_key[k], B_per_key[k]), -1, dtype=np.int64
-                    )
-                    pad[: src.shape[0], : src.shape[1]] = src
-                    lbd.append(pad)
-                else:
-                    bl.append(
-                        _empty_bucket(
-                            (k[0], H_per_key[k]),
-                            B_per_key[k],
-                            nr_vars,
-                            dtype,
-                            packed=packed,
-                        )
-                    )
-                    lbd.append(np.full(
-                        (H_per_key[k], B_per_key[k]), -1, dtype=np.int64
-                    ))
-            layer_bdd_padded.append(lbd)
-            geoms.append(
-                uf.UniformGeom(
-                    buckets=tuple(bl),
-                    num_bdds_per_var=jnp.asarray(counts, dtype=jnp.int32),
-                )
-            )
-        # per-shard static-permutation exchange plans with GLOBAL shapes
-        # (same bucket keys + padded column counts on every shard -> equal E;
-        # C cap + class layout from the global counts so key arrays stack on
-        # the device axis)
-        if dtype == jnp.float32:
-            shard_ids, shard_valid = [], []
-            for geom in geoms:
-                ids = np.concatenate(
-                    [np.asarray(g.layer_var).ravel() for g in geom.buckets]
-                )
-                val = np.concatenate(
-                    [np.asarray(g.layer_valid).ravel() for g in geom.buckets]
-                )
-                shard_ids.append(ids)
-                shard_valid.append(val)
-            # GLOBAL class layout: the C cap and heavy-variable class blocks
-            # are derived from the summed (global) per-variable counts, so
-            # every shard builds the same [C, Vx] geometry and routes only
-            # its local occurrences — per-shard column sums meet in the
-            # psum. This replaces the old force_C=global-cmax plan whose
-            # skew guard silently dropped GM/QAP-like instances back to the
-            # segment exchange (C_glob*Vp >> E blew the sort volume; class
-            # blocks keep N within ~1.5x of E for any skew).
-            g_counts = np.zeros(nr_vars, dtype=np.int64)
-            for i, v in zip(shard_ids, shard_valid):
-                rv = i[v]
-                if rv.size:
-                    g_counts += np.bincount(rv, minlength=nr_vars)
-            plans = [
-                uf.build_exchange_plan(i, v, nr_vars, global_counts=g_counts)
-                for i, v in zip(shard_ids, shard_valid)
-            ]
-            if all(p is not None for p in plans):
-                assert len({(p.C, p.Vp, p.Vx, p.classes) for p in plans}) == 1
-                geoms = [
-                    g._replace(exchange=p) for g, p in zip(geoms, plans)
-                ]
+        all_keys = list(range(len(geoms[0].buckets)))
         self.geom_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *geoms)
         # per-bucket GLOBAL-view layer_bdd: shard columns concatenated
         self._view_layer_bdd = tuple(

@@ -185,6 +185,99 @@ def test_sharded_column_packing_parity(n_dev):
         ), f"iter {it}"
 
 
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_sharded_windowed_exchange_parity(n_dev):
+    """Windowed per-shard plans (uf.build_windowed_plans): each shard sorts
+    only within its variable window, class totals merge via the static
+    scatter-add, and the psum rides the placed [2, Vg] vector. Must (a)
+    actually activate (Vg > 0) on an instance with variable locality and
+    (b) reproduce the f64 oracle trajectory to f32 tolerance."""
+    ilp = grid_mrf(8, 8, 3, seed=3)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float32,
+    )
+    plan = s.geom_stacked.exchange
+    assert plan is not None and plan.Vg > 0  # the windowed path is active
+    assert plan.window_lo.shape == (n_dev,)  # per-shard offsets stacked
+    assert len(set(np.asarray(plan.window_lo).tolist())) > 1
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for it in range(10):
+        s.iteration()
+        ref.iteration(0.5)
+        assert s.lower_bound() == pytest.approx(
+            ref.lower_bound_with_deferred(), abs=2e-3
+        ), f"iter {it}"
+    # distribute + per-shard lower bound agree too (uses the same exchange)
+    assert s.lower_bound() == pytest.approx(
+        ref.lower_bound_with_deferred(), abs=2e-3
+    )
+
+
+def test_sharded_windowed_learned_grad():
+    """The windowed exchange is differentiable: grad of the post-rollout
+    bound w.r.t. a per-variable omega vector matches the single-device
+    layout (dynamic_update_slice / scatter-add both have exact VJPs)."""
+    from bdd_tpu.solver import learned as ln
+    from bdd_tpu.solver import uniform as uf
+
+    ilp = grid_mrf(8, 8, 2, seed=5)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    V = pre.total_nr_variables()
+    rng = np.random.RandomState(0)
+    ov = jnp.asarray(0.2 + 0.6 * rng.rand(V + 1), dtype=jnp.float32)
+
+    host = uf.flatten_uniform(pre.collection, V, pre.nr_primal_variables)
+    state0 = uf.init_uniform_state(host, pre.objective_vector())
+
+    def single_lb(ov):
+        omegas = tuple(
+            jnp.where(g.layer_valid, ov[g.layer_var], 0.0)
+            for g in host.geom.buckets
+        )
+        st = ln.learned_iterations(
+            host.geom, state0, ln.isotropic_alpha(host.geom), omegas, 4
+        )
+        st = uf.distribute_delta(host.geom, st)
+        return uf.lower_bound_from_cft(host.geom, st.cft)
+
+    lb_single, g_single = jax.value_and_grad(single_lb)(ov)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection, V, pre.objective_vector(), mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables, dtype=jnp.float32,
+    )
+    assert s.geom_stacked.exchange is not None
+    assert s.geom_stacked.exchange.Vg > 0
+
+    def sharded_lb(ov):
+        omegas = s.omega_from_per_var(ov)
+        out = s._learned_run(
+            s.geom_stacked, s.state_stacked, s.isotropic_alphas(), omegas, 4
+        )
+        return s._lb(s.geom_stacked, out)
+
+    lb_shard, g_shard = jax.value_and_grad(sharded_lb)(ov)
+    assert float(lb_shard) == pytest.approx(float(lb_single), rel=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_shard), np.asarray(g_single), atol=5e-4
+    )
+
+
 def test_sharded_learned_iterations_parity_and_grad():
     """Multi-chip learned MMA (DOGE solver core over the mesh): per-layer
     omega from a shared [V+1] vector, isotropic alpha. (a) the sharded
