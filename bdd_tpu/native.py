@@ -113,6 +113,9 @@ def load_library():
     lib.bh_cpu_get_costs.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_double)
     ] * 3
+    lib.bh_cpu_set_costs.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_double)
+    ] * 3
     _LIB = lib
     return lib
 
@@ -426,6 +429,22 @@ class NativeCpuSolver:
             mm.ctypes.data_as(p),
         )
         return lo, hi, mm
+
+    def set_costs(self, lo, hi, mm) -> None:
+        """Warm-start from externally computed duals (f64 per-layer arrays in
+        this solver's bdd-major layer order) — the f32->f64 escalation path."""
+        n = self.nr_layers()
+        lo = np.ascontiguousarray(lo, dtype=np.float64)
+        hi = np.ascontiguousarray(hi, dtype=np.float64)
+        mm = np.ascontiguousarray(mm, dtype=np.float64)
+        assert lo.shape == (n,) and hi.shape == (n,) and mm.shape == (n,)
+        p = ctypes.POINTER(ctypes.c_double)
+        self._lib.bh_cpu_set_costs(
+            self._ptr,
+            lo.ctypes.data_as(p),
+            hi.ctypes.data_as(p),
+            mm.ctypes.data_as(p),
+        )
 
 
 def cpu_solver_from_collection(col, nr_vars: int, objective) -> NativeCpuSolver:

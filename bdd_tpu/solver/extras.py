@@ -276,3 +276,40 @@ def lagrange_constraint_matrix(s):
         (np.ones(rows.size, dtype=np.float64), (rows, cols)),
         shape=(int(f.nr_vars), int(rows.size)),
     )
+
+
+def transfer_costs_to_native(host, state, cs) -> None:
+    """Warm-start the native f64 CPU solver from a uniform-backend state —
+    the f32 -> f64 escalation path: run the chip at f32 to its precision
+    floor, then certify the remaining digits at the reference's default
+    double precision (native/bdd_host.cpp CpuSolver). Layers are matched by
+    their unique (bdd, variable) key; both backends carry the identical
+    (lo_cost, hi_cost, deferred mm) per-layer semantics (oracle-verified).
+
+    ``host``: UniformHost with layer_bdd bookkeeping (any flattener output);
+    ``state``: its UniformState; ``cs``: NativeCpuSolver over the SAME
+    collection (same bdd numbering)."""
+    geom = host.geom
+    assert host.layer_bdd, "transfer needs layer_bdd bookkeeping"
+    V = geom.V
+    keys, los, his, mms = [], [], [], []
+    for k, g in enumerate(geom.buckets):
+        valid = np.asarray(g.layer_valid)
+        lb = np.asarray(host.layer_bdd[k])
+        m = valid & (lb >= 0)
+        lv = np.asarray(g.layer_var)[m].astype(np.int64)
+        keys.append(lb[m].astype(np.int64) * (V + 1) + lv)
+        los.append(np.asarray(state.lo[k], dtype=np.float64)[m])
+        his.append(np.asarray(state.hi[k], dtype=np.float64)[m])
+        mms.append(np.asarray(state.def_mm[k], dtype=np.float64)[m])
+    key_u = np.concatenate(keys)
+    lo = np.concatenate(los)
+    hi = np.concatenate(his)
+    mm = np.concatenate(mms)
+    cb, cv = cs.layer_info()
+    key_c = cb.astype(np.int64) * (V + 1) + cv.astype(np.int64)
+    order = np.argsort(key_u, kind="stable")
+    pos = np.searchsorted(key_u[order], key_c)
+    assert (key_u[order][pos] == key_c).all(), "layer sets differ"
+    sel = order[pos]
+    cs.set_costs(lo[sel], hi[sel], mm[sel])

@@ -203,11 +203,23 @@ def tighten_collection(
     return out, (out_costs if layer_costs is not None else None), group_of_new
 
 
-def tighten_and_resolve(pre, solver_cls_kwargs: Optional[dict] = None, eps: float = 1e-6):
+def tighten_and_resolve(
+    pre,
+    solver_cls_kwargs: Optional[dict] = None,
+    eps: float = 1e-6,
+    warm_start: bool = True,
+):
     """Convenience driver: take a preprocessor whose collection was solved to
-    (near) dual optimality by a UniformSolver, tighten, and return a fresh
-    UniformSolver over the melded collection with the original objective.
-    """
+    (near) dual optimality by a UniformSolver, tighten, and return a
+    UniformSolver over the melded collection.
+
+    ``warm_start`` (default, the reference's scheme — bdd_tightening.h
+    transfers the converged Lagrange costs onto the melded BDDs): the new
+    solver starts FROM the converged duals (melded layers carry the members'
+    summed costs), so its initial bound equals the pre-meld converged bound
+    and every iteration only improves it. A cold restart was measured
+    NET-NEGATIVE at equal budget on QAP (-8.6% gap, BENCH.md r2) — the
+    re-solve spent its whole budget re-deriving the pre-meld bound."""
     from bdd_tpu.solver.uniform_wrapper import UniformSolver
 
     kwargs = solver_cls_kwargs or {}
@@ -224,12 +236,16 @@ def tighten_and_resolve(pre, solver_cls_kwargs: Optional[dict] = None, eps: floa
     base.distribute_delta()
     m0, m1 = base.min_marginals()
     tv = tight_variables(base.f, m0, m1, eps)
-    new_col, _, groups = tighten_collection(pre.collection, tv)
+    costs = base.export_layer_costs() if warm_start else None
+    new_col, new_costs, groups = tighten_collection(
+        pre.collection, tv, layer_costs=costs
+    )
     tightened = UniformSolver(
         new_col,
         pre.total_nr_variables(),
         pre.objective_vector(),
         nr_primal_vars=pre.nr_primal_variables,
+        layer_costs=new_costs,
         **kwargs,
     )
     return tightened, groups

@@ -850,6 +850,36 @@ def init_uniform_state(
     return state._replace(cft=cft)
 
 
+def init_uniform_state_from_layer_costs(
+    host: UniformHost, layer_costs, dtype=jnp.float32
+) -> UniformState:
+    """Initialize from explicit per-layer duals {(bdd, var): (lo, hi)} —
+    the warm-start path for cut tightening (the reference transfers the
+    converged Lagrange costs onto the melded BDDs, bdd_tightening.h:168-274,
+    so the tightened solve continues from the pre-meld dual bound instead of
+    re-deriving it from scratch). Missing layers get (0, 0); deferred mms
+    start at zero."""
+    assert host.layer_bdd, "warm start needs layer_bdd bookkeeping"
+    lo_l, hi_l, mm_l, cft_l = [], [], [], []
+    for k, g in enumerate(host.geom.buckets):
+        lvar = np.asarray(g.layer_var)
+        lbdd = np.asarray(host.layer_bdd[k])
+        lvalid = np.asarray(g.layer_valid)
+        lo = np.zeros(lvar.shape)
+        hi = np.zeros(lvar.shape)
+        for (h, b) in zip(*np.nonzero(lvalid & (lbdd >= 0))):
+            c = layer_costs.get((int(lbdd[h, b]), int(lvar[h, b])))
+            if c is not None:
+                lo[h, b], hi[h, b] = c
+        lo_l.append(jnp.asarray(lo, dtype=dtype))
+        hi_l.append(jnp.asarray(hi, dtype=dtype))
+        mm_l.append(jnp.zeros(lvar.shape, dtype=dtype))
+        cft_l.append(jnp.zeros(g.node_valid.shape, dtype=dtype))
+    state = UniformState(tuple(lo_l), tuple(hi_l), tuple(mm_l), tuple(cft_l))
+    cft = _backward_all(host.geom, state.lo, state.hi)
+    return state._replace(cft=cft)
+
+
 @jax.jit
 def _backward_all(geom: UniformGeom, lo, hi):
     return tuple(

@@ -47,13 +47,40 @@ class UniformSolver:
         nr_primal_vars: Optional[int] = None,
         dtype=jnp.float32,
         omega: float = 0.5,
+        layer_costs=None,
     ) -> None:
+        """``layer_costs``: optional {(bdd, var): (lo, hi)} warm start — the
+        tightening cost-transfer path; ``objective`` is ignored for state
+        init then (the transferred duals carry the full decomposition)."""
         self.host = uf.flatten_uniform(collection, nr_vars, nr_primal_vars, dtype=dtype)
         self.geom = self.host.geom
-        self.state = uf.init_uniform_state(self.host, objective, dtype=dtype)
+        if layer_costs is not None:
+            self.state = uf.init_uniform_state_from_layer_costs(
+                self.host, layer_costs, dtype=dtype
+            )
+        else:
+            self.state = uf.init_uniform_state(self.host, objective, dtype=dtype)
         self.omega = omega
         self.dtype = dtype
         self.f = UniformLayerView(self.host)
+
+    def export_layer_costs(self) -> dict:
+        """Converged duals as {(bdd, var): (lo, hi)} — distribute the
+        deferred ledger first so the dict carries the full decomposition
+        (input format of tighten_collection's cost transfer)."""
+        self.distribute_delta()
+        out = {}
+        for k, g in enumerate(self.geom.buckets):
+            lvalid = np.asarray(g.layer_valid)
+            lbdd = np.asarray(self.host.layer_bdd[k])
+            lvar = np.asarray(g.layer_var)
+            lo = np.asarray(self.state.lo[k], dtype=np.float64)
+            hi = np.asarray(self.state.hi[k], dtype=np.float64)
+            for (h, b) in zip(*np.nonzero(lvalid & (lbdd >= 0))):
+                out[(int(lbdd[h, b]), int(lvar[h, b]))] = (
+                    lo[h, b], hi[h, b],
+                )
+        return out
 
     # ------------------------------------------------------------------- dual
     def iteration(self) -> None:

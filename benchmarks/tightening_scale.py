@@ -37,11 +37,13 @@ from bdd_tpu.utils.problems import (
 )
 
 
-def solve(col, nr_vars, obj, nr_primal, mma_iters=1000, lbfgs_iters=200):
+def solve(col, nr_vars, obj, nr_primal, mma_iters=1000, lbfgs_iters=200,
+          layer_costs=None):
     """Converge the dual: MMA block then L-BFGS polish (plain MMA plateaus
     on GM/MIS far from the dual optimum — tight variables need converged
-    multipliers)."""
-    s = UniformSolver(col, nr_vars, obj, nr_primal_vars=nr_primal)
+    multipliers). ``layer_costs``: warm start from transferred duals."""
+    s = UniformSolver(col, nr_vars, obj, nr_primal_vars=nr_primal,
+                      layer_costs=layer_costs)
     run_solver(s, max_iter=mma_iters, verbose=False,
                block_size=s.default_block_size)
     ls = LbfgsSolver(s)
@@ -90,24 +92,34 @@ def run(name, ilp, budgets=(20000, 200000), **solve_kw):
               flush=True)
         return
     print(f"[{name}] tight vars: {len(tv)} / {nv}", flush=True)
+    costs = s.export_layer_costs()  # the reference's cost transfer
     for budget in budgets:
         t0 = time.time()
-        new_col, _, groups = tighten_collection(col, tv, node_limit=budget)
+        new_col, new_costs, groups = tighten_collection(
+            col, tv, layer_costs=costs, node_limit=budget
+        )
         melded = sum(1 for g in groups.values() if len(g) > 1)
         t_meld = time.time() - t0
         if melded == 0:
             print(f"[{name}] budget {budget}: no groups melded", flush=True)
             continue
+        # WARM re-solve (cost transfer — starts from the converged bound)
         t0 = time.time()
-        s2 = solve(new_col, nv, obj, npv, **solve_kw)
+        s2 = solve(new_col, nv, obj, npv, layer_costs=new_costs, **solve_kw)
         lb1 = s2.lower_bound_with_deferred()
         closed = (lb1 - lb0) / (ub - lb0)
+        t_warm = time.time() - t0
+        # COLD re-solve (the r2 protocol, for comparison)
+        t0 = time.time()
+        s3 = solve(new_col, nv, obj, npv, **solve_kw)
+        lb1c = s3.lower_bound_with_deferred()
+        closed_c = (lb1c - lb0) / (ub - lb0)
         print(
             f"[{name}] budget {budget}: {melded} groups melded, "
             f"bdds {col.nr_bdds()} -> {new_col.nr_bdds()}, "
-            f"lb {lb0:.4f} -> {lb1:.4f} "
-            f"(gap closed {100*closed:.1f}%), meld {t_meld:.1f}s "
-            f"re-solve {time.time()-t0:.0f}s",
+            f"lb {lb0:.4f} -> warm {lb1:.4f} ({100*closed:+.1f}%) "
+            f"/ cold {lb1c:.4f} ({100*closed_c:+.1f}%), meld {t_meld:.1f}s "
+            f"warm {t_warm:.0f}s cold {time.time()-t0:.0f}s",
             flush=True,
         )
 

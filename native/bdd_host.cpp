@@ -1882,4 +1882,17 @@ void bh_cpu_get_costs(void* s, double* lo, double* hi, double* mm) {
     std::memcpy(mm, sv->def_mm.data(), sv->nr_layers * sizeof(double));
 }
 
+// warm-start the f64 solver from externally computed duals (e.g. the f32
+// TPU state at its precision floor — the escalation path that certifies
+// 1e-6 gaps at the reference's default double precision). Invalidates the
+// cached backward run.
+void bh_cpu_set_costs(void* s, const double* lo, const double* hi,
+                      const double* mm) {
+    auto* sv = (bh::CpuSolver*)s;
+    std::memcpy(sv->lo_cost.data(), lo, sv->nr_layers * sizeof(double));
+    std::memcpy(sv->hi_cost.data(), hi, sv->nr_layers * sizeof(double));
+    std::memcpy(sv->def_mm.data(), mm, sv->nr_layers * sizeof(double));
+    sv->cft_valid = false;
+}
+
 }  // extern "C"

@@ -303,3 +303,42 @@ def test_ordering_parity_native_vs_python(order, method):
     getattr(p2, method)()
     nh2 = NativeHost(lp2, order)
     assert nh2.var_names() == p2.var_names
+
+
+@pytest.mark.skipif(not available(), reason="native toolchain unavailable")
+def test_f32_to_f64_escalation_transfer():
+    """transfer_costs_to_native: run the uniform f32 backend, warm-start the
+    native f64 CpuSolver from its state, and (a) the f64-evaluated bound of
+    the transferred duals matches the f32 bound to f32 tolerance, (b) f64
+    iterations from the warm start keep ascending (MMA monotonicity) and at
+    least reach the cold-start bound trajectory."""
+    from bdd_tpu.native import cpu_solver_from_collection
+    from bdd_tpu.solver.extras import transfer_costs_to_native
+
+    ilp = grid_mrf(6, 6, 3, seed=2)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    V = pre.total_nr_variables()
+    obj = pre.objective_vector()
+    host = uf.flatten_uniform(pre.collection, V, pre.nr_primal_variables)
+    state = uf.init_uniform_state(host, obj)
+    state = uf.iterations(host.geom, state, 60, 0.5)
+    lb_f32 = float(uf.lower_bound_with_deferred(host.geom, state))
+
+    cs = cpu_solver_from_collection(pre.collection, V, obj)
+    transfer_costs_to_native(host, state, cs)
+    lb_warm = cs.lower_bound_with_deferred()
+    assert lb_warm == pytest.approx(lb_f32, abs=5e-3)
+
+    # escalation: f64 iterations from the warm start ascend monotonically
+    prev = lb_warm
+    for _ in range(5):
+        cs.iterations(20, 0.5)
+        cur = cs.lower_bound_with_deferred()
+        assert cur >= prev - 1e-9
+        prev = cur
+    # and the warm-started solver is ahead of a cold solver at equal budget
+    cold = cpu_solver_from_collection(pre.collection, V, obj)
+    cold.iterations(100, 0.5)
+    assert prev >= cold.lower_bound_with_deferred() - 1e-6

@@ -146,3 +146,43 @@ def test_tight_variables_excludes_forced():
     m1 = np.array([0.0, 1.0])
     tv = tight_variables(_V(), m0, m1)
     assert list(tv) == [1]
+
+
+def test_tighten_warm_start_preserves_converged_bound():
+    """The warm-start path (reference cost transfer, bdd_tightening.h): the
+    tightened solver's INITIAL bound already equals the pre-meld converged
+    bound (melding with summed member costs never lowers it), and further
+    iterations only ascend — the fix for the r2 'tightening net-negative on
+    QAP at equal budget' finding (the cold restart re-derived the bound)."""
+    from bdd_tpu.bdd import BddPreprocessor
+    from bdd_tpu.solver.run import run_solver
+    from bdd_tpu.solver.tighten import tighten_and_resolve
+    from bdd_tpu.solver.uniform_wrapper import UniformSolver
+    from bdd_tpu.utils.problems import independent_set
+
+    ilp = independent_set(40, edge_prob=0.25, seed=1)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+
+    base = UniformSolver(
+        pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+        nr_primal_vars=pre.nr_primal_variables,
+    )
+    run_solver(base, max_iter=500, verbose=False,
+               block_size=base.default_block_size)
+    lb0 = base.lower_bound_with_deferred()
+
+    warm, groups = tighten_and_resolve(pre, warm_start=True)
+    assert any(len(g) > 1 for g in groups.values())  # something melded
+    lb_init = warm.lower_bound_with_deferred()
+    assert lb_init >= lb0 - 5e-3  # transfer preserves the converged bound
+    warm.iteration_block(200)
+    lb_warm = warm.lower_bound_with_deferred()
+    assert lb_warm >= lb_init - 5e-3
+
+    # the cold restart at the same post-meld budget sits at or below warm
+    cold, _ = tighten_and_resolve(pre, warm_start=False)
+    assert cold.lower_bound_with_deferred() <= lb_init + 5e-3
+    cold.iteration_block(200)
+    assert lb_warm >= cold.lower_bound_with_deferred() - 5e-3
