@@ -410,17 +410,51 @@ class BddSolver:
         p = self.config["perturbation rounding"]
         if p is False:  # dual-only run (rounding disabled)
             return None
-        sol = incremental_mm_rounding(
-            self.solver,
-            init_delta=p["initial perturbation"],
-            delta_growth_rate=p["perturbation growth rate"],
-            num_itr_lb=p["inner iterations"],
-            num_rounding_itr=p["outer iterations"],
-            verbose=verbose,
-        )
-        if sol is None:
-            return None
-        return sol[: self.ilp.nr_variables()]
+        # "rounding method": "incremental" (reference pipeline default),
+        # "wedelin" (the reference implements but never dispatches it,
+        # incremental_mm_agreement_rounding.hxx:160 — measurably stronger on
+        # loose flow families: CT -263 -> -305 objective, BENCH.md), or
+        # "best" (run both, keep the better objective).
+        method = p.get("method", self.config.get("rounding method",
+                                                 "incremental"))
+
+        def _incremental():
+            sol = incremental_mm_rounding(
+                self.solver,
+                init_delta=p["initial perturbation"],
+                delta_growth_rate=p["perturbation growth rate"],
+                num_itr_lb=p["inner iterations"],
+                num_rounding_itr=p["outer iterations"],
+                verbose=verbose,
+            )
+            return None if sol is None else sol[: self.ilp.nr_variables()]
+
+        def _wedelin():
+            from bdd_tpu.solver.extras import wedelin_rounding
+
+            sol = wedelin_rounding(self.solver, verbose=verbose)
+            return None if sol is None else np.asarray(sol)[
+                : self.ilp.nr_variables()
+            ]
+
+        if method == "wedelin":
+            return _wedelin()
+        if method == "best":
+            # both heuristics perturb the solver costs in place — snapshot
+            # the dual state so each starts from the same converged point
+            snap = getattr(self.solver, "state", None)
+            best_sol, best_obj = None, math.inf
+            for i, fn in enumerate((_incremental, _wedelin)):
+                if i and snap is not None:
+                    self.solver.state = snap
+                sol = fn()
+                if sol is None:
+                    continue
+                obj = self.ilp.evaluate([int(v) for v in sol])
+                if obj < best_obj:
+                    best_sol, best_obj = sol, obj
+            return best_sol
+        return _incremental()
 
     # --------------------------------------------------- solver-level queries
     # (ref: bdd_solver.h:92-97 lower_bound / min_marginals /
@@ -546,6 +580,10 @@ class BddSolver:
             return None
         if cfg.get("split chunk size"):
             return None  # BDD splitting runs in the python pipeline
+        p = cfg.get("perturbation rounding")
+        if isinstance(p, dict) and p.get("method", cfg.get(
+                "rounding method", "incremental")) != "incremental":
+            return None  # wedelin / best rounding run in the python pipeline
         if self._lp_text is None:
             # frontend-built ILPs (UAI MRF, graph matching, generators):
             # serialize through write_lp so they too get the C++ host
