@@ -196,11 +196,71 @@ def _ct_greedy(ilp, F, N):
     return ilp.evaluate(x)
 
 
+def _gm_greedy(ilp):
+    """Graph-matching greedy: assign left nodes in order of best available
+    (linear + realized quadratic) cost respecting right uniqueness (slack
+    allowed), then set the product variables consistently."""
+    V = ilp.nr_variables()
+    name = [ilp.get_var_name(i) for i in range(V)]
+    obj = ilp.objective_
+    xvars = {}   # (i, j) -> var, j == "s" for slack
+    qvars = []   # (i0, i1, j0, j1, var)
+    for v, n in enumerate(name):
+        p = n.split("_")
+        if p[0] == "x":
+            xvars[(p[1], p[2])] = v
+        elif p[0] == "q":
+            qvars.append((p[1], p[2], p[3], p[4], v))
+    lefts = sorted({i for (i, j) in xvars if i != "s"}, key=int)
+    labels = {i: [j for (ii, j) in xvars if ii == i] for i in lefts}
+    qcost = {}
+    for i0, i1, j0, j1, v in qvars:
+        qcost.setdefault((i0, j0), []).append((i1, j1, obj[v]))
+        qcost.setdefault((i1, j1), []).append((i0, j0, obj[v]))
+    assign = {}
+    used = set()
+    x = [0] * V
+    for i in lefts:
+        best, bc = "s", obj[xvars[(i, "s")]] if (i, "s") in xvars else 0.0
+        for j in labels[i]:
+            if j != "s" and j in used:
+                continue
+            c = obj[xvars[(i, j)]]
+            for (i2, j2, qc) in qcost.get((i, j), ()):
+                if assign.get(i2) == j2:
+                    c += qc
+            if c < bc:
+                best, bc = j, c
+        assign[i] = best
+        if best != "s":
+            used.add(best)
+        x[xvars[(i, best)]] = 1
+    # slack vars for unassigned right nodes
+    for (i, j), v in xvars.items():
+        if i == "s" and j not in used:
+            x[v] = 1
+
+    def val(i, j):
+        # truth of x_{i,j}: i == "s" means "right node j unassigned"
+        # (right-side marginalization rows create q_s_* vars,
+        # frontends/graph_matching.py:180-201); j == "s" means "left node i
+        # unassigned" — both compare against the greedy assignment.
+        if i == "s":
+            return j not in used
+        return assign.get(i) == j
+
+    for i0, i1, j0, j1, v in qvars:
+        x[v] = int(val(i0, j0) and val(i1, j1))
+    return ilp.evaluate(x)
+
+
 def greedy_baseline(name, ilp):
     """Independent family heuristic upper bound (None if not implemented).
     Call with a FRESH instance (pre-normalization variable names)."""
     if name == "ct30x40":
         return _ct_greedy(ilp, 30, 40)
+    if name.startswith("gm"):
+        return _gm_greedy(ilp)
     if not name.startswith("setcover"):
         return None
     import numpy as np
