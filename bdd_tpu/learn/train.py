@@ -75,6 +75,26 @@ class Instance:
         return cls(host, obj, dtype=dtype, pre=pre)
 
     @classmethod
+    def from_cached(cls, host, objective, spec, dtype=jnp.float32,
+                    layer_costs=None):
+        """Rebuild from a disk-cached representation (learn.data) without
+        re-running the ILP->BDD conversion; ``layer_costs`` (the converged
+        {(bdd, var): (lo, hi[, mm])} duals) replaces the objective-split
+        initial state — the reference's read_dual_converged path
+        (DOGE/data/disk_dataloader.py:119-126)."""
+        self = cls.__new__(cls)
+        self.host = host
+        self.objective = jnp.asarray(np.asarray(objective), dtype)
+        self.spec = spec
+        if layer_costs is not None:
+            self.state0 = uf.init_uniform_state_from_layer_costs(
+                host, layer_costs, dtype=dtype
+            )
+        else:
+            self.state0 = uf.init_uniform_state(host, objective, dtype=dtype)
+        return self
+
+    @classmethod
     def from_ilps(cls, ilps, dtype=jnp.float32):
         """Batch several ILPs into ONE training instance (the reference
         concatenates layer ranges of several pickled solvers per batch,

@@ -858,7 +858,9 @@ def init_uniform_state_from_layer_costs(
     converged Lagrange costs onto the melded BDDs, bdd_tightening.h:168-274,
     so the tightened solve continues from the pre-meld dual bound instead of
     re-deriving it from scratch). Missing layers get (0, 0); deferred mms
-    start at zero."""
+    start at zero unless a value is a (lo, hi, mm) triple — the exact
+    native->uniform state transfer (reverse of
+    extras.transfer_costs_to_native, same per-layer semantics)."""
     assert host.layer_bdd, "warm start needs layer_bdd bookkeeping"
     lo_l, hi_l, mm_l, cft_l = [], [], [], []
     for k, g in enumerate(host.geom.buckets):
@@ -867,13 +869,16 @@ def init_uniform_state_from_layer_costs(
         lvalid = np.asarray(g.layer_valid)
         lo = np.zeros(lvar.shape)
         hi = np.zeros(lvar.shape)
+        mm = np.zeros(lvar.shape)
         for (h, b) in zip(*np.nonzero(lvalid & (lbdd >= 0))):
             c = layer_costs.get((int(lbdd[h, b]), int(lvar[h, b])))
             if c is not None:
-                lo[h, b], hi[h, b] = c
+                lo[h, b], hi[h, b] = c[0], c[1]
+                if len(c) > 2:
+                    mm[h, b] = c[2]
         lo_l.append(jnp.asarray(lo, dtype=dtype))
         hi_l.append(jnp.asarray(hi, dtype=dtype))
-        mm_l.append(jnp.zeros(lvar.shape, dtype=dtype))
+        mm_l.append(jnp.asarray(mm, dtype=dtype))
         cft_l.append(jnp.zeros(g.node_valid.shape, dtype=dtype))
     state = UniformState(tuple(lo_l), tuple(hi_l), tuple(mm_l), tuple(cft_l))
     cft = _backward_all(host.geom, state.lo, state.hi)
