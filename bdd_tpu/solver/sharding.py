@@ -34,16 +34,26 @@ from bdd_tpu.solver.flatten import DenseBdds, FlatBdds, densify, flatten_collect
 
 def partition_bdds(collection: BddCollection, nr_shards: int) -> List[List[int]]:
     """Partition of BDD numbers balanced by node count, contiguous in the
-    MINIMUM-VARIABLE order. Collection order follows constraint order, which
+    MEDIAN-VARIABLE order. Collection order follows constraint order, which
     need not track the variable ordering (e.g. grid MRFs list all unary
-    simplexes first) — splitting in min-var order gives every shard a tight
+    simplexes first) — splitting in variable order gives every shard a tight
     variable window (~V/D with a BFS/Cuthill ordering), which the windowed
-    exchange plans exploit to keep per-shard sort volume ~E/D."""
+    exchange plans exploit to keep per-shard sort volume ~E/D. The MEDIAN
+    (not minimum) is the robust centroid: on GM/QAP-like instances a
+    marginalization/product constraint touches one early assignment variable
+    plus a dense block of late product variables — min-var order interleaves
+    those BDDs by the assignment id and destroys locality, while median-var
+    order clusters them by their product block (the assignment variables
+    become the two-region plans' shared stretcher set). For chain/grid BDDs
+    with contiguous levels both keys give the same order."""
     nb = collection.nr_bdds()
     sizes = [collection.nr_bdd_nodes(b) for b in range(nb)]
-    order = sorted(
-        range(nb), key=lambda b: (min(collection.level_variables(b)), b)
-    )
+
+    def median_var(b: int) -> int:
+        vs = sorted(collection.level_variables(b))
+        return vs[len(vs) // 2]
+
+    order = sorted(range(nb), key=lambda b: (median_var(b), b))
     total = sum(sizes)
     target = total / nr_shards
     parts: List[List[int]] = []

@@ -158,6 +158,16 @@ class ExchangePlan:
     # sliced back. Vg == 0 means not windowed.
     window_lo: Optional[jnp.ndarray] = None  # int32 scalar
     Vg: int = 0
+    # TWO-REGION windowed plans (sharded GM/QAP: quadratic couplings stretch
+    # a handful of variables across the whole range, which would blow the
+    # window up to ~V and kill the E/D scaling): virtual variable ids
+    # [0, stretch_base) are window-relative as above; ids [stretch_base,
+    # stretch_base + len(stretch_globals)) are the compacted union of every
+    # shard's out-of-window variables, merged into the [2, Vg] global vector
+    # by a static scatter-add at ``stretch_globals`` (and gathered back after
+    # the psum). None means single-region (stretch_base ignored).
+    stretch_globals: Optional[jnp.ndarray] = None  # int32 [G] global var ids
+    stretch_base: int = 0
     # Optional Benes-network routing (solver/benes.py): 2*log2(Np)-1 swap
     # masks per direction, Np = N padded to a power of two. Routes the same
     # permutations with ~10x fewer passes than the bitonic `lax.sort`.
@@ -170,9 +180,10 @@ jax.tree_util.register_dataclass(
     ExchangePlan,
     data_fields=[
         "key_fwd", "key_inv", "class_members", "window_lo",
-        "benes_fwd", "benes_inv",
+        "stretch_globals", "benes_fwd", "benes_inv",
     ],
-    meta_fields=["C", "Vp", "Vx", "classes", "Vg", "benes_dists"],
+    meta_fields=["C", "Vp", "Vx", "classes", "Vg", "benes_dists",
+                 "stretch_base"],
 )
 
 
@@ -343,6 +354,26 @@ def build_exchange_plan(
     )
 
 
+def _dense_window(rv: np.ndarray, eps: float) -> Tuple[int, int]:
+    """Smallest contiguous id range [lo, hi) covering >= (1-eps) of the
+    occurrences (two-pointer over the distinct-id count profile)."""
+    u, c = np.unique(rv, return_counts=True)
+    need = int(np.ceil((1.0 - eps) * rv.size))
+    best = (int(u[-1]) + 1 - int(u[0]), int(u[0]), int(u[-1]) + 1)
+    acc = 0
+    i = 0
+    for j in range(u.size):
+        acc += int(c[j])
+        while acc - int(c[i]) >= need:
+            acc -= int(c[i])
+            i += 1
+        if acc >= need:
+            w = int(u[j]) + 1 - int(u[i])
+            if w < best[0]:
+                best = (w, int(u[i]), int(u[j]) + 1)
+    return best[1], best[2]
+
+
 def build_windowed_plans(
     shard_ids: Sequence[np.ndarray],
     shard_valid: Sequence[np.ndarray],
@@ -350,6 +381,7 @@ def build_windowed_plans(
     lane: int = 128,
     max_blowup: float = 4.0,
     min_shrink: float = 0.75,
+    stretch_eps: Sequence[float] = (0.0, 0.01, 0.03, 0.08),
 ) -> Optional[List[ExchangePlan]]:
     """Per-shard WINDOWED exchange plans for the multi-device path.
 
@@ -372,49 +404,98 @@ def build_windowed_plans(
     Returns None when the windows don't shrink the problem (max window >
     ``min_shrink`` * V) or any shard's count profile is too skewed — callers
     fall back to the global-column plans.
+
+    TWO-REGION refinement: GM/QAP-like instances carry a few coupling
+    variables whose occurrences span the whole range — with a single window
+    those stretch Wv to ~V and disable the path. ``stretch_eps`` tries a
+    ladder of tolerances: the window only has to cover >= (1-eps) of each
+    shard's occurrences (minimal contiguous range, ``_dense_window``); the
+    out-of-window variables of ALL shards form one compacted globally-shared
+    stretcher region appended after the window (see ExchangePlan docstring).
+    The candidate with the smallest sort volume N wins; eps=0.0 reproduces
+    the single-region plan.
     """
     D = len(shard_ids)
-    los: List[int] = []
-    Wv = 0
-    for ids, val in zip(shard_ids, shard_valid):
-        ids = np.asarray(ids)
-        val = np.asarray(val)
-        rv = ids[val]
-        lo = (int(rv.min()) // lane) * lane if rv.size else 0
-        hi = int(rv.max()) + 1 if rv.size else 1
-        los.append(lo)
-        Wv = max(Wv, hi - lo)
-    if D < 2 or Wv > min_shrink * V:
+    if D < 2:
         return None
-    counts_rel = np.zeros(Wv, np.int64)
-    for ids, val, lo in zip(shard_ids, shard_valid, los):
-        ids = np.asarray(ids)
-        val = np.asarray(val)
-        rv = np.asarray(ids[val], dtype=np.int64) - lo
-        if rv.size:
-            counts_rel = np.maximum(
-                counts_rel, np.bincount(rv, minlength=Wv)
+    shard_ids = [np.asarray(i, dtype=np.int64) for i in shard_ids]
+    shard_valid = [np.asarray(v) for v in shard_valid]
+
+    def try_eps(eps: float) -> Optional[List[ExchangePlan]]:
+        los: List[int] = []
+        Wv = 0
+        for ids, val in zip(shard_ids, shard_valid):
+            rv = ids[val]
+            if rv.size:
+                lo, hi = _dense_window(rv, eps)
+                lo = (lo // lane) * lane
+            else:
+                lo, hi = 0, 1
+            los.append(lo)
+            Wv = max(Wv, hi - lo)
+        # union of out-of-window variables across shards (compacted region)
+        stretch: List[np.ndarray] = []
+        for ids, val, lo in zip(shard_ids, shard_valid, los):
+            rv = ids[val]
+            out = rv[(rv < lo) | (rv >= lo + Wv)]
+            if out.size:
+                stretch.append(np.unique(out))
+        S = (
+            np.unique(np.concatenate(stretch))
+            if stretch
+            else np.zeros(0, np.int64)
+        )
+        G = int(S.size)
+        Vvirt = Wv + G
+        if Vvirt > min_shrink * V or (G and G > Wv):
+            return None  # no shrink / stretcher region dominates
+        counts_rel = np.zeros(Vvirt, np.int64)
+        rels: List[np.ndarray] = []
+        for ids, val, lo in zip(shard_ids, shard_valid, los):
+            inw = val & (ids >= lo) & (ids < lo + Wv)
+            rel = np.full(ids.shape, np.int64(Vvirt))
+            rel[inw] = ids[inw] - lo
+            outm = val & ~inw
+            if outm.any():
+                rel[outm] = Wv + np.searchsorted(S, ids[outm])
+            rels.append(rel)
+            rv = rel[val]
+            if rv.size:
+                counts_rel = np.maximum(
+                    counts_rel, np.bincount(rv, minlength=Vvirt)
+                )
+        plans: List[ExchangePlan] = []
+        for rel, val in zip(rels, shard_valid):
+            p = build_exchange_plan(
+                rel, val, Vvirt, lane=lane, max_blowup=max_blowup,
+                global_counts=counts_rel,
             )
-    plans: List[ExchangePlan] = []
-    for ids, val, lo in zip(shard_ids, shard_valid, los):
-        ids = np.asarray(ids, dtype=np.int64)
-        val = np.asarray(val)
-        rel = np.where(val, ids - lo, np.int64(Wv))
-        p = build_exchange_plan(
-            rel, val, Wv, lane=lane, max_blowup=max_blowup,
-            global_counts=counts_rel,
-        )
-        if p is None:
-            return None
-        plans.append(p)
-    assert len({(p.C, p.Vp, p.Vx, p.classes) for p in plans}) == 1
-    Vg = _pad_to(max(V + 1, max(los) + plans[0].Vp), lane)
-    return [
-        dataclasses.replace(
-            p, window_lo=jnp.asarray(lo, dtype=jnp.int32), Vg=Vg
-        )
-        for p, lo in zip(plans, los)
-    ]
+            if p is None:
+                return None
+            plans.append(p)
+        assert len({(p.C, p.Vp, p.Vx, p.classes) for p in plans}) == 1
+        Vg = _pad_to(max(V + 1, max(los) + plans[0].Vp), lane)
+        sg = jnp.asarray(S, dtype=jnp.int32) if G else None
+        return [
+            dataclasses.replace(
+                p,
+                window_lo=jnp.asarray(lo, dtype=jnp.int32),
+                Vg=Vg,
+                stretch_globals=sg,
+                stretch_base=Wv if G else 0,
+            )
+            for p, lo in zip(plans, los)
+        ]
+
+    best: Optional[List[ExchangePlan]] = None
+    for eps in stretch_eps:
+        cand = try_eps(eps)
+        if cand is not None and (
+            best is None
+            or cand[0].key_fwd.shape[0] < best[0].key_fwd.shape[0]
+        ):
+            best = cand
+    return best
 
 
 class UniformGeom(NamedTuple):
@@ -1212,7 +1293,33 @@ def _exchange_perm(
         if plan.classes:
             cls = jnp.concatenate(d_parts[1:], axis=1)  # [2, sum nv]
             merged = merged.at[:, plan.class_members].add(cls)
-        if delta_reduce is not None:
+        if delta_reduce is not None and plan.stretch_globals is not None:
+            # two-region merge: window slice placed densely, the compacted
+            # stretcher region scatter-added at its global variable ids
+            # (G is small — the whole point of the split), psum, then both
+            # regions read back. A variable can legally appear in BOTH
+            # regions (inside this shard's window but another shard's
+            # stretcher set): each shard routes its occurrences to exactly
+            # one copy, the gvec sums them, and both read-backs see the
+            # full cross-shard total.
+            G = plan.stretch_globals.shape[0]
+            win = merged[:, : plan.stretch_base]
+            st = merged[:, plan.stretch_base : plan.stretch_base + G]
+            gvec = jnp.zeros((2, plan.Vg), dtype=merged.dtype)
+            gvec = jax.lax.dynamic_update_slice(
+                gvec, win, (jnp.int32(0), plan.window_lo)
+            )
+            gvec = gvec.at[:, plan.stretch_globals].add(st)
+            gvec = delta_reduce(gvec.T).T
+            win = jax.lax.dynamic_slice(
+                gvec, (jnp.int32(0), plan.window_lo), win.shape
+            )
+            merged = jnp.concatenate(
+                [win, gvec[:, plan.stretch_globals],
+                 merged[:, plan.stretch_base + G :]],
+                axis=1,
+            )
+        elif delta_reduce is not None:
             gvec = jnp.zeros((2, plan.Vg), dtype=merged.dtype)
             gvec = jax.lax.dynamic_update_slice(
                 gvec, merged, (jnp.int32(0), plan.window_lo)
