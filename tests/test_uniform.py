@@ -240,3 +240,26 @@ def test_perm_exchange_f64_opt_in(monkeypatch):
     finally:
         uf.iterations._clear_cache()
     assert lb_perm == pytest.approx(lb_seg, rel=1e-12, abs=1e-10)
+
+
+def test_dense_window_two_pointer():
+    """uf._dense_window: smallest contiguous id range covering >=(1-eps) of
+    occurrences, exact against a brute-force scan."""
+    rng = np.random.RandomState(7)
+    for _ in range(30):
+        V = rng.randint(10, 60)
+        rv = rng.randint(0, V, size=rng.randint(1, 200))
+        for eps in (0.0, 0.05, 0.2):
+            lo, hi = uf._dense_window(rv, eps)
+            need = int(np.ceil((1.0 - eps) * rv.size))
+            assert ((rv >= lo) & (rv < hi)).sum() >= need
+            # brute force: no strictly narrower window covers `need`
+            u = np.unique(rv)
+            best = None
+            for i in range(u.size):
+                for j in range(i, u.size):
+                    if ((rv >= u[i]) & (rv <= u[j])).sum() >= need:
+                        w = int(u[j]) + 1 - int(u[i])
+                        best = w if best is None else min(best, w)
+                        break
+            assert hi - lo == best

@@ -209,6 +209,14 @@ def test_sharded_windowed_exchange_parity(n_dev):
     assert plan is not None and plan.Vg > 0  # the windowed path is active
     assert plan.window_lo.shape == (n_dev,)  # per-shard offsets stacked
     assert len(set(np.asarray(plan.window_lo).tolist())) > 1
+    # the TWO-REGION refinement must be active on this instance: a few
+    # long-range rows fall outside the eps-window and route through the
+    # compacted stretcher region (scatter-add into the psum vector). If a
+    # plan change silently stops producing stretch regions, every two-region
+    # merge path in _exchange_perm goes untested — fail loudly instead.
+    assert plan.stretch_globals is not None
+    assert plan.stretch_base > 0
+    assert int(plan.stretch_globals.shape[0]) > 0
     flat = flatten_collection(
         pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
     )
