@@ -418,7 +418,7 @@ class BddSolver:
         method = p.get("method", self.config.get("rounding method",
                                                  "incremental"))
 
-        def _incremental():
+        def _incremental(bias: float = 0.0):
             sol = incremental_mm_rounding(
                 self.solver,
                 init_delta=p["initial perturbation"],
@@ -426,8 +426,15 @@ class BddSolver:
                 num_itr_lb=p["inner iterations"],
                 num_rounding_itr=p["outer iterations"],
                 verbose=verbose,
+                objective_bias=bias,
+                objective=self.pre.objective_vector() if bias else None,
             )
             return None if sol is None else sol[: self.ilp.nr_variables()]
+
+        def _incremental_biased():
+            # objective-tilted tie-breaking (rounding.py docstring): repairs
+            # the slack-collapse of symmetric coin flips on LP-loose families
+            return _incremental(float(p.get("objective bias", 0.5)))
 
         def _wedelin():
             from bdd_tpu.solver.extras import wedelin_rounding
@@ -439,14 +446,22 @@ class BddSolver:
 
         if method == "wedelin":
             return _wedelin()
+        if method in ("incremental biased", "biased"):
+            return _incremental_biased()
         if method == "best":
-            # both heuristics perturb the solver costs in place — snapshot
+            # the heuristics perturb the solver costs in place — snapshot
             # the dual state so each starts from the same converged point
-            snap = getattr(self.solver, "state", None)
+            # (outer-loop wrappers like LbfgsSolver hold the state on .base)
+            target = self.solver
+            if not hasattr(target, "state") and hasattr(target, "base"):
+                target = target.base
+            snap = getattr(target, "state", None)
             best_sol, best_obj = None, math.inf
-            for i, fn in enumerate((_incremental, _wedelin)):
+            for i, fn in enumerate(
+                (_incremental, _wedelin, _incremental_biased)
+            ):
                 if i and snap is not None:
-                    self.solver.state = snap
+                    target.state = snap
                 sol = fn()
                 if sol is None:
                     continue

@@ -68,21 +68,24 @@ def _classify(geom: uf.UniformGeom, state: uf.UniformState):
 
 
 @jax.jit
-def _perturb(geom: uf.UniformGeom, state: uf.UniformState, types, sum0, sum1, key, cur_delta):
-    """Apply the reference's perturbation (rounding.py semantics) on device."""
+def _perturb(geom: uf.UniformGeom, state: uf.UniformState, types, sum0, sum1, key, cur_delta, tilt):
+    """Apply the reference's perturbation (rounding.py semantics) on device.
+    ``tilt`` [V]: objective tilt (pre-scaled by the bias; zeros reproduce the
+    reference's symmetric tie-breaking) — see rounding.objective_tilt."""
     V = geom.V
     r = jax.random.uniform(key, (V,), minval=-cur_delta, maxval=cur_delta)
+    r_dir = r + cur_delta * tilt
     mag = jnp.abs(r) * cur_delta
     lo_upd = jnp.where(
         types == 1,
         cur_delta,
-        jnp.where((types == 2) & (r < 0), mag,
+        jnp.where((types == 2) & (r_dir < 0), mag,
                   jnp.where((types == 3) & (sum0 >= sum1), mag, 0.0)),
     )
     hi_upd = jnp.where(
         types == 0,
         cur_delta,
-        jnp.where((types == 2) & (r >= 0), mag,
+        jnp.where((types == 2) & (r_dir >= 0), mag,
                   jnp.where((types == 3) & (sum0 < sum1), mag, 0.0)),
     )
     lo_u = jnp.concatenate([lo_upd, jnp.zeros(1, lo_upd.dtype)]).astype(state.lo[0].dtype)
@@ -98,11 +101,24 @@ def incremental_mm_rounding_device(
     num_rounding_itr: int = 500,
     seed: int = 0,
     verbose: bool = True,
+    objective_bias: float = 0.0,
+    objective=None,
 ) -> Optional[np.ndarray]:
     """Drop-in device-resident replacement for incremental_mm_rounding,
-    specialized to UniformSolver-like objects (attributes geom, state)."""
+    specialized to UniformSolver-like objects (attributes geom, state).
+    ``objective_bias``/``objective``: tilt tie-breaking toward the primal
+    objective (see incremental_mm_rounding)."""
     geom = s.geom
     key = jax.random.PRNGKey(seed)
+    if objective_bias > 0.0 and objective is not None:
+        from bdd_tpu.solver.rounding import objective_tilt
+
+        tilt = jnp.asarray(
+            objective_bias * objective_tilt(objective, geom.V),
+            dtype=jnp.float32,
+        )
+    else:
+        tilt = jnp.zeros((geom.V,), dtype=jnp.float32)
 
     if math.isinf(init_delta):
         from bdd_tpu.solver.rounding import compute_initial_delta
@@ -128,7 +144,7 @@ def incremental_mm_rounding_device(
                 bdd_log("[device rounding] found feasible solution")
             return np.asarray(solution)
         key, sub = jax.random.split(key)
-        s.state = _perturb(geom, s.state, types, sum0, sum1, sub, cur_delta)
+        s.state = _perturb(geom, s.state, types, sum0, sum1, sub, cur_delta, tilt)
         run_solver(
             s,
             max_iter=num_itr_lb,

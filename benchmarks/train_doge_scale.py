@@ -104,10 +104,13 @@ def main():
         f"{rounds}x{iters}, replay, {epochs} epochs)",
         "",
         "| instance | learned wall | learned gap | MMA gap @ equal s "
-        "(iters) | L-BFGS gap @ equal s (iters) |",
-        "|---|---|---|---|---|",
+        "(iters) | L-BFGS gap @ equal s (iters) | MMA @ 5x / 25x s "
+        "| L-BFGS @ 5x / 25x s |",
+        "|---|---|---|---|---|---|---|",
     ]
     wins = 0
+    best_bounds = {}
+    eval_ilps = {}
     for seed in (100, 101, 102):
         ilp = make_ilp(family, seed)
         ilp.normalize()
@@ -125,8 +128,12 @@ def main():
         best = max(
             cs.lower_bound_with_deferred(), ls_ref.lower_bound_with_deferred()
         )
+        best_bounds[seed] = best
+        eval_ilps[seed] = make_ilp(family, seed)
 
         # learned rollout: warm once (compiles), then time a fresh rollout
+        # (the per-round float(lb) fetch inside run_learned_rounds syncs the
+        # device queue, so the measured wall includes all device work)
         tr.run_learned_rounds(inst, nr_rounds=2)
         t0 = time.time()
         lbs = tr.run_learned_rounds(inst, nr_rounds=rounds)
@@ -134,48 +141,141 @@ def main():
         met = dual_metrics(lbs, best)
         gap_learned = min(met["best_gap"], met["final_gap"])
 
-        # plain MMA at equal wall-clock (warm blocks)
-        mma = fresh_uniform(pre)
-        mma.iteration_block(25)  # compile outside the clock
-        mma = fresh_uniform(pre)
-        t0 = time.time()
-        it_mma = 0
-        while time.time() - t0 < t_learned:
-            mma.iteration_block(100)
-            it_mma += 100
-        gap_mma = abs(best - mma.lower_bound_with_deferred()) / max(
-            abs(best), 1e-9
-        )
+        import jax
 
-        # L-BFGS at equal wall-clock (warm)
-        lw = LbfgsSolver(fresh_uniform(pre))
-        for _ in range(3):
-            lw.iteration()
-        lb_l = LbfgsSolver(fresh_uniform(pre))
-        t0 = time.time()
-        it_l = 0
-        while time.time() - t0 < t_learned:
-            lb_l.iteration()
-            it_l += 1
-        gap_lbfgs = abs(best - lb_l.lower_bound_with_deferred()) / max(
-            abs(best), 1e-9
-        )
+        def gap_of(solver):
+            return abs(best - solver.lower_bound_with_deferred()) / max(
+                abs(best), 1e-9
+            )
+
+        def mma_at(budget_s):
+            """Gap of plain MMA after `budget_s` seconds of warm solver time
+            (each block synced — device calls are async, an unsynced loop
+            measures dispatch only)."""
+            m = fresh_uniform(pre)
+            m.iteration_block(100)  # compile the SAME block size outside
+            jax.block_until_ready(m.state.lo)
+            m = fresh_uniform(pre)
+            t = time.time()
+            it = 0
+            while time.time() - t < budget_s:
+                m.iteration_block(100)
+                jax.block_until_ready(m.state.lo)
+                it += 100
+            return gap_of(m), it
+
+        def lbfgs_at(budget_s):
+            w = LbfgsSolver(fresh_uniform(pre))
+            for _ in range(3):
+                w.iteration()  # compiles the step programs outside the clock
+            jax.block_until_ready(w.base.state.lo)
+            l = LbfgsSolver(fresh_uniform(pre))
+            t = time.time()
+            it = 0
+            while time.time() - t < budget_s:
+                l.iteration()
+                jax.block_until_ready(l.base.state.lo)
+                it += 1
+            return gap_of(l), it
+
+        # gap-vs-wall-clock: equal seconds, and 5x/25x for the curve
+        gap_mma, it_mma = mma_at(t_learned)
+        gap_lbfgs, it_l = lbfgs_at(t_learned)
+        gap_mma5, _ = mma_at(5 * t_learned)
+        gap_lbfgs5, _ = lbfgs_at(5 * t_learned)
+        gap_mma25, _ = mma_at(25 * t_learned)
+        gap_lbfgs25, _ = lbfgs_at(25 * t_learned)
 
         if gap_learned <= gap_lbfgs:
             wins += 1
         print(
             f"# {family} seed {seed}: best {best:.4f} | learned "
             f"{gap_learned:.2e} in {t_learned:.2f}s | mma {gap_mma:.2e} "
-            f"({it_mma} it) | lbfgs {gap_lbfgs:.2e} ({it_l} it)",
+            f"({it_mma} it) / 5x {gap_mma5:.2e} / 25x {gap_mma25:.2e} | "
+            f"lbfgs {gap_lbfgs:.2e} ({it_l} it) / 5x {gap_lbfgs5:.2e} / "
+            f"25x {gap_lbfgs25:.2e}",
             flush=True,
         )
         lines.append(
             f"| {family} seed {seed} | {t_learned:.2f} s | {gap_learned:.2e} "
-            f"| {gap_mma:.2e} ({it_mma}) | {gap_lbfgs:.2e} ({it_l}) |"
+            f"| {gap_mma:.2e} ({it_mma}) | {gap_lbfgs:.2e} ({it_l}) "
+            f"| {gap_mma5:.2e} / {gap_mma25:.2e} "
+            f"| {gap_lbfgs5:.2e} / {gap_lbfgs25:.2e} |"
         )
     lines.append("")
     lines.append(
         f"Learned >= L-BFGS at equal wall-clock on {wins}/3 held-out."
+    )
+
+    # ------------------------------------------- batched serving eval
+    # The production deployment of a learned policy is BATCHED serving (the
+    # GNN/feature overhead amortizes over instances; DOGE itself trains and
+    # evaluates batched, bdd_cuda_torch.py:102-133). All three held-out
+    # instances as ONE device program per method, equal wall-clock.
+    import jax
+
+    from bdd_tpu.utils.batching import BatchedInstances
+
+    binst = Instance.from_ilps([eval_ilps[s] for s in (100, 101, 102)])
+    best_total = sum(best_bounds.values())
+    tr.run_learned_rounds(binst, nr_rounds=2)
+    t0 = time.time()
+    lbs = tr.run_learned_rounds(binst, nr_rounds=rounds)
+    t_lb = time.time() - t0
+    gap_learned_b = abs(best_total - max(lbs)) / max(abs(best_total), 1e-9)
+
+    bi = BatchedInstances([make_ilp(family, s) for s in (100, 101, 102)])
+
+    def fresh_batched():
+        return UniformSolver(bi.collection, bi.nr_vars, bi.objective)
+
+    def mma_b(budget_s):
+        m = fresh_batched()
+        m.iteration_block(100)
+        jax.block_until_ready(m.state.lo)
+        m = fresh_batched()
+        t = time.time()
+        it = 0
+        while time.time() - t < budget_s:
+            m.iteration_block(100)
+            jax.block_until_ready(m.state.lo)
+            it += 100
+        return abs(best_total - m.lower_bound_with_deferred()) / max(
+            abs(best_total), 1e-9
+        ), it
+
+    def lbfgs_b(budget_s):
+        w = LbfgsSolver(fresh_batched())
+        for _ in range(3):
+            w.iteration()
+        jax.block_until_ready(w.base.state.lo)
+        l = LbfgsSolver(fresh_batched())
+        t = time.time()
+        it = 0
+        while time.time() - t < budget_s:
+            l.iteration()
+            jax.block_until_ready(l.base.state.lo)
+            it += 1
+        return abs(best_total - l.lower_bound_with_deferred()) / max(
+            abs(best_total), 1e-9
+        ), it
+
+    g_mma, it_m = mma_b(t_lb)
+    g_lb, it_lb2 = lbfgs_b(t_lb)
+    g_mma5, _ = mma_b(5 * t_lb)
+    g_lb5, _ = lbfgs_b(5 * t_lb)
+    print(
+        f"# {family} batch-3 held-out: learned {gap_learned_b:.2e} in "
+        f"{t_lb:.2f}s | mma {g_mma:.2e} ({it_m} it) / 5x {g_mma5:.2e} | "
+        f"lbfgs {g_lb:.2e} ({it_lb2} it) / 5x {g_lb5:.2e}",
+        flush=True,
+    )
+    lines.append("")
+    lines.append(
+        f"Batched serving (all 3 held-out as one program, total-bound gap): "
+        f"learned {gap_learned_b:.2e} in {t_lb:.2f} s; MMA {g_mma:.2e} "
+        f"({it_m} it) / {g_mma5:.2e} @ 5x; L-BFGS {g_lb:.2e} ({it_lb2} it) "
+        f"/ {g_lb5:.2e} @ 5x."
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "LEARNED.md"), "a") as fh:
