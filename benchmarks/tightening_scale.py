@@ -81,6 +81,12 @@ def run(name, ilp, budgets=(20000, 200000), **solve_kw):
     # solver's costs in place (forced state => huge |mm|, zero tight vars)
     m0, m1 = s.min_marginals()
     tv = tight_variables(s.f, m0, m1, eps=1e-4)
+    # export the converged duals BEFORE rounding: the incremental rounding
+    # perturbs the solver costs in place, and a post-rounding export would
+    # transfer the PERTURBED objective onto the melded collection (measured:
+    # mis-100 warm "lower bound" +28.5 with optimum ~ -11 — not a bound of
+    # the real objective at all)
+    costs = s.export_layer_costs()
     ub = upper_bound(s, ilp_eval)
     print(
         f"[{name}] bdds={col.nr_bdds()} lb={lb0:.4f} ub={ub:.4f} "
@@ -92,7 +98,6 @@ def run(name, ilp, budgets=(20000, 200000), **solve_kw):
               flush=True)
         return
     print(f"[{name}] tight vars: {len(tv)} / {nv}", flush=True)
-    costs = s.export_layer_costs()  # the reference's cost transfer
     for budget in budgets:
         t0 = time.time()
         new_col, new_costs, groups = tighten_collection(
