@@ -353,7 +353,29 @@ class DogeTrainer:
             lb = uf.lower_bound_from_cft(geom, dist.cft)
             return state, lb, lstm, hist, plb
 
-        fns = (jax.jit(step), jax.jit(rollout_round))
+        def rollout_scan(params, state, lstm, hist, plb, n: int):
+            """Fused inference rollout: n identical rounds under one
+            lax.scan — one compile, one dispatch, one host fetch for all
+            per-round bounds. The per-round Python loop costs ~25 ms/round
+            of GNN-dispatch + lb-sync overhead at small instance sizes
+            (~80% of rollout wall on qap16, LEARNED.md round-3 notes);
+            fusing removes all but the final sync."""
+
+            def body(carry, _):
+                s, l, h, pl = carry
+                s, lb, l, h, pl = rollout_round(params, s, l, h, pl)
+                return (s, l, h, pl), lb
+
+            (state, lstm, hist, plb), lbs = jax.lax.scan(
+                body, (state, lstm, hist, plb), None, length=n
+            )
+            return lbs
+
+        fns = (
+            jax.jit(step),
+            jax.jit(rollout_round),
+            jax.jit(rollout_scan, static_argnums=5),
+        )
         cached[key] = fns
         return fns
 
@@ -361,7 +383,7 @@ class DogeTrainer:
         """One epoch on one instance: advance rounds, backprop last rounds.
         With ``use_replay``, epochs may resume from a replayed end-state of a
         previous epoch instead of state0 (ref: doge.py:469-493)."""
-        step, _ = self._get_jitted(instance)
+        step, _, _ = self._get_jitted(instance)
         state0 = instance.state0
         if self.cfg.use_replay and self._replay_rng.rand() < 0.5:
             replayed = self.replay.sample(id(instance), 0, self._replay_rng)
@@ -376,21 +398,32 @@ class DogeTrainer:
         return {"loss": float(loss)}
 
     def run_learned_rounds(
-        self, instance: Instance, nr_rounds: Optional[int] = None
+        self,
+        instance: Instance,
+        nr_rounds: Optional[int] = None,
+        fused: bool = True,
     ) -> List[float]:
         """Inference: run rounds with the trained policy; returns the lb after
         each round (DualMetrics per-round lb, ref: DOGE/metrics/dual_metrics.py).
 
         Every round's bound is a valid dual bound, and a trained-on-last-round
         policy can drift slightly after converging — use ``best_bound`` (or
-        ``max(lbs)``) for the solver-quality readout."""
-        _, rollout = self._get_jitted(instance)
+        ``max(lbs)``) for the solver-quality readout.
+
+        ``fused`` (default) runs all rounds as ONE scanned program with a
+        single host fetch at the end — same per-round computation, minus the
+        per-round dispatch/sync overhead; set False to stream bounds round
+        by round (e.g. for early-stopping loops)."""
+        _, rollout, rollout_scan = self._get_jitted(instance)
         state = instance.state0
         lstm = self._zero_lstm(instance)
         hist = self._zero_history(instance)
         plb = self._zero_prev_lb(instance)
-        lbs = []
         n = nr_rounds if nr_rounds is not None else self.cfg.nr_rounds
+        if fused:
+            lbs = rollout_scan(self.params, state, lstm, hist, plb, n)
+            return [float(x) for x in np.asarray(lbs)]
+        lbs = []
         for _ in range(n):
             state, lb, lstm, hist, plb = rollout(
                 self.params, state, lstm, hist, plb

@@ -277,3 +277,16 @@ def test_history_features_training():
                                history=(sol_avg, fo, so))
     diff = max(float(jnp.abs(x - y).max()) for x, y in zip(o0, o1))
     assert diff > 0.0
+
+
+def test_fused_rollout_matches_streamed():
+    """run_learned_rounds(fused=True) scans all rounds in one program; the
+    per-round bounds must match the streamed per-round loop exactly (same
+    jitted round function, composed under lax.scan)."""
+    inst = make_instance(fixtures.MATCHING_3x3)
+    tr = DogeTrainer(TrainConfig(dim=16, nr_rounds=3, iters_per_round=4))
+    tr.init(inst)
+    streamed = tr.run_learned_rounds(inst, fused=False)
+    fused = tr.run_learned_rounds(inst, fused=True)
+    assert len(fused) == len(streamed) == 3
+    np.testing.assert_allclose(fused, streamed, rtol=1e-6, atol=1e-6)
