@@ -762,6 +762,18 @@ class BddSolver:
         p = self.config["perturbation rounding"]
         sol = None
         if p is not False:
+            # honor the configured rounding method where the device rounder
+            # supports it: 'incremental biased' maps to objective-tilted
+            # tie-breaks; 'wedelin'/'best' have no batched device variant —
+            # say so instead of silently dropping the setting
+            method = p.get("method", self.config.get("rounding method",
+                                                     "incremental"))
+            bias = 0.0
+            if method in ("incremental biased", "biased"):
+                bias = float(p.get("objective bias", 0.5))
+            elif method not in ("incremental",):
+                bdd_log(f"[solve_batch] rounding method {method!r} has no "
+                        f"batched device variant; using incremental")
             sol = incremental_mm_rounding_device(
                 solver,
                 init_delta=p["initial perturbation"],
@@ -769,6 +781,8 @@ class BddSolver:
                 num_itr_lb=p["inner iterations"],
                 num_rounding_itr=p["outer iterations"],
                 verbose=verbose,
+                objective_bias=bias,
+                objective=np.asarray(bat.objective) if bias else None,
             )
         for i, k in enumerate(live):
             ilp = ilps[k]

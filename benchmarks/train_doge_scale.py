@@ -131,10 +131,12 @@ def main():
         best_bounds[seed] = best
         eval_ilps[seed] = make_ilp(family, seed)
 
-        # learned rollout: warm once (compiles), then time a fresh rollout
-        # (the per-round float(lb) fetch inside run_learned_rounds syncs the
-        # device queue, so the measured wall includes all device work)
-        tr.run_learned_rounds(inst, nr_rounds=2)
+        # learned rollout: warm once with the SAME round count (the fused
+        # rollout_scan is jitted with n static — a different nr_rounds would
+        # compile a different program inside the clock); the final
+        # np.asarray(lbs) conversion blocks on the whole fused program, so
+        # the measured wall includes all device work
+        tr.run_learned_rounds(inst, nr_rounds=rounds)
         t0 = time.time()
         lbs = tr.run_learned_rounds(inst, nr_rounds=rounds)
         t_learned = time.time() - t0
@@ -218,13 +220,18 @@ def main():
 
     binst = Instance.from_ilps([eval_ilps[s] for s in (100, 101, 102)])
     best_total = sum(best_bounds.values())
-    tr.run_learned_rounds(binst, nr_rounds=2)
+    tr.run_learned_rounds(binst, nr_rounds=rounds)  # warm same round count
     t0 = time.time()
     lbs = tr.run_learned_rounds(binst, nr_rounds=rounds)
     t_lb = time.time() - t0
     gap_learned_b = abs(best_total - max(lbs)) / max(abs(best_total), 1e-9)
 
-    bi = BatchedInstances([make_ilp(family, s) for s in (100, 101, 102)])
+    # normalize to match Instance.from_ilps preprocessing (BatchedInstances
+    # does not normalize) so all methods solve the same relaxation
+    _batch_ilps = [make_ilp(family, s) for s in (100, 101, 102)]
+    for _b in _batch_ilps:
+        _b.normalize()
+    bi = BatchedInstances(_batch_ilps)
 
     def fresh_batched():
         return UniformSolver(bi.collection, bi.nr_vars, bi.objective)
