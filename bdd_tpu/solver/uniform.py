@@ -168,6 +168,17 @@ class ExchangePlan:
     # the psum). None means single-region (stretch_base ignored).
     stretch_globals: Optional[jnp.ndarray] = None  # int32 [G] global var ids
     stretch_base: int = 0
+    # SPLIT plans (sharded, build_split_plans): virtual variable ids are
+    # [0, split_base) per-shard PRIVATE variables (touched by exactly one
+    # shard — no cross-shard consensus needed, the psum would be an
+    # identity) followed by [split_base, split_base + split_len) the
+    # globally-shared compacted region (variables touched by >= 2 shards,
+    # SAME mapping on every shard). The cross-shard reduce is a dense psum
+    # of the shared slice alone — no merge permutation, no scatter, and the
+    # collective payload shrinks from ~V to the shared count. split_len == 0
+    # means not split.
+    split_base: int = 0
+    split_len: int = 0
     # Optional Benes-network routing (solver/benes.py): 2*log2(Np)-1 swap
     # masks per direction, Np = N padded to a power of two. Routes the same
     # permutations with ~10x fewer passes than the bitonic `lax.sort`.
@@ -183,7 +194,7 @@ jax.tree_util.register_dataclass(
         "stretch_globals", "benes_fwd", "benes_inv",
     ],
     meta_fields=["C", "Vp", "Vx", "classes", "Vg", "benes_dists",
-                 "stretch_base"],
+                 "stretch_base", "split_base", "split_len"],
 )
 
 
@@ -496,6 +507,103 @@ def build_windowed_plans(
         ):
             best = cand
     return best
+
+
+def build_split_plans(
+    shard_ids: Sequence[np.ndarray],
+    shard_valid: Sequence[np.ndarray],
+    V: int,
+    lane: int = 128,
+    max_blowup: float = 4.0,
+) -> Optional[List[ExchangePlan]]:
+    """Per-shard SPLIT exchange plans: private + globally-shared regions.
+
+    Windowed plans need each shard's variables in a tight CONTIGUOUS range —
+    GM/QAP-like instances (quadratic couplings between far-apart ids) never
+    qualify and fell back to globally-sized columns, pinning the per-shard
+    sort volume at ~C*V regardless of the shard count (the measured 25-55%
+    multi-chip efficiency plateau). The split layout drops contiguity:
+
+      * virtual ids [0, split_base): this shard's PRIVATE variables
+        (touched by no other shard), densest-first. No other shard holds
+        mass for them, so they need no cross-shard consensus at all.
+      * virtual ids [split_base, split_base + Sg): the variables touched by
+        >= 2 shards, compacted, in one GLOBAL order shared by every shard.
+        The psum acts on this dense slice of the per-variable totals —
+        no merge permutation, no scatter (a rejected full-compaction
+        variant needed two extra [V]-sized routing sorts per exchange,
+        which cost more than it saved; see benchmarks/compaction_analysis).
+
+    Shape alignment across shards (the [D, ...] stacking and the psum both
+    need identical layouts): private regions are padded to the widest
+    shard, and the class layout is derived from the elementwise MAXIMUM of
+    the shards' count profiles — private profiles compare after the
+    densest-first sort (slot i of every shard holds its i-th-heaviest
+    private variable), the shared profile per global variable. Every
+    shard's local counts are then pointwise <= the layout counts, which is
+    exactly ``build_exchange_plan``'s contract for ``global_counts``.
+
+    The collective payload shrinks from ~V+1 to Sg entries (measured: 100x
+    on grid MRFs where only the D-1 partition boundaries are shared, 3x on
+    GM-50k). Returns None when any shard's plan degenerates — callers fall
+    back to windowed / global-column plans.
+    """
+    D = len(shard_ids)
+    if D < 2:
+        return None
+    ids_l = [np.asarray(i, dtype=np.int64) for i in shard_ids]
+    val_l = [np.asarray(v) for v in shard_valid]
+    touch = np.zeros(V, dtype=np.int32)
+    counts_l: List[np.ndarray] = []
+    touched_l: List[np.ndarray] = []
+    for ids, val in zip(ids_l, val_l):
+        rv = ids[val]
+        counts_l.append(np.bincount(rv, minlength=V)[:V] if rv.size
+                        else np.zeros(V, np.int64))
+        t = np.unique(rv) if rv.size else np.zeros(0, np.int64)
+        touch[t] += 1
+        touched_l.append(t)
+    shared = np.nonzero(touch >= 2)[0]
+    Sg = int(shared.size)
+    is_sh = np.zeros(V, dtype=bool)
+    is_sh[shared] = True
+    # private regions, densest-first; profile = elementwise max over shards
+    privs: List[np.ndarray] = []
+    prof_priv = np.zeros(0, dtype=np.int64)
+    for c, t in zip(counts_l, touched_l):
+        priv = t[~is_sh[t]]
+        o = np.argsort(c[priv], kind="stable")[::-1]
+        priv = priv[o]
+        privs.append(priv)
+        pp = np.asarray(c[priv], dtype=np.int64)
+        if pp.size > prof_priv.size:
+            prof_priv = np.pad(prof_priv, (0, pp.size - prof_priv.size))
+        prof_priv[: pp.size] = np.maximum(prof_priv[: pp.size], pp)
+    Ps = int(prof_priv.size)
+    Vvirt = Ps + Sg
+    if Vvirt == 0:
+        return None
+    prof_shared = np.zeros(Sg, dtype=np.int64)
+    for c in counts_l:
+        prof_shared = np.maximum(prof_shared, c[shared])
+    layout = np.concatenate([prof_priv, prof_shared])
+    plans: List[ExchangePlan] = []
+    for ids, val, priv in zip(ids_l, val_l, privs):
+        vmap = np.full(V + 1, np.int64(Vvirt))
+        vmap[priv] = np.arange(priv.size, dtype=np.int64)
+        vmap[shared] = Ps + np.arange(Sg, dtype=np.int64)
+        rel = np.where(val, vmap[np.minimum(ids, V)], np.int64(Vvirt))
+        p = build_exchange_plan(
+            rel, val, Vvirt, lane=lane, max_blowup=max_blowup,
+            global_counts=layout,
+        )
+        if p is None:
+            return None
+        plans.append(p)
+    assert len({(p.C, p.Vp, p.Vx, p.classes) for p in plans}) == 1
+    return [
+        dataclasses.replace(p, split_base=Ps, split_len=Sg) for p in plans
+    ]
 
 
 class UniformGeom(NamedTuple):
@@ -1284,16 +1392,25 @@ def _exchange_perm(
     d_parts = [d_col[:, : plan.Vp]]
     for base, w, nv in plan.classes:
         d_parts.append(d_col[:, base : base + nv * w].reshape(2, nv, w).sum(2))
-    if plan.Vg:
-        # windowed (sharded) plan: merge class totals into the window vector
-        # (tiny static scatter-add), place the window into the [2, Vg]
-        # global vector for the cross-shard reduce, slice it back, and read
-        # the class totals back out with one gather over the same indices
+    if plan.Vg or plan.split_len:
+        # windowed/split (sharded) plan: merge class totals into the
+        # per-variable vector (tiny static scatter-add), run the
+        # cross-shard reduce on it, and read the class totals back out
+        # with one gather over the same indices
         merged = d_parts[0]
         if plan.classes:
             cls = jnp.concatenate(d_parts[1:], axis=1)  # [2, sum nv]
             merged = merged.at[:, plan.class_members].add(cls)
-        if delta_reduce is not None and plan.stretch_globals is not None:
+        if delta_reduce is not None and plan.split_len:
+            # split plan: only the globally-shared region participates in
+            # the consensus — private variables' sums are already complete
+            # locally. Dense static slice, psum, dense concat: no routing.
+            b, n = plan.split_base, plan.split_len
+            sh = delta_reduce(merged[:, b : b + n].T).T
+            merged = jnp.concatenate(
+                [merged[:, :b], sh, merged[:, b + n :]], axis=1
+            )
+        elif delta_reduce is not None and plan.stretch_globals is not None:
             # two-region merge: window slice placed densely, the compacted
             # stretcher region scatter-added at its global variable ids
             # (G is small — the whole point of the split), psum, then both

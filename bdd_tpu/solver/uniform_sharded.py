@@ -79,6 +79,7 @@ def build_shard_geoms(
     dtype=jnp.float32,
     pack: Optional[bool] = None,
     nr_primal_vars: Optional[int] = None,
+    plan_family: str = "auto",
 ):
     """Build the D per-shard uniform geometries (equal shapes across shards:
     global bucket keys, padded column counts, globally-shaped exchange plans).
@@ -240,11 +241,27 @@ def build_shard_geoms(
                 m_counts = np.maximum(
                     m_counts, np.bincount(rv, minlength=nr_vars)
                 )
-        # windowed plans first (per-shard sort volume ~E/D; see
-        # uf.build_windowed_plans) — fall back to global-column plans when
-        # the windows don't shrink, then to the segment exchange
-        plans = uf.build_windowed_plans(shard_ids, shard_valid, nr_vars)
-        if plans is None:
+        # candidate per-shard plan families, picked by measured-dominant
+        # cost (sort volume N; ties to the smaller collective payload):
+        #   split    — private + shared regions, psum only over variables
+        #              touched by >= 2 shards (GM/QAP random couplings,
+        #              and it beats windowed on grids too: N ~ E/D and the
+        #              payload drops to the partition boundaries)
+        #   windowed — contiguous variable windows + stretcher region
+        #   global   — globally-sized columns (always available)
+        # then the segment exchange as the last resort.
+        cands = []
+        if plan_family in ("auto", "windowed"):
+            w = uf.build_windowed_plans(shard_ids, shard_valid, nr_vars)
+            if w is not None:
+                cands.append((w[0].key_fwd.shape[0], 1, w))
+        if plan_family in ("auto", "split"):
+            sp = uf.build_split_plans(shard_ids, shard_valid, nr_vars)
+            if sp is not None:
+                cands.append((sp[0].key_fwd.shape[0], 0, sp))
+        if cands:
+            plans = min(cands)[2]
+        else:
             plans = [
                 uf.build_exchange_plan(i, v, nr_vars, global_counts=m_counts)
                 for i, v in zip(shard_ids, shard_valid)
@@ -272,6 +289,7 @@ class ShardedUniformSolver:
         dtype=jnp.float32,
         omega: float = 0.5,
         pack: Optional[bool] = None,
+        plan_family: str = "auto",
     ) -> None:
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("b",))
@@ -284,7 +302,7 @@ class ShardedUniformSolver:
 
         geoms, hosts, layer_bdd_padded, counts = build_shard_geoms(
             collection, nr_vars, D, dtype=dtype, pack=pack,
-            nr_primal_vars=nr_primal_vars,
+            nr_primal_vars=nr_primal_vars, plan_family=plan_family,
         )
         self._shard_hosts = hosts
         all_keys = list(range(len(geoms[0].buckets)))

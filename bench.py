@@ -63,9 +63,11 @@ def measure_tpu(host, objective, block, n_blocks):
     return float(np.median(rates)), lb
 
 
-def measure_native_cpu(cs, target_s=3.0, repeats=3):
-    """Median of `repeats` warm measurements (VERDICT r2 #1: the single-shot
-    baseline swung ~15% run-to-run, more than the claimed edge)."""
+def measure_native_cpu(cs, target_s=3.0, repeats=5):
+    """Median of `repeats` warm measurements plus the per-run rates
+    (VERDICT r2 #1 / r3 #7: the single-shot baseline swung ~15% run-to-run;
+    the spread is now recorded in the driver JSON so ratio drift between
+    captures is attributable)."""
     cs.iterations(2, 0.5)
     t0 = time.time()
     cs.iterations(3, 0.5)
@@ -76,10 +78,19 @@ def measure_native_cpu(cs, target_s=3.0, repeats=3):
         t0 = time.time()
         cs.iterations(n, 0.5)
         rates.append(n / (time.time() - t0))
-    return float(np.median(rates))
+    return float(np.median(rates)), [round(r, 1) for r in rates]
 
 
 def main() -> int:
+    import os
+
+    # pin the OpenMP baseline explicitly (VERDICT r3 #7: the unpinned C++
+    # rate wandered +-8% between captures); must happen before the native
+    # lib spins up its thread team
+    os.environ.setdefault("OMP_NUM_THREADS", str(os.cpu_count() or 4))
+    os.environ.setdefault("OMP_DYNAMIC", "false")
+    os.environ.setdefault("OMP_WAIT_POLICY", "active")
+
     from bdd_tpu.utils.platform import ensure_device
 
     platform = ensure_device(tpu_retries=8)
@@ -121,10 +132,11 @@ def main() -> int:
     cs = native.cpu_solver_from_collection(
         pre.collection, pre.total_nr_variables(), pre.objective_vector()
     )
-    grid_cpu_ips = measure_native_cpu(cs)
+    grid_cpu_ips, grid_cpu_rates = measure_native_cpu(cs)
     thr = cs.nr_threads()
     print(
-        f"# grid12 native C++ ({thr} threads): {grid_cpu_ips:.1f} it/s",
+        f"# grid12 native C++ ({thr} threads): {grid_cpu_ips:.1f} it/s "
+        f"(runs {grid_cpu_rates})",
         file=sys.stderr,
     )
     # numpy-oracle rate for continuity with round-1 numbers
@@ -153,16 +165,20 @@ def main() -> int:
         )
         gm_ips, gm_lb = measure_tpu(gm_host, nh.objective(), 250, 2)
         gm_cs = nh.cpu_solver()
-        gm_cpu_ips = measure_native_cpu(gm_cs, target_s=5.0)
+        gm_cpu_ips, gm_cpu_rates = measure_native_cpu(gm_cs, target_s=5.0)
         print(
             f"# gm50k tpu: {gm_ips:.1f} it/s, lb={gm_lb:.4f}; "
-            f"native C++ ({thr} threads): {gm_cpu_ips:.1f} it/s",
+            f"native C++ ({thr} threads): {gm_cpu_ips:.1f} it/s "
+            f"(runs {gm_cpu_rates})",
             file=sys.stderr,
         )
         extra = {
             "gm50k_it_per_s": round(gm_ips, 2),
             "gm50k_vs_baseline": round(gm_ips / gm_cpu_ips, 2),
             "gm50k_cpu_it_per_s": round(gm_cpu_ips, 2),
+            "gm50k_cpu_spread": round(
+                (max(gm_cpu_rates) - min(gm_cpu_rates)) / gm_cpu_ips, 3
+            ),
         }
     except Exception as e:  # the scale row must not sink the primary metric
         print(f"# gm50k failed: {e}", file=sys.stderr)
@@ -251,7 +267,62 @@ def main() -> int:
         print(f"# batch serving failed: {e}", file=sys.stderr)
         extra["batch_error"] = str(e)[:200]
 
-    extra["baseline"] = f"native C++ OpenMP parallel MMA, {thr} threads (median of 3)"
+    # --------------------------------- primal quality keys (VERDICT r3 #5c)
+    # certified_gap: rounded objective vs a CONVERGED native f64 dual bound
+    # (a valid certificate); rounded_obj_gap: rounded objective vs the dual
+    # bound the solver actually reached before rounding (the "instance gap").
+    # Tracked in the driver JSON so bound-quality/rounding regressions are
+    # visible across rounds, not just it/s.
+    try:
+        from bdd_tpu.solver.rounding_device import (
+            incremental_mm_rounding_device,
+        )
+        from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+        t0 = time.time()
+        cs.iterations(20000, 0.5)
+        lb_star = cs.lower_bound_with_deferred()
+        us = UniformSolver(
+            pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+            nr_primal_vars=pre.nr_primal_variables,
+        )
+        for _ in range(4):
+            us.iteration_block(500)
+        lb_end = us.lower_bound_with_deferred()
+        sol = incremental_mm_rounding_device(us, verbose=False)
+        if sol is not None:
+            x = [int(v) for v in sol[: ilp.nr_variables()]]
+            if ilp.feasible(x):
+                obj = float(ilp.evaluate(x))
+                extra["grid12_rounded_obj"] = round(obj, 4)
+                extra["grid12_converged_lb"] = round(lb_star, 4)
+                extra["grid12_certified_gap"] = round(
+                    (obj - lb_star) / max(abs(lb_star), 1e-9), 5
+                )
+                extra["grid12_rounded_obj_gap"] = round(
+                    (obj - lb_end) / max(abs(obj), 1e-9), 5
+                )
+                print(
+                    f"# grid12 quality: rounded {obj:.4f}, converged lb "
+                    f"{lb_star:.4f}, certified gap "
+                    f"{extra['grid12_certified_gap']:.2%} "
+                    f"({time.time() - t0:.1f}s)",
+                    file=sys.stderr,
+                )
+            else:
+                extra["grid12_quality_error"] = "rounded solution infeasible"
+        else:
+            extra["grid12_quality_error"] = "rounding found no solution"
+    except Exception as e:
+        print(f"# grid12 quality failed: {e}", file=sys.stderr)
+        extra["grid12_quality_error"] = str(e)[:200]
+
+    extra["cpu_spread"] = round(
+        (max(grid_cpu_rates) - min(grid_cpu_rates)) / grid_cpu_ips, 3
+    )
+    extra["cpu_runs_it_per_s"] = grid_cpu_rates
+    extra["omp_num_threads"] = int(os.environ["OMP_NUM_THREADS"])
+    extra["baseline"] = f"native C++ OpenMP parallel MMA, {thr} threads (median of 5, pinned)"
     print(
         json.dumps(
             {

@@ -12,6 +12,12 @@ ITERATIONS, although an L-BFGS iteration does strictly more work. This run:
 
 Appends the table to LEARNED.md. Usage:
   python benchmarks/train_doge_scale.py [qap16|qap18|gm80] [epochs]
+  python benchmarks/train_doge_scale.py qap16 --eval-only   # reuse ckpt
+
+--eval-only loads benchmarks/doge_<family>.ckpt (same training protocol)
+and re-runs only the wall-clock-equal evaluation — used to refresh the
+LEARNED.md table after inference-path changes (e.g. the fused rollout)
+without retraining.
 """
 import os
 import sys
@@ -62,46 +68,59 @@ def fresh_uniform(pre):
 
 
 def main():
-    family = sys.argv[1] if len(sys.argv) > 1 else "qap16"
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    args = [a for a in sys.argv[1:] if a != "--eval-only"]
+    eval_only = "--eval-only" in sys.argv[1:]
+    family = args[0] if args else "qap16"
+    epochs = int(args[1]) if len(args) > 1 else 30
     rounds, iters = 20, 20
 
     cfg = config_qaplib(
         nr_rounds=rounds, iters_per_round=iters, grad_rounds=1,
         use_replay=True, epochs=epochs, dim=32,
     )
-    t0 = time.time()
-    train_inst = Instance.from_ilps([make_ilp(family, s) for s in range(8)])
-    print(
-        f"# train batch: 8 x {family} -> {train_inst.host.nr_bdds} bdds, "
-        f"{train_inst.host.nr_vars} vars, E={train_inst.spec.E} "
-        f"(build {time.time() - t0:.0f}s)",
-        flush=True,
-    )
-    tr = DogeTrainer(cfg)
-    t0 = time.time()
-    tr.init(train_inst)
-    print(f"# init: {time.time() - t0:.0f}s", flush=True)
-    t0 = time.time()
-    for ep in range(epochs):
-        m = tr.train_step(train_inst)
-        if ep < 3 or (ep + 1) % 5 == 0:
-            print(
-                f"# epoch {ep + 1}/{epochs}: loss {m['loss']:.4f} "
-                f"({time.time() - t0:.0f}s)",
-                flush=True,
-            )
     ck = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"doge_{family}.ckpt"
     )
-    tr.save(ck)
-    print(f"# saved {ck} (train {time.time() - t0:.0f}s)", flush=True)
+    tr = DogeTrainer(cfg)
+    if eval_only:
+        # re-evaluate an existing checkpoint (trained with this same
+        # protocol) after inference-path changes; load() needs an example
+        # instance to build the param structure
+        ex = Instance.from_ilp(make_ilp(family, 100))
+        tr.load(ck, ex)
+        print(f"# loaded {ck} (eval only)", flush=True)
+    else:
+        t0 = time.time()
+        train_inst = Instance.from_ilps(
+            [make_ilp(family, s) for s in range(8)]
+        )
+        print(
+            f"# train batch: 8 x {family} -> {train_inst.host.nr_bdds} bdds, "
+            f"{train_inst.host.nr_vars} vars, E={train_inst.spec.E} "
+            f"(build {time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        t0 = time.time()
+        tr.init(train_inst)
+        print(f"# init: {time.time() - t0:.0f}s", flush=True)
+        t0 = time.time()
+        for ep in range(epochs):
+            m = tr.train_step(train_inst)
+            if ep < 3 or (ep + 1) % 5 == 0:
+                print(
+                    f"# epoch {ep + 1}/{epochs}: loss {m['loss']:.4f} "
+                    f"({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+        tr.save(ck)
+        print(f"# saved {ck} (train {time.time() - t0:.0f}s)", flush=True)
 
     # --------------------------------------------- wall-clock-equal evaluation
     lines = [
         "",
         f"## {family} protocol run, WALL-CLOCK-equal eval (batch 8, "
-        f"{rounds}x{iters}, replay, {epochs} epochs)",
+        f"{rounds}x{iters}, replay, {epochs} epochs"
+        f"{', FUSED rollout, ckpt re-eval' if eval_only else ''})",
         "",
         "| instance | learned wall | learned gap | MMA gap @ equal s "
         "(iters) | L-BFGS gap @ equal s (iters) | MMA @ 5x / 25x s "

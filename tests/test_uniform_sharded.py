@@ -191,7 +191,10 @@ def test_sharded_windowed_exchange_parity(n_dev):
     only within its variable window, class totals merge via the static
     scatter-add, and the psum rides the placed [2, Vg] vector. Must (a)
     actually activate (Vg > 0) on an instance with variable locality and
-    (b) reproduce the f64 oracle trajectory to f32 tolerance."""
+    (b) reproduce the f64 oracle trajectory to f32 tolerance. (Pinned via
+    plan_family: the auto policy now prefers split plans, which measure a
+    smaller sort volume — windowed stays available as the fallback when a
+    shard's split plan degenerates.)"""
     ilp = grid_mrf(8, 8, 3, seed=3)
     ilp.reorder_bfs()
     ilp.normalize()
@@ -204,6 +207,7 @@ def test_sharded_windowed_exchange_parity(n_dev):
         mesh=mesh,
         nr_primal_vars=pre.nr_primal_variables,
         dtype=jnp.float32,
+        plan_family="windowed",
     )
     plan = s.geom_stacked.exchange
     assert plan is not None and plan.Vg > 0  # the windowed path is active
@@ -230,6 +234,130 @@ def test_sharded_windowed_exchange_parity(n_dev):
     # distribute + per-shard lower bound agree too (uses the same exchange)
     assert s.lower_bound() == pytest.approx(
         ref.lower_bound_with_deferred(), abs=2e-3
+    )
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_split_exchange_parity(n_dev):
+    """SPLIT per-shard plans (uf.build_split_plans): private variables skip
+    the consensus entirely, the psum rides only the compacted shared region.
+    Must (a) be the auto-selected family on a grid (smallest sort volume),
+    (b) have a small shared region (only the partition boundaries), and
+    (c) reproduce the f64 oracle trajectory to f32 tolerance."""
+    ilp = grid_mrf(8, 8, 3, seed=3)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    V = pre.total_nr_variables()
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection, V, pre.objective_vector(), mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables, dtype=jnp.float32,
+    )
+    plan = s.geom_stacked.exchange
+    assert plan is not None and plan.split_len > 0  # auto picked split
+    assert plan.Vg == 0
+    assert plan.split_len < V // 2  # shared region is the boundary set
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for it in range(10):
+        s.iteration()
+        ref.iteration(0.5)
+        assert s.lower_bound() == pytest.approx(
+            ref.lower_bound_with_deferred(), abs=2e-3
+        ), f"iter {it}"
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_split_exchange_gm_parity(n_dev):
+    """Split plans on a graph-matching instance (random long-range
+    couplings — the family the windowed plans could never cover): heavy
+    shared variables route through class blocks whose totals must make it
+    into the psum'd shared slice and back."""
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+    from bdd_tpu.utils.problems import graph_matching
+
+    ilp = construct_graph_matching_ilp(
+        graph_matching(12, 12, seed=3, candidates=4, nr_quadratic=80)
+    )[0]
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float32,
+        plan_family="split",
+    )
+    plan = s.geom_stacked.exchange
+    assert plan is not None and plan.split_len > 0
+    assert len(plan.classes) >= 1  # skewed tail -> class blocks exist
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for it in range(8):
+        s.iteration()
+        ref.iteration(0.5)
+        assert s.lower_bound() == pytest.approx(
+            ref.lower_bound_with_deferred(), abs=2e-3
+        ), f"iter {it}"
+
+
+def test_sharded_split_learned_grad():
+    """The split exchange is differentiable: grad of the post-rollout bound
+    w.r.t. a per-variable omega vector matches the single-device layout."""
+    from bdd_tpu.solver import learned as ln
+    from bdd_tpu.solver import uniform as uf
+
+    ilp = grid_mrf(8, 8, 2, seed=5)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    V = pre.total_nr_variables()
+    rng = np.random.RandomState(0)
+    ov = jnp.asarray(0.2 + 0.6 * rng.rand(V + 1), dtype=jnp.float32)
+
+    host = uf.flatten_uniform(pre.collection, V, pre.nr_primal_variables)
+    state0 = uf.init_uniform_state(host, pre.objective_vector())
+
+    def single_lb(ov):
+        omegas = tuple(
+            jnp.where(g.layer_valid, ov[g.layer_var], 0.0)
+            for g in host.geom.buckets
+        )
+        st = ln.learned_iterations(
+            host.geom, state0, ln.isotropic_alpha(host.geom), omegas, 4
+        )
+        st = uf.distribute_delta(host.geom, st)
+        return uf.lower_bound_from_cft(host.geom, st.cft)
+
+    lb_single, g_single = jax.value_and_grad(single_lb)(ov)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection, V, pre.objective_vector(), mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables, dtype=jnp.float32,
+        plan_family="split",
+    )
+    assert s.geom_stacked.exchange is not None
+    assert s.geom_stacked.exchange.split_len > 0
+
+    def sharded_lb(ov):
+        omegas = s.omega_from_per_var(ov)
+        out = s._learned_run(
+            s.geom_stacked, s.state_stacked, s.isotropic_alphas(), omegas, 4
+        )
+        return s._lb(s.geom_stacked, out)
+
+    lb_shard, g_shard = jax.value_and_grad(sharded_lb)(ov)
+    assert float(lb_shard) == pytest.approx(float(lb_single), rel=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_shard), np.asarray(g_single), atol=5e-4
     )
 
 
@@ -268,6 +396,7 @@ def test_sharded_windowed_learned_grad():
     s = ShardedUniformSolver(
         pre.collection, V, pre.objective_vector(), mesh=mesh,
         nr_primal_vars=pre.nr_primal_variables, dtype=jnp.float32,
+        plan_family="windowed",
     )
     assert s.geom_stacked.exchange is not None
     assert s.geom_stacked.exchange.Vg > 0
