@@ -313,3 +313,169 @@ def transfer_costs_to_native(host, state, cs) -> None:
     assert (key_u[order][pos] == key_c).all(), "layer sets differ"
     sel = order[pos]
     cs.set_costs(lo[sel], hi[sel], mm[sel])
+
+
+# ----------------------------------------------------------- exact solve
+def exact_min_via_meld(
+    collection,
+    objective,
+    max_nodes: int = 2_000_000,
+    pair_cap: int = 30_000_000,
+):
+    """Exact ILP optimum by melding ALL constraints into ONE BDD.
+
+    With a single BDD the Lagrange decomposition has no duality gap, so the
+    min-cost root-to-TOP path of the full conjunction IS the exact optimum —
+    the framework-native substitute for the reference's Gurobi exact-solve
+    hooks (src/specialized_solvers/solve_easy_variables.py hands its reduced
+    core to Gurobi; callers here hand it to this). Exponential in general:
+    melds run pairwise (a pairwise product is bounded by the size product,
+    so each step is predictable) and abort once ``max_nodes`` total or a
+    ``pair_cap`` product bound is exceeded. Returns (optimum, assignment
+    [len(objective)]) or None (too large); raises on an infeasible model.
+    """
+    from bdd_tpu.bdd.collection import (
+        BOT,
+        TOP,
+        BddCollection,
+        is_terminal,
+    )
+
+    obj = np.asarray(objective, dtype=np.float64)
+    cur = collection
+    # meld neighbors in VARIABLE order: conjoining BDDs with overlapping
+    # supports keeps the product near the instance's pathwidth; random
+    # pairing measured 5-50x larger intermediates on chain-like families
+    alive = sorted(
+        range(cur.nr_bdds()),
+        key=lambda b: (min(cur.variables(b)), max(cur.variables(b))),
+    )
+    zeros = [0] * obj.shape[0]
+    while len(alive) > 1:
+        nxt = BddCollection()
+        for k in range(0, len(alive), 2):
+            pair = alive[k : k + 2]
+            if len(pair) == 2:
+                na = cur.nr_bdd_nodes(pair[0])
+                nb = cur.nr_bdd_nodes(pair[1])
+                if na * nb > pair_cap:
+                    return None
+            try:
+                cur.bdd_and(pair, out=nxt)
+            except ValueError:
+                # the conjunction collapsed to a terminal: constant, so its
+                # value anywhere decides which — TOP (pair redundant given
+                # reduction, drop it) or BOT (model infeasible)
+                if all(cur.evaluate(p, zeros) for p in pair):
+                    continue
+                raise ValueError(
+                    "infeasible model (melded conjunction is BOT)"
+                )
+            if nxt.nr_bdd_nodes() > max_nodes:
+                return None
+        if nxt.nr_bdds() == 0:  # everything was redundant: unconstrained
+            return (
+                float(np.minimum(obj, 0.0).sum()),
+                np.where(obj < 0.0, 1, 0).astype(np.int8),
+            )
+        cur = nxt
+        alive = sorted(
+            range(cur.nr_bdds()),
+            key=lambda b: (min(cur.variables(b)), max(cur.variables(b))),
+        )
+    b = alive[0]
+    s, e = cur.node_range(b)
+    support = sorted(set(cur.var[s:e]))
+    pos = {v: i for i, v in enumerate(support)}
+    sup_arr = np.asarray(support, dtype=np.int64)
+    neg = np.minimum(obj[sup_arr], 0.0) if support else np.zeros(0)
+    pref = np.concatenate([[0.0], np.cumsum(neg)])
+    npos = len(support)
+
+    def cpos(c: int) -> int:
+        return npos if is_terminal(c) else pos[cur.var[c]]
+
+    INF = math.inf
+    cost = {TOP: 0.0, BOT: INF}
+    take_hi: Dict[int, bool] = {}
+    for n in range(e - 1, s - 1, -1):
+        p = pos[cur.var[n]]
+        lo, hi = cur.lo[n], cur.hi[n]
+        cl = cost[lo]
+        if cl < INF:  # skipped support vars on the arc are free: min(0, c)
+            cl = cl + (pref[cpos(lo)] - pref[p + 1])
+        ch = cost[hi]
+        if ch < INF:
+            ch = ch + obj[cur.var[n]] + (pref[cpos(hi)] - pref[p + 1])
+        cost[n] = min(cl, ch)
+        take_hi[n] = ch < cl
+    total = cost[s]
+    if total == INF:
+        raise ValueError("infeasible model (melded BDD is BOT)")
+    # variables outside the support are unconstrained
+    free = np.ones(obj.shape[0], dtype=bool)
+    free[sup_arr] = False
+    total += float(np.minimum(obj[free], 0.0).sum())
+    # argmin assignment: walk the chosen path; skipped/free vars take the
+    # sign-optimal value
+    x = np.where(obj < 0.0, 1, 0).astype(np.int8)
+    n = s
+    while not is_terminal(n):
+        v = cur.var[n]
+        hi = take_hi[n]
+        x[v] = 1 if hi else 0
+        n = cur.hi[n] if hi else cur.lo[n]
+    return float(total), x
+
+
+def exact_min_bruteforce(ilp, max_vars: int = 24, chunk: int = 1 << 18):
+    """Vectorized exhaustive optimum for tiny linear 0-1 models (<= max_vars
+    variables, singleton monomials): enumerate all assignments in numpy
+    chunks. The second exact-solve hook next to exact_min_via_meld — used by
+    the primal-quality certificates on reduced cores / companion sizes.
+    Returns (optimum, assignment) or None (too large / nonlinear); raises
+    on infeasible models."""
+    V = ilp.nr_variables()
+    if V > max_vars:
+        return None
+    rows = []
+    for c in ilp.constraints_:
+        coefs = np.zeros(V)
+        for coef, m in zip(c.coefficients, c.monomials):
+            if len(m) != 1:
+                return None
+            coefs[m[0]] += coef
+        rows.append((coefs, c.rhs, c.ineq))
+    from bdd_tpu.ilp.model import Ineq
+
+    A = np.stack([r[0] for r in rows]) if rows else np.zeros((0, V))
+    rhs = np.asarray([r[1] for r in rows], dtype=np.float64)
+    ineq = [r[2] for r in rows]
+    obj = np.asarray(ilp.objective_[:V], dtype=np.float64)
+    best = math.inf
+    best_x = None
+    total = 1 << V
+    bits = np.arange(V)
+    for start in range(0, total, chunk):
+        n = min(chunk, total - start)
+        idx = np.arange(start, start + n, dtype=np.uint64)
+        X = ((idx[:, None] >> bits[None, :]) & 1).astype(np.float64)
+        lhs = X @ A.T
+        feas = np.ones(n, dtype=bool)
+        for j, iq in enumerate(ineq):
+            if iq == Ineq.LEQ:
+                feas &= lhs[:, j] <= rhs[j] + 1e-9
+            elif iq == Ineq.GEQ:
+                feas &= lhs[:, j] >= rhs[j] - 1e-9
+            else:
+                feas &= np.abs(lhs[:, j] - rhs[j]) <= 1e-9
+        if not feas.any():
+            continue
+        vals = X[feas] @ obj
+        k = int(np.argmin(vals))
+        if vals[k] < best:
+            best = float(vals[k])
+            best_x = X[feas][k].astype(np.int8)
+    if best_x is None:
+        raise ValueError("infeasible model")
+    return best + float(getattr(ilp, "constant_", 0.0)), best_x

@@ -179,6 +179,9 @@ class ExchangePlan:
     # means not split.
     split_base: int = 0
     split_len: int = 0
+    # per class: how many of its (ascending-id) members fall in the shared
+    # tail range — the class totals' shared slice lengths for the psum
+    class_shared_counts: Tuple[int, ...] = ()
     # Optional Benes-network routing (solver/benes.py): 2*log2(Np)-1 swap
     # masks per direction, Np = N padded to a power of two. Routes the same
     # permutations with ~10x fewer passes than the bitonic `lax.sort`.
@@ -194,7 +197,8 @@ jax.tree_util.register_dataclass(
         "stretch_globals", "benes_fwd", "benes_inv",
     ],
     meta_fields=["C", "Vp", "Vx", "classes", "Vg", "benes_dists",
-                 "stretch_base", "split_base", "split_len"],
+                 "stretch_base", "split_base", "split_len",
+                 "class_shared_counts"],
 )
 
 
@@ -206,6 +210,8 @@ def build_exchange_plan(
     max_blowup: float = 4.0,
     force_C: Optional[int] = None,
     global_counts: Optional[np.ndarray] = None,
+    class_merge_penalty: float = 0.0,
+    compact_primary: bool = False,
 ) -> Optional[ExchangePlan]:
     """Precompute the exchange permutation keys (host side, numpy).
 
@@ -235,7 +241,18 @@ def build_exchange_plan(
     )
     assert (counts <= layout_counts).all()
     cmax = max(int(layout_counts.max()) if layout_counts.size else 0, 1)
+    # compact_primary (split plans): heavy variables get NO primary column
+    # and zero-count ids none either — the primary region holds only the
+    # light variables, compacted in ascending id order (which keeps the
+    # private-then-shared region split contiguous). Saves C columns per
+    # heavy variable (gm50k D=4: 19% of the sort volume).
     Vp = _pad_to(V + 1, lane)
+
+    def vp_of(wvar):
+        if not compact_primary:
+            return Vp
+        nl = int(((layout_counts > 0) & (wvar == 0)).sum())
+        return _pad_to(max(nl, 1), lane)
 
     def class_layout(c):
         """Class blocks for count > c: W(v) = ceil(count/c) rounded up to the
@@ -270,8 +287,15 @@ def build_exchange_plan(
         # small C shrinks the primary region but pads heavy variables into
         # wider class blocks; large C pads every light column. All the
         # resulting ops are dense (sort + reshape-sums), so sort volume IS
-        # the cost. With global_counts the inputs (E, layout) are identical
-        # on every shard, so all shards pick the same C deterministically.
+        # the cost — except in windowed/split plans, whose class totals go
+        # through a [2, nv_heavy] scatter-add + gather pair (XLA-TPU
+        # irregular ops run ~5x slower per element than the sorts):
+        # ``class_merge_penalty`` (in sort-volume units per heavy variable)
+        # charges that, preventing the degenerate C=1 everyone-is-heavy
+        # layouts (measured: gm50k D=4 split plan with C=1 had 43.7k heavy
+        # vars and its scatter pair ate the entire sort-volume win). With
+        # global_counts the inputs (E, layout) are identical on every
+        # shard, so all shards pick the same C deterministically.
         best = None
         cand = sorted(
             {cmax}
@@ -279,13 +303,14 @@ def build_exchange_plan(
             | {3 * (1 << k) for k in range(0, cmax.bit_length())}
         )
         for c in cand:
-            _, _, nc = class_layout(c)
-            vx = _pad_to(Vp + nc, lane)
-            n = max(E, c * vx)
+            Wc, _, nc = class_layout(c)
+            vx = _pad_to(vp_of(Wc) + nc, lane)
+            n = max(E, c * vx) + class_merge_penalty * int((Wc > 0).sum())
             if best is None or n < best[0] or (n == best[0] and c < best[1]):
                 best = (n, c)
         _, C = best
         Wvar, ws, ncols = class_layout(C)
+    Vp = vp_of(Wvar)
     Vx = _pad_to(Vp + ncols, lane)
     CV = C * Vx
     N = max(E, CV)
@@ -304,7 +329,12 @@ def build_exchange_plan(
     # column base + j*W + o % W). Dense per-class fold: the W columns of a
     # variable are contiguous and every class member has exactly W of them.
     classes: List[Tuple[int, int, int]] = []
-    col_of_var = np.arange(V, dtype=np.int64)  # light default: primary col
+    if compact_primary:
+        col_of_var = np.zeros(V, dtype=np.int64)
+        light_ids = np.nonzero((layout_counts > 0) & (Wvar == 0))[0]
+        col_of_var[light_ids] = np.arange(light_ids.size, dtype=np.int64)
+    else:
+        col_of_var = np.arange(V, dtype=np.int64)  # light: primary col = id
     base = Vp
     all_members: List[np.ndarray] = []
     for w in ws:
@@ -514,7 +544,8 @@ def build_split_plans(
     shard_valid: Sequence[np.ndarray],
     V: int,
     lane: int = 128,
-    max_blowup: float = 4.0,
+    max_blowup: float = 6.0,
+    class_merge_penalty: float = 0.0,
 ) -> Optional[List[ExchangePlan]]:
     """Per-shard SPLIT exchange plans: private + globally-shared regions.
 
@@ -595,14 +626,39 @@ def build_split_plans(
         rel = np.where(val, vmap[np.minimum(ids, V)], np.int64(Vvirt))
         p = build_exchange_plan(
             rel, val, Vvirt, lane=lane, max_blowup=max_blowup,
-            global_counts=layout,
+            global_counts=layout, class_merge_penalty=class_merge_penalty,
+            compact_primary=True,
         )
         if p is None:
             return None
         plans.append(p)
     assert len({(p.C, p.Vp, p.Vx, p.classes) for p in plans}) == 1
+    # per class, the count of members with shared (tail-range) virtual ids;
+    # members are ascending, private ids < Ps <= shared ids, so the shared
+    # members are exactly the tail — the scatterless psum packing relies on
+    # this (see _exchange_perm's split branch)
+    p0 = plans[0]
+    mem = np.asarray(p0.class_members)
+    shared_counts = []
+    off = 0
+    for _base, _w, nv in p0.classes:
+        shared_counts.append(int((mem[off : off + nv] >= Ps).sum()))
+        off += nv
+    # the primary region is LIGHT-COMPACTED (ascending id), so the region
+    # boundary translates from id units to column units: private lights
+    # (< Ps) first, shared lights after
+    is_heavy = np.zeros(Vvirt, dtype=bool)
+    if mem.size:
+        is_heavy[mem] = True
+    light_ids = np.nonzero((layout > 0) & ~is_heavy)[0]
+    n_priv_light = int((light_ids < Ps).sum())
+    n_shared_light = int(light_ids.size) - n_priv_light
     return [
-        dataclasses.replace(p, split_base=Ps, split_len=Sg) for p in plans
+        dataclasses.replace(
+            p, split_base=n_priv_light, split_len=n_shared_light,
+            class_shared_counts=tuple(shared_counts),
+        )
+        for p in plans
     ]
 
 
@@ -1392,25 +1448,52 @@ def _exchange_perm(
     d_parts = [d_col[:, : plan.Vp]]
     for base, w, nv in plan.classes:
         d_parts.append(d_col[:, base : base + nv * w].reshape(2, nv, w).sum(2))
-    if plan.Vg or plan.split_len:
-        # windowed/split (sharded) plan: merge class totals into the
-        # per-variable vector (tiny static scatter-add), run the
-        # cross-shard reduce on it, and read the class totals back out
-        # with one gather over the same indices
+    if plan.split_len or plan.class_shared_counts:
+        # SPLIT plan: only the globally-shared region participates in the
+        # consensus — private variables' sums are already complete locally.
+        # Shared virtual ids are a contiguous TAIL range, so (a) the shared
+        # light variables are a dense slice of the primary region and (b)
+        # every class's members sort ascending = [private..., shared...],
+        # making each class's shared totals a dense tail slice too. The
+        # psum rides one concat of those slices — NO scatter/gather
+        # anywhere (the earlier scatter-merged variant spent more time in
+        # the [2, nv_heavy] scatter pair than it saved in sort volume:
+        # gm50k D=4 measured 3.1 ms/iter vs 0.2 ms of sweeps).
+        if delta_reduce is not None:
+            b, nsh = plan.split_base, plan.split_len
+            merged = d_parts[0]
+            send = [merged[:, b : b + nsh]]
+            for t, sc in zip(d_parts[1:], plan.class_shared_counts):
+                if sc:
+                    send.append(t[:, t.shape[1] - sc :])
+            packed = delta_reduce(jnp.concatenate(send, axis=1).T).T
+            merged = jnp.concatenate(
+                [merged[:, :b], packed[:, :nsh], merged[:, b + nsh :]],
+                axis=1,
+            )
+            new_parts = [merged]
+            off = nsh
+            for t, sc in zip(d_parts[1:], plan.class_shared_counts):
+                if sc:
+                    t = jnp.concatenate(
+                        [t[:, : t.shape[1] - sc], packed[:, off : off + sc]],
+                        axis=1,
+                    )
+                    off += sc
+                new_parts.append(t)
+            d_parts = new_parts
+        # delta_reduce None (single-device timing/inspection): totals are
+        # already per-variable-complete locally; nothing to merge.
+    elif plan.Vg:
+        # windowed (sharded) plan: merge class totals into the window
+        # vector (tiny static scatter-add), place it into the [2, Vg]
+        # global vector for the cross-shard reduce, slice it back, and
+        # read the class totals back out with one gather
         merged = d_parts[0]
         if plan.classes:
             cls = jnp.concatenate(d_parts[1:], axis=1)  # [2, sum nv]
             merged = merged.at[:, plan.class_members].add(cls)
-        if delta_reduce is not None and plan.split_len:
-            # split plan: only the globally-shared region participates in
-            # the consensus — private variables' sums are already complete
-            # locally. Dense static slice, psum, dense concat: no routing.
-            b, n = plan.split_base, plan.split_len
-            sh = delta_reduce(merged[:, b : b + n].T).T
-            merged = jnp.concatenate(
-                [merged[:, :b], sh, merged[:, b + n :]], axis=1
-            )
-        elif delta_reduce is not None and plan.stretch_globals is not None:
+        if delta_reduce is not None and plan.stretch_globals is not None:
             # two-region merge: window slice placed densely, the compacted
             # stretcher region scatter-added at its global variable ids
             # (G is small — the whole point of the split), psum, then both

@@ -113,8 +113,9 @@ def time_iteration(geom, state, n, reps=3):
 def payload_bytes(plan, V):
     if plan is None:
         return (V + 1) * 2 * 4
-    if plan.split_len:  # split: only the shared region rides the psum
-        return plan.split_len * 2 * 4
+    if plan.split_len or plan.class_shared_counts:
+        # split: shared lights + shared class totals ride the psum
+        return (plan.split_len + sum(plan.class_shared_counts)) * 2 * 4
     if plan.Vg:  # windowed: the psum rides the [2, Vg] global vector
         return plan.Vg * 2 * 4
     s = plan.Vp + sum(nv for _, _, nv in plan.classes)

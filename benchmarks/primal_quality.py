@@ -298,6 +298,169 @@ def greedy_baseline(name, ilp):
     return val
 
 
+def certified_bound(name, build):
+    """f64-evaluated CONVERGED dual bound (the certificate, VERDICT r3 #5):
+    native f64 long run; the families where plain MMA plateaus far from the
+    optimum (GM / CT / set cover, BENCH time-to-gap) get a device L-BFGS
+    polish first, transferred exactly into the native f64 state
+    (extras.transfer_costs_to_native — the f32->f64 escalation path)."""
+    import numpy as np
+
+    from bdd_tpu import native
+    from bdd_tpu.bdd.preprocessor import BddPreprocessor
+
+    ilp = build()
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    V = pre.total_nr_variables()
+    obj = pre.objective_vector()
+    cs = native.cpu_solver_from_collection(pre.collection, V, obj)
+    if name.startswith(("gm", "ct", "setcover")):
+        from bdd_tpu.solver.extras import transfer_costs_to_native
+        from bdd_tpu.solver.lbfgs import LbfgsSolver
+        from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+        us = UniformSolver(pre.collection, V, obj,
+                           nr_primal_vars=pre.nr_primal_variables)
+        ls = LbfgsSolver(us)
+        prev = -np.inf
+        for it in range(800):
+            ls.iteration()
+            if (it + 1) % 50 == 0:
+                lb = us.lower_bound_with_deferred()
+                if abs(lb - prev) <= 1e-9 * max(1.0, abs(lb)):
+                    break
+                prev = lb
+        transfer_costs_to_native(us.host, us.state, cs)
+    cs.iterations(5000, 0.5)
+    return cs.lower_bound_with_deferred()
+
+
+def exact_rows(fast: bool, only):
+    """Companion rows with an EXACT certificate at sizes where it closes
+    (VERDICT r3 #5b): the same solve+round pipeline, gap measured against a
+    true optimum — brute force (set cover), full BDD meld (MIS), or the
+    solve_easy_variables-reduced core solved exhaustively (cell tracking,
+    the reference's FastDOG+Gurobi hybrid with the framework-native exact
+    hook instead)."""
+    import numpy as np
+
+    from bdd_tpu.bdd.preprocessor import BddPreprocessor
+    from bdd_tpu.solver.extras import (
+        exact_min_bruteforce,
+        exact_min_via_meld,
+        solve_easy_variables,
+    )
+    from bdd_tpu.utils.problems import independent_set
+
+    def exact_setcover(build):
+        return exact_min_bruteforce(build())
+
+    def exact_mis(build):
+        ilp = build()
+        ilp.reorder_bfs()
+        ilp.normalize()
+        pre = BddPreprocessor(ilp)
+        res = exact_min_via_meld(pre.collection, pre.objective_vector())
+        if res is None:
+            return None
+        opt, x = res
+        fresh = build()
+        return (
+            float(fresh.evaluate([int(v) for v in x[: fresh.nr_variables()]])),
+            x,
+        )
+
+    def exact_ct_core(build):
+        """Converge the dual, fix strongly-agreeing variables, brute-force
+        the residual core: optimum CONDITIONAL on the fixations (certified
+        exact when it meets the converged dual bound below)."""
+        from bdd_tpu.solver.lbfgs import LbfgsSolver
+        from bdd_tpu.solver.run import run_solver
+        from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+        ilp = build()
+        ilp.normalize()
+        pre = BddPreprocessor(ilp)
+        us = UniformSolver(
+            pre.collection, pre.total_nr_variables(),
+            pre.objective_vector(), nr_primal_vars=pre.nr_primal_variables,
+        )
+        run_solver(us, max_iter=2000, verbose=False, block_size=25)
+        ls = LbfgsSolver(us)
+        for _ in range(300):
+            ls.iteration()
+        lb_conv = us.lower_bound_with_deferred()
+        for margin in (1e-3, 1e-2, 0.05):
+            _fix, core = solve_easy_variables(us, ilp, margin=margin)
+            if core.nr_variables() <= 24:
+                break
+        if core.nr_variables() > 24:
+            return None
+        res = exact_min_bruteforce(core)
+        if res is None:
+            return None
+        # the core optimum is conditional on the fixations (>= true opt);
+        # it is CERTIFIED exact only when it sandwiches against the
+        # converged dual bound: core_opt >= opt >= lb_conv
+        core_opt = res[0]
+        if core_opt - lb_conv > 1e-4 * max(1.0, abs(lb_conv)):
+            print(f"#   ct core opt {core_opt:.4f} does not meet the dual "
+                  f"bound {lb_conv:.4f}; certificate void", flush=True)
+            return None
+        return core_opt, None
+
+    rows = []
+    companions = [
+        ("setcover22-exact",
+         lambda: set_cover(22, 44, density=0.15, seed=0),
+         "best", exact_setcover),
+        ("mis40-exact",
+         lambda: independent_set(40, edge_prob=0.2, seed=0),
+         "incremental", exact_mis),
+        ("ct8x10-core-exact", lambda: cell_tracking(8, 10, seed=0),
+         "best", exact_ct_core),
+    ]
+    for name, build, rmethod, exact_fn in companions:
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        s = BddSolver({
+            "relaxation solver": "uniform mma",
+            "variable order": "bfs",
+            "rounding method": rmethod,
+            "termination criteria": {"maximum iterations": 2000,
+                                     "time limit": 600},
+        })
+        s._ilp = build()
+        res = s.solve(verbose=False)
+        obj = res.get("objective")
+        lb = res.get("lower_bound")
+        ex = exact_fn(build)
+        if ex is None or obj is None:
+            rows.append({"family": name, "verdict": "NO-CERTIFICATE",
+                         "objective": obj, "lb": lb})
+            print(f"# {name}: exact certificate unavailable "
+                  f"(obj={obj}, lb={lb})", flush=True)
+            continue
+        opt = ex[0]
+        gap_exact = (obj - opt) / max(abs(opt), 1.0)
+        ok = "PASS" if gap_exact <= 0.05 else "FAIL"
+        rows.append({
+            "family": name, "lb": lb, "objective": obj, "exact_opt": opt,
+            "gap_vs_exact_pct": round(gap_exact * 100, 3),
+            "wall_s": round(time.time() - t0, 1), "verdict": ok,
+        })
+        print(
+            f"# {name}: lb={lb:.4f} obj={obj:.4f} EXACT opt={opt:.4f} "
+            f"gap-vs-exact={gap_exact*100:.2f}% ({time.time()-t0:.1f}s) "
+            f"-> {ok}",
+            flush=True,
+        )
+    return rows
+
+
 def main() -> int:
     args = sys.argv[1:]
     fast = "fast" in args
@@ -335,33 +498,45 @@ def main() -> int:
                   f"({t_solve:.1f}s)", flush=True)
             continue
         gap = (obj - lb) / max(abs(obj), 1.0)
+        # CERTIFIED gap: vs the converged f64 dual bound (always >= lb of
+        # the truncated run, so this gap is <= the raw one and certified)
+        t0 = time.time()
+        lb_star = certified_bound(name, build)
+        t_cert = time.time() - t0
+        cgap = (obj - lb_star) / max(abs(obj), 1.0)
         # independent quality certificates for loose generated families
         sol = [int(res["solution"][ilp.get_var_name(i)])
                for i in range(ilp.nr_variables())]
         _, obj_1opt = one_opt_improve(ilp, sol)
         greedy = greedy_baseline(name, build())  # fresh pre-normalize copy
         one_opt_slack = (obj - obj_1opt) / max(abs(obj), 1.0)
-        if gap <= 0.05:
+        if cgap <= 0.05:
             ok = "PASS"
         elif one_opt_slack < 0.01 and (greedy is None or obj <= greedy):
             ok = "PASS*"  # beats the greedy baseline and is ~1-opt-optimal:
-            # the residual gap is the generated instance's own integrality gap
+            # the residual certified gap bounds the instance's own
+            # integrality gap plus any rounding slack
         else:
             ok = "FAIL"
         rows.append(
             {"family": name, "lb": lb, "objective": obj,
              "gap_pct": round(gap * 100, 3),
+             "lb_star": lb_star,
+             "certified_gap_pct": round(cgap * 100, 3),
              "one_opt_obj": obj_1opt,
              "greedy_obj": greedy,
              "wall_s": round(t_solve, 1), "verdict": ok}
         )
         print(
-            f"# {name}: lb={lb:.4f} obj={obj:.4f} gap={gap*100:.2f}% "
+            f"# {name}: lb={lb:.4f} lb*={lb_star:.4f} obj={obj:.4f} "
+            f"gap={gap*100:.2f}% CERTIFIED gap={cgap*100:.2f}% "
             f"1opt={obj_1opt:.4f} greedy={greedy} "
             f"build={t_build:.1f}s solve+round={t_solve:.1f}s "
+            f"certify={t_cert:.1f}s "
             f"dual_iters={res.get('iterations')} -> {ok}",
             flush=True,
         )
+    rows += exact_rows(fast, only)
     print("RESULT " + json.dumps(rows))
     return 0
 

@@ -174,3 +174,47 @@ def test_trainer_runs_from_disk_dataset(tmp_path):
     tr.init(inst)
     lbs = tr.run_learned_rounds(inst, nr_rounds=2)
     assert len(lbs) == 2 and all(np.isfinite(v) for v in lbs)
+
+
+@needs_native
+def test_sharded_trainer_from_disk_dataset(tmp_path):
+    """Dataset -> sharded DOGE training over the virtual mesh (VERDICT r3
+    #4): the dataset supplies discovery + converged-dual reference bound;
+    the sharded trainer runs the rollout with psum consensus and training
+    reduces the loss. The learned sharded rollout's bound must be sane
+    against the cached converged bound."""
+    from jax.sharding import Mesh
+
+    from bdd_tpu.learn.sharded import ShardedDogeTrainer
+    from bdd_tpu.learn.train import TrainConfig
+    from bdd_tpu.solver.uniform_sharded import ShardedUniformSolver
+
+    root = str(tmp_path / "instances")
+    _write_instances(root)
+    ds = IlpDiskDataset(root, read_dual_converged=True, verbose=False)
+    inst, _gt, path = ds.get(0)
+    conv_bound = float(
+        uf.lower_bound_with_deferred(inst.host.geom, inst.state0)
+    )
+    # the sharded solver needs the collection: rebuild from the dataset's
+    # instance path (the cached host pickles carry only the flat arrays)
+    from bdd_tpu.learn.data import read_any_ilp
+
+    ilp = read_any_ilp(path)
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection, pre.total_nr_variables(), pre.objective_vector(),
+        mesh=mesh, nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float32,
+    )
+    cfg = TrainConfig(dim=8, nr_rounds=2, iters_per_round=3, grad_rounds=1)
+    tr = ShardedDogeTrainer(s, pre.objective_vector(), cfg)
+    tr.init()
+    losses = [tr.train_step()["loss"] for _ in range(3)]
+    assert all(np.isfinite(losses))
+    lbs = tr.run_learned_rounds(2)
+    assert all(np.isfinite(lbs))
+    # a valid dual bound never exceeds the converged optimum (f32 slack)
+    assert max(lbs) <= conv_bound + 1e-3 * max(1.0, abs(conv_bound))

@@ -197,3 +197,71 @@ def test_get_set_flat_costs_roundtrip():
     s2 = JaxSolver(flat, pre.objective_vector(), dtype=jnp.float64)
     s2.set_flat_costs(lo, hi, dm)
     assert s2.lower_bound_with_deferred() == pytest.approx(lb, abs=1e-12)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_exact_min_via_meld_matches_brute_force(seed):
+    """Full-meld exact solve (the Gurobi-substitute hook): optimum and
+    assignment must match brute force on random small ILPs."""
+    from bdd_tpu.solver.extras import exact_min_via_meld
+
+    rng = np.random.RandomState(seed)
+    from bdd_tpu.ilp.model import ILPInput, Ineq
+
+    ilp = ILPInput()
+    nv = 9
+    for v in range(nv):
+        ilp.add_to_objective(float(rng.randn()), f"x_{v}")
+    for _ in range(5):
+        k = int(rng.randint(2, 5))
+        vs = sorted(rng.choice(nv, size=k, replace=False).tolist())
+        coeffs = rng.randint(-3, 4, size=k).tolist()
+        if all(c == 0 for c in coeffs):
+            coeffs[0] = 1
+        ineq = [Ineq.LEQ, Ineq.GEQ, Ineq.EQ][rng.randint(3)]
+        lo = sum(min(c, 0) for c in coeffs)
+        hi = sum(max(c, 0) for c in coeffs)
+        rhs = int(rng.randint(lo, hi + 1))
+        ilp.add_linear_constraint(
+            coeffs, [ilp.get_var_index(f"x_{v}") for v in vs], ineq, rhs
+        )
+    ilp.normalize()
+    try:
+        pre = BddPreprocessor(ilp)
+    except Exception:
+        pytest.skip("infeasible random instance")
+    bf_opt, bf_x = fixtures.brute_force_ilp_optimum(ilp)
+    try:
+        res = exact_min_via_meld(pre.collection, pre.objective_vector())
+    except ValueError:
+        assert bf_x is None  # jointly infeasible model
+        return
+    assert res is not None
+    opt, x = res
+    assert opt == pytest.approx(bf_opt, abs=1e-9)
+    assert ilp.feasible([int(v) for v in x[: ilp.nr_variables()]])
+    assert ilp.evaluate([int(v) for v in x[: ilp.nr_variables()]]) == (
+        pytest.approx(bf_opt, abs=1e-9)
+    )
+
+
+def test_exact_min_via_meld_infeasible_and_caps():
+    """Infeasible models raise; a tiny node cap returns None instead of
+    hanging."""
+    from bdd_tpu.ilp import parse_lp_string
+    from bdd_tpu.solver.extras import exact_min_via_meld
+    from bdd_tpu.utils.problems import set_cover
+
+    ilp = set_cover(18, 30, density=0.25, seed=5)
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    assert exact_min_via_meld(
+        pre.collection, pre.objective_vector(), max_nodes=5
+    ) is None
+    bad = parse_lp_string(
+        "Minimize\nx + y\nSubject To\nc1: x + y >= 2\nc2: x + y <= 0\n"
+        "Binaries\nx y\nEnd\n"
+    )
+    pre2 = BddPreprocessor(bad)
+    with pytest.raises(ValueError):
+        exact_min_via_meld(pre2.collection, pre2.objective_vector())

@@ -255,9 +255,11 @@ def test_sharded_split_exchange_parity(n_dev):
         nr_primal_vars=pre.nr_primal_variables, dtype=jnp.float32,
     )
     plan = s.geom_stacked.exchange
-    assert plan is not None and plan.split_len > 0  # auto picked split
+    assert plan is not None
+    n_shared = plan.split_len + sum(plan.class_shared_counts)
+    assert n_shared > 0  # auto picked split
     assert plan.Vg == 0
-    assert plan.split_len < V // 2  # shared region is the boundary set
+    assert n_shared < V // 2  # shared region is the boundary set
     flat = flatten_collection(
         pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
     )
@@ -294,7 +296,8 @@ def test_sharded_split_exchange_gm_parity(n_dev):
         plan_family="split",
     )
     plan = s.geom_stacked.exchange
-    assert plan is not None and plan.split_len > 0
+    assert plan is not None
+    assert plan.split_len + sum(plan.class_shared_counts) > 0
     assert len(plan.classes) >= 1  # skewed tail -> class blocks exist
     flat = flatten_collection(
         pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
@@ -345,7 +348,8 @@ def test_sharded_split_learned_grad():
         plan_family="split",
     )
     assert s.geom_stacked.exchange is not None
-    assert s.geom_stacked.exchange.split_len > 0
+    _p = s.geom_stacked.exchange
+    assert _p.split_len + sum(_p.class_shared_counts) > 0
 
     def sharded_lb(ov):
         omegas = s.omega_from_per_var(ov)
