@@ -455,7 +455,7 @@ def exact_min_bruteforce(ilp, max_vars: int = 24, chunk: int = 1 << 18):
     best = math.inf
     best_x = None
     total = 1 << V
-    bits = np.arange(V)
+    bits = np.arange(V, dtype=np.uint64)
     for start in range(0, total, chunk):
         n = min(chunk, total - start)
         idx = np.arange(start, start + n, dtype=np.uint64)

@@ -133,3 +133,33 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def end_to_end(which="grid12"):
+    """Composed check: full iteration with int16 vs int32 plan keys
+    (CLAUDE.md: stub-bisect/measure the COMPOSED program — sorts behave
+    differently in context than alone)."""
+    import dataclasses
+
+    host, obj = build(which)
+    plan = host.geom.exchange
+    N = int(plan.key_fwd.shape[0])
+    if N >= 32768:
+        print(f"## {which}: N={N} not int16-eligible", flush=True)
+        return
+    from benchmarks.multichip_projection import time_iteration
+
+    state = uf.init_uniform_state(host, obj)
+    t32 = time_iteration(host.geom, state, 2000)
+    plan16 = dataclasses.replace(
+        plan,
+        key_fwd=plan.key_fwd.astype(jnp.int16),
+        key_inv=plan.key_inv.astype(jnp.int16),
+    )
+    g16 = host.geom._replace(exchange=plan16)
+    t16 = time_iteration(g16, state, 2000)
+    print(
+        f"## {which} end-to-end: i32 {t32*1e3:.4f} ms/iter, "
+        f"i16 {t16*1e3:.4f} ms/iter ({t32/t16:.3f}x)",
+        flush=True,
+    )
