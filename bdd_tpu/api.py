@@ -292,7 +292,30 @@ class BddSolver:
             self.solver = RefSolver(
                 self.flat, obj, dtype=np.float64 if double else np.float32
             )
-        elif name in ("sharded mma", "multi parallel mma",
+        elif name in ("hybrid mma", "multi parallel mma",
+                      "hybrid parallel mma"):
+            # heterogeneous host+device concurrent solve: long BDDs on the
+            # native C++ OpenMP solver, short ones on the uniform device
+            # backend, delta consensus per half-sweep (the literal analogue
+            # of the reference's CPU+GPU bdd_multi_parallel_mma_base.cu —
+            # which its own JSON dispatch never exposes; ours does)
+            import jax.numpy as jnp
+
+            from bdd_tpu.solver.hybrid import HybridSolver
+
+            if double:
+                import jax
+
+                jax.config.update("jax_enable_x64", True)
+            self.solver = HybridSolver(
+                self.pre.collection,
+                self.pre.total_nr_variables(),
+                obj,
+                nr_primal_vars=self.pre.nr_primal_variables,
+                dtype=jnp.float64 if double else jnp.float32,
+                hop_threshold=self.config.get("hybrid hop threshold"),
+            )
+        elif name in ("sharded mma",
                       "lbfgs sharded mma", "subgradient sharded mma"):
             # BDD-block partition over all visible devices, psum consensus
             # (the N-way generalization of the reference's 2-way hybrid

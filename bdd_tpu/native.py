@@ -94,7 +94,11 @@ def load_library():
         ctypes.c_int64,
     ] + [ctypes.POINTER(ctypes.c_int64)] * 4
     lib.bh_load_collection.restype = ctypes.c_int
-    lib.bh_cpu_create.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+    lib.bh_cpu_create.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.bh_cpu_create.restype = ctypes.c_void_p
     lib.bh_cpu_destroy.argtypes = [ctypes.c_void_p]
     lib.bh_cpu_iterations.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_double]
@@ -116,6 +120,27 @@ def load_library():
     lib.bh_cpu_set_costs.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_double)
     ] * 3
+    # hybrid host+device consensus hooks (solver/hybrid.py)
+    lib.bh_cpu_partial_delta.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)
+    ]
+    lib.bh_cpu_half_iteration_ext.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.bh_cpu_lower_bound_deferred_ext.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)
+    ]
+    lib.bh_cpu_lower_bound_deferred_ext.restype = ctypes.c_double
+    lib.bh_cpu_min_marginals.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_double)
+    ] * 2
+    lib.bh_cpu_update_costs.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_double)
+    ] * 2
+    lib.bh_cpu_distribute_delta_ext.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)
+    ]
     _LIB = lib
     return lib
 
@@ -367,12 +392,26 @@ class NativeCpuSolver:
     the solver.
     """
 
-    def __init__(self, host: NativeHost, objective: np.ndarray) -> None:
+    def __init__(
+        self, host: NativeHost, objective: np.ndarray, nbpv=None
+    ) -> None:
+        """``nbpv``: optional GLOBAL per-variable BDD counts — the hybrid
+        host+device split (solver/hybrid.py) passes them so this solver's
+        averaging weights match the joint monolithic decomposition (ref:
+        bdd_multi_parallel_mma_base.cu total_nr_bdds_per_var_)."""
         self._host = host
         self._lib = host._lib
         obj = np.ascontiguousarray(objective, dtype=np.float64)
+        self._nr_vars = obj.size
+        nb_ptr = None
+        if nbpv is not None:
+            self._nbpv = np.ascontiguousarray(nbpv, dtype=np.int32)
+            assert self._nbpv.size == self._nr_vars
+            nb_ptr = self._nbpv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         self._ptr = self._lib.bh_cpu_create(
-            host._ctx, obj.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            host._ctx,
+            obj.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            nb_ptr,
         )
         if not self._ptr:
             raise RuntimeError(
@@ -430,6 +469,60 @@ class NativeCpuSolver:
         )
         return lo, hi, mm
 
+    # ------- hybrid host+device consensus hooks (solver/hybrid.py) --------
+    def partial_delta(self) -> np.ndarray:
+        """This solver's per-variable deferred delta [V, 2] (lo, hi)."""
+        out = np.zeros((self._nr_vars, 2), dtype=np.float64)
+        self._lib.bh_cpu_partial_delta(
+            self._ptr, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
+        return out
+
+    def half_iteration_ext(self, omega: float, direction: int, delta) -> None:
+        """One half-sweep (+1 fwd / -1 bwd) consuming an externally combined
+        [V, 2] delta instead of recomputing the local one."""
+        d = np.ascontiguousarray(delta, dtype=np.float64)
+        self._lib.bh_cpu_half_iteration_ext(
+            self._ptr,
+            float(omega),
+            int(direction),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+
+    def lower_bound_deferred_ext(self, delta) -> float:
+        d = np.ascontiguousarray(delta, dtype=np.float64)
+        return float(
+            self._lib.bh_cpu_lower_bound_deferred_ext(
+                self._ptr, d.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            )
+        )
+
+    def min_marginals(self):
+        """Per-layer (m0, m1) with the current costs, bdd-major order."""
+        n = self.nr_layers()
+        m0 = np.zeros(n, dtype=np.float64)
+        m1 = np.zeros(n, dtype=np.float64)
+        p = ctypes.POINTER(ctypes.c_double)
+        self._lib.bh_cpu_min_marginals(
+            self._ptr, m0.ctypes.data_as(p), m1.ctypes.data_as(p)
+        )
+        return m0, m1
+
+    def update_costs(self, lo_per_var, hi_per_var) -> None:
+        lo = np.ascontiguousarray(lo_per_var, dtype=np.float64)
+        hi = np.ascontiguousarray(hi_per_var, dtype=np.float64)
+        assert lo.size == self._nr_vars and hi.size == self._nr_vars
+        p = ctypes.POINTER(ctypes.c_double)
+        self._lib.bh_cpu_update_costs(
+            self._ptr, lo.ctypes.data_as(p), hi.ctypes.data_as(p)
+        )
+
+    def distribute_delta_ext(self, delta) -> None:
+        d = np.ascontiguousarray(delta, dtype=np.float64)
+        self._lib.bh_cpu_distribute_delta_ext(
+            self._ptr, d.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
+
     def set_costs(self, lo, hi, mm) -> None:
         """Warm-start from externally computed duals (f64 per-layer arrays in
         this solver's bdd-major layer order) — the f32->f64 escalation path."""
@@ -447,11 +540,12 @@ class NativeCpuSolver:
         )
 
 
-def cpu_solver_from_collection(col, nr_vars: int, objective) -> NativeCpuSolver:
-    """Native OpenMP CPU-baseline solver over a python-built BddCollection
-    (covers instances the native parser declines: nonlinear, coalesce, OPB,
-    split). The collection must be quasi-reduced with topologically ordered
-    nodes (the BddPreprocessor output)."""
+def cpu_solver_from_flat(
+    var, lo, hi, delim, nr_vars: int, objective, nbpv=None
+) -> NativeCpuSolver:
+    """Native OpenMP CPU solver over flat qbdd arrays (per-node global var +
+    lo/hi as node ids or TOP=-1/BOT=-2, bdd delimiters). ``nbpv``: optional
+    global per-variable BDD counts (hybrid host+device split)."""
     lib = load_library()
 
     class _ColHost:
@@ -465,10 +559,10 @@ def cpu_solver_from_collection(col, nr_vars: int, objective) -> NativeCpuSolver:
         __del__ = NativeHost.__del__
 
     host = _ColHost()
-    var = np.asarray(col.var, dtype=np.int64)
-    lo = np.asarray(col.lo, dtype=np.int64)
-    hi = np.asarray(col.hi, dtype=np.int64)
-    delim = np.asarray(col.delim, dtype=np.int64)
+    var = np.ascontiguousarray(var, dtype=np.int64)
+    lo = np.ascontiguousarray(lo, dtype=np.int64)
+    hi = np.ascontiguousarray(hi, dtype=np.int64)
+    delim = np.ascontiguousarray(delim, dtype=np.int64)
     p = ctypes.POINTER(ctypes.c_int64)
     r = lib.bh_load_collection(
         host._ctx,
@@ -484,4 +578,16 @@ def cpu_solver_from_collection(col, nr_vars: int, objective) -> NativeCpuSolver:
         raise NativeUnsupported(
             "load_collection: " + lib.bh_error(host._ctx).decode()
         )
-    return NativeCpuSolver(host, np.asarray(objective, dtype=np.float64))
+    return NativeCpuSolver(
+        host, np.asarray(objective, dtype=np.float64), nbpv=nbpv
+    )
+
+
+def cpu_solver_from_collection(col, nr_vars: int, objective) -> NativeCpuSolver:
+    """Native OpenMP CPU-baseline solver over a python-built BddCollection
+    (covers instances the native parser declines: nonlinear, coalesce, OPB,
+    split). The collection must be quasi-reduced with topologically ordered
+    nodes (the BddPreprocessor output)."""
+    return cpu_solver_from_flat(
+        col.var, col.lo, col.hi, col.delim, nr_vars, objective
+    )

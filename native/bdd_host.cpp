@@ -1438,7 +1438,8 @@ struct CpuSolver {
         return cft[a];
     }
 
-    void build(const Collection& col, int64_t nvars, const double* obj) {
+    void build(const Collection& col, int64_t nvars, const double* obj,
+               const int32_t* nbpv_override = nullptr) {
         nr_bdds = (int64_t)col.bdds.size();
         nr_vars = nvars;
         node_off.assign(nr_bdds + 1, 0);
@@ -1476,6 +1477,12 @@ struct CpuSolver {
                 nbpv[q.vars[h]]++;
             }
         }
+        // hybrid host+device split (ref bdd_multi_parallel_mma_base.cu:
+        // total_nr_bdds_per_var_): this solver owns only a SUBSET of the
+        // BDDs but must average with the GLOBAL per-variable counts so the
+        // joint trajectory equals the monolithic one
+        if (nbpv_override)
+            std::copy(nbpv_override, nbpv_override + nr_vars, nbpv.begin());
         lo_cost.assign(nr_layers, 0.0);
         hi_cost.assign(nr_layers, 0.0);
         def_mm.assign(nr_layers, 0.0);
@@ -1569,6 +1576,35 @@ struct CpuSolver {
     // one forward (dir=+1) or backward (dir=-1) half-iteration
     void half_iteration(double omega, int dir) {
         compute_delta();
+        half_sweep(omega, dir);
+    }
+
+    // hybrid host+device consensus hooks (ref bdd_multi_parallel_mma_base
+    // .cu:258-356): the partial delta is exported, combined with the device
+    // side's, and the sweep consumes the externally combined vector
+    void set_delta(const double* d) {  // [V][2] interleaved (lo, hi)
+        for (int64_t v = 0; v < nr_vars; ++v) {
+            delta_lo[v] = d[2 * v];
+            delta_hi[v] = d[2 * v + 1];
+        }
+    }
+
+    void export_delta(double* out) {
+        compute_delta();
+        for (int64_t v = 0; v < nr_vars; ++v) {
+            out[2 * v] = delta_lo[v];
+            out[2 * v + 1] = delta_hi[v];
+        }
+    }
+
+    void half_iteration_ext(double omega, int dir, const double* d) {
+        if (!cft_valid) backward_run();
+        set_delta(d);
+        half_sweep(omega, dir);
+    }
+
+    // the sweep body, consuming whatever delta_lo/delta_hi currently hold
+    void half_sweep(double omega, int dir) {
         const double INFD = std::numeric_limits<double>::infinity();
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 16)
@@ -1633,6 +1669,17 @@ struct CpuSolver {
     // bound after distributing the deferred deltas (does not mutate state)
     double lower_bound_deferred() {
         compute_delta();
+        return lb_deferred_current();
+    }
+
+    // same, with an externally combined delta (hybrid consensus: the device
+    // side's contributions are already summed into delta_lo/delta_hi)
+    double lower_bound_deferred_ext(const double* d) {
+        set_delta(d);
+        return lb_deferred_current();
+    }
+
+    double lb_deferred_current() {
         std::vector<double> slo(lo_cost), shi(hi_cost), scft(nr_nodes);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
@@ -1660,6 +1707,73 @@ struct CpuSolver {
             lb += scft[node_off[b]];
         }
         return lb;
+    }
+
+    // per-layer min marginals with the CURRENT costs (no update): fresh
+    // forward run against the cached backward state — the readout the
+    // incremental rounding loop needs (semantics of uniform.bucket_min_
+    // marginals / ref bdd_cuda_base.cu min_marginals_cuda)
+    void min_marginals(double* m0, double* m1) {
+        if (!cft_valid) backward_run();
+        const double INFD = std::numeric_limits<double>::infinity();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+        for (int64_t b = 0; b < nr_bdds; ++b) {
+            const int64_t* lvl = &level_off[lvl_idx[b]];
+            const int64_t d = layer_off[b + 1] - layer_off[b];
+            const int64_t nb = node_off[b], ne = node_off[b + 1];
+            for (int64_t i = nb; i < ne; ++i) cfr[i] = INFD;
+            cfr[nb] = 0.0;
+            for (int64_t h = 0; h < d; ++h) {
+                const int64_t l = layer_off[b] + h;
+                const double cl = lo_cost[l], ch = hi_cost[l];
+                double a0 = INFD, a1 = INFD;
+                for (int64_t i = lvl[h]; i < lvl[h + 1]; ++i) {
+                    const double r = cfr[i];
+                    a0 = std::min(a0, r + cl + term_cft(lo_arc[i], cft.data()));
+                    a1 = std::min(a1, r + ch + term_cft(hi_arc[i], cft.data()));
+                    const int64_t c0 = lo_arc[i], c1 = hi_arc[i];
+                    if (c0 >= 0) cfr[c0] = std::min(cfr[c0], r + cl);
+                    if (c1 >= 0) cfr[c1] = std::min(cfr[c1], r + ch);
+                }
+                m0[l] = a0;
+                m1[l] = a1;
+            }
+        }
+    }
+
+    // add per-variable cost deltas split by the isotropic weights (ref:
+    // update_costs, bdd_cuda_base.cu:1397-1437 / uniform.update_costs_per_
+    // var — the rounding perturbation path)
+    void update_costs_per_var(const double* lo_u, const double* hi_u) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (int64_t l = 0; l < nr_layers; ++l) {
+            const int32_t v = layer_var[l];
+            const double a = 1.0 / (double)nbpv[v];
+            lo_cost[l] += a * lo_u[v];
+            hi_cost[l] += a * hi_u[v];
+        }
+        cft_valid = false;
+    }
+
+    // fold an externally combined deferred delta into the layer costs and
+    // clear the ledger (hybrid side of uniform.distribute_delta)
+    void distribute_delta_ext(const double* d) {
+        set_delta(d);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (int64_t l = 0; l < nr_layers; ++l) {
+            const int32_t v = layer_var[l];
+            const double a = 1.0 / (double)nbpv[v];
+            lo_cost[l] += a * delta_lo[v];
+            hi_cost[l] += a * delta_hi[v];
+            def_mm[l] = 0.0;
+        }
+        cft_valid = false;
     }
 };
 
@@ -1835,11 +1949,11 @@ int bh_load_collection(void* ctx, int64_t nr_vars, int64_t nr_nodes,
 
 // --- CPU parallel MMA baseline (built from a parsed+built context) ---------
 
-void* bh_cpu_create(void* ctx, const double* objective) {
+void* bh_cpu_create(void* ctx, const double* objective, const int32_t* nbpv) {
     auto* c = (bh::Context*)ctx;
     auto* s = new bh::CpuSolver();
     try {
-        s->build(c->col, (int64_t)c->ilp.var_names.size(), objective);
+        s->build(c->col, (int64_t)c->ilp.var_names.size(), objective, nbpv);
     } catch (const std::exception& e) {
         c->err = e.what();
         delete s;
@@ -1859,6 +1973,33 @@ double bh_cpu_lower_bound(void* s) { return ((bh::CpuSolver*)s)->lower_bound(); 
 
 double bh_cpu_lower_bound_deferred(void* s) {
     return ((bh::CpuSolver*)s)->lower_bound_deferred();
+}
+
+// --- hybrid host+device consensus hooks (solver/hybrid.py) -----------------
+
+void bh_cpu_partial_delta(void* s, double* out) {
+    ((bh::CpuSolver*)s)->export_delta(out);
+}
+
+void bh_cpu_half_iteration_ext(void* s, double omega, int dir,
+                               const double* delta) {
+    ((bh::CpuSolver*)s)->half_iteration_ext(omega, dir, delta);
+}
+
+double bh_cpu_lower_bound_deferred_ext(void* s, const double* delta) {
+    return ((bh::CpuSolver*)s)->lower_bound_deferred_ext(delta);
+}
+
+void bh_cpu_min_marginals(void* s, double* m0, double* m1) {
+    ((bh::CpuSolver*)s)->min_marginals(m0, m1);
+}
+
+void bh_cpu_update_costs(void* s, const double* lo_u, const double* hi_u) {
+    ((bh::CpuSolver*)s)->update_costs_per_var(lo_u, hi_u);
+}
+
+void bh_cpu_distribute_delta_ext(void* s, const double* delta) {
+    ((bh::CpuSolver*)s)->distribute_delta_ext(delta);
 }
 
 int bh_cpu_nr_threads(void* s) { return ((bh::CpuSolver*)s)->n_threads; }
