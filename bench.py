@@ -63,7 +63,7 @@ def measure_tpu(host, objective, block, n_blocks):
     return float(np.median(rates)), lb
 
 
-def measure_native_cpu(cs, target_s=3.0, repeats=5):
+def measure_native_cpu(cs, target_s=3.0, repeats=7):
     """Median of `repeats` warm measurements plus the per-run rates
     (VERDICT r2 #1 / r3 #7: the single-shot baseline swung ~15% run-to-run;
     the spread is now recorded in the driver JSON so ratio drift between
@@ -90,6 +90,8 @@ def main() -> int:
     os.environ.setdefault("OMP_NUM_THREADS", str(os.cpu_count() or 4))
     os.environ.setdefault("OMP_DYNAMIC", "false")
     os.environ.setdefault("OMP_WAIT_POLICY", "active")
+    os.environ.setdefault("OMP_PROC_BIND", "close")
+    os.environ.setdefault("OMP_PLACES", "cores")
 
     from bdd_tpu.utils.platform import ensure_device
 
