@@ -51,12 +51,87 @@ def tight_variables(flat_view, m0: np.ndarray, m1: np.ndarray, eps: float = 1e-6
     return np.nonzero(np.abs(sums) <= eps)[0]
 
 
+def conflict_cliques(
+    collection: BddCollection,
+    tight_vars: Optional[Sequence[int]] = None,
+    max_clique: int = 8,
+) -> List[List[int]]:
+    """Clique groups in the pairwise-conflict graph (MIS-style models).
+
+    On MIS relaxations every edge constraint ``x_u + x_v <= 1`` is its own
+    BDD and the LP optimum is the all-half fractional point where EVERY
+    variable is tight — the generic shares-a-tight-variable clusters then
+    meld arbitrary edge bags whose conjunctions rarely cut that point
+    (measured ~1% of the gap, BENCH.md tightening table). A clique
+    ``{v_1..v_k}``, k >= 3, melds its C(k,2) edge BDDs into the
+    facet-defining ``sum <= 1`` (Padberg's clique inequality), which the
+    fractional point violates by k/2 - 1. This finds edge-disjoint greedy
+    cliques: per unused edge (u, v), grow from the common neighborhood by
+    max-connectivity; accept at size >= 3. Only BDDs that ARE pairwise
+    at-most-1 constraints participate (structural check via nr_solutions).
+
+    Returns explicit meld groups for ``tighten_collection(groups=...)``.
+    (ref: bdd_tightening.h's variable-grouping heuristic has no clique
+    notion — this is a strengthening the BDD meld machinery makes cheap.)
+    """
+    tight = None if tight_vars is None else set(int(v) for v in tight_vars)
+    edge_bdd: Dict[Tuple[int, int], int] = {}
+    adj: Dict[int, set] = {}
+    for b in range(collection.nr_bdds()):
+        vs = collection.variables(b)
+        if len(vs) != 2:
+            continue
+        u, v = int(vs[0]), int(vs[1])
+        if tight is not None and (u not in tight or v not in tight):
+            continue
+        # structural at-most-1 check: 3 solutions, both-ones excluded
+        if collection.nr_solutions(b) != 3:
+            continue
+        if collection.nr_solutions(b, positive_variables=[u, v]) != 0:
+            continue
+        e = (u, v) if u < v else (v, u)
+        if e in edge_bdd:
+            continue
+        edge_bdd[e] = b
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    used: set = set()
+    groups: List[List[int]] = []
+    for (u, v) in sorted(edge_bdd):
+        if (u, v) in used:
+            continue
+        cand = adj[u] & adj[v]
+        clique = [u, v]
+        cset = set(clique)
+        while cand and len(clique) < max_clique:
+            # max connectivity into the remaining candidates (deterministic
+            # tie-break by id)
+            w = max(cand, key=lambda x: (len(adj[x] & cand), -x))
+            clique.append(w)
+            cset.add(w)
+            cand = cand & adj[w]
+        if len(clique) < 3:
+            continue
+        edges = [
+            (a, b2) if a < b2 else (b2, a)
+            for i, a in enumerate(clique)
+            for b2 in clique[i + 1 :]
+        ]
+        if any(e in used for e in edges):
+            continue  # edge-disjoint cliques: each BDD melds once
+        used.update(edges)
+        groups.append([edge_bdd[e] for e in edges])
+    return groups
+
+
 def tighten_collection(
     collection: BddCollection,
     tight_vars: Sequence[int],
     layer_costs: Optional[Dict[Tuple[int, int], Tuple[float, float]]] = None,
     max_group_size: int = 8,
     node_limit: int = 100000,
+    explicit_groups: Optional[List[List[int]]] = None,
 ):
     """Meld groups of BDDs sharing tight variables.
 
@@ -64,9 +139,23 @@ def tighten_collection(
     new bdd nr to the list of source bdd nrs. Groups whose meld would exceed
     ``node_limit`` nodes or ``max_group_size`` members fall back to keeping
     the members separate (the reference likewise bounds intersection size).
+
+    ``explicit_groups``: bypass the tight-variable clustering and meld these
+    exact BDD groups instead (the clique-cut path, ``conflict_cliques``).
     """
     tight = set(int(v) for v in tight_vars)
     nb = collection.nr_bdds()
+    if explicit_groups is not None:
+        groups = {
+            gid: list(members)
+            for gid, members in enumerate(explicit_groups)
+        }
+        max_group_size = max(
+            [max_group_size] + [len(m) for m in groups.values()]
+        )
+        return _meld_groups(
+            collection, groups, layer_costs, max_group_size, node_limit
+        )
     uf = _UnionFind(nb)
     owner: Dict[int, int] = {}
     candidate = [False] * nb
@@ -133,6 +222,19 @@ def tighten_collection(
             groups[gid] = cluster
             gid += 1
 
+    return _meld_groups(
+        collection, groups, layer_costs, max_group_size, node_limit
+    )
+
+
+def _meld_groups(
+    collection: BddCollection,
+    groups: Dict[int, List[int]],
+    layer_costs,
+    max_group_size: int,
+    node_limit: int,
+):
+    nb = collection.nr_bdds()
     out = BddCollection()
     out_costs: Dict[Tuple[int, int], Tuple[float, float]] = {}
     group_of_new: Dict[int, List[int]] = {}
@@ -208,6 +310,7 @@ def tighten_and_resolve(
     solver_cls_kwargs: Optional[dict] = None,
     eps: float = 1e-6,
     warm_start: bool = True,
+    cliques: bool = False,
 ):
     """Convenience driver: take a preprocessor whose collection was solved to
     (near) dual optimality by a UniformSolver, tighten, and return a
@@ -237,8 +340,15 @@ def tighten_and_resolve(
     m0, m1 = base.min_marginals()
     tv = tight_variables(base.f, m0, m1, eps)
     costs = base.export_layer_costs() if warm_start else None
+    explicit = None
+    if cliques:
+        # clique-cut mode (``conflict_cliques``): meld the C(k,2) edge BDDs
+        # of each conflict-graph clique into the facet sum <= 1; fall back
+        # to the generic tight-variable clusters when the model has no
+        # pairwise-conflict structure
+        explicit = conflict_cliques(pre.collection, tv) or None
     new_col, new_costs, groups = tighten_collection(
-        pre.collection, tv, layer_costs=costs
+        pre.collection, tv, layer_costs=costs, explicit_groups=explicit
     )
     tightened = UniformSolver(
         new_col,

@@ -28,7 +28,11 @@ from bdd_tpu.bdd.preprocessor import BddPreprocessor
 from bdd_tpu.solver.lbfgs import LbfgsSolver
 from bdd_tpu.solver.rounding_device import incremental_mm_rounding_device
 from bdd_tpu.solver.run import run_solver
-from bdd_tpu.solver.tighten import tight_variables, tighten_collection
+from bdd_tpu.solver.tighten import (
+    conflict_cliques,
+    tight_variables,
+    tighten_collection,
+)
 from bdd_tpu.solver.uniform_wrapper import UniformSolver
 from bdd_tpu.utils.problems import (
     graph_matching,
@@ -66,7 +70,7 @@ def upper_bound(s, ilp):
         return float("inf")
 
 
-def run(name, ilp, budgets=(20000, 200000), **solve_kw):
+def run(name, ilp, budgets=(20000, 200000), cliques=False, **solve_kw):
     t0 = time.time()
     ilp_eval = ilp  # evaluate() needs the pre-normalize objective constant
     ilp.reorder_bfs()
@@ -98,10 +102,19 @@ def run(name, ilp, budgets=(20000, 200000), **solve_kw):
               flush=True)
         return
     print(f"[{name}] tight vars: {len(tv)} / {nv}", flush=True)
+    explicit = None
+    if cliques:
+        # clique-cut mode: meld each conflict-graph clique's edge BDDs into
+        # the facet sum <= 1 (tighten.conflict_cliques) instead of the
+        # generic tight-variable clusters
+        explicit = conflict_cliques(col, tv) or None
+        print(f"[{name}] clique groups: "
+              f"{0 if explicit is None else len(explicit)}", flush=True)
     for budget in budgets:
         t0 = time.time()
         new_col, new_costs, groups = tighten_collection(
-            col, tv, layer_costs=costs, node_limit=budget
+            col, tv, layer_costs=costs, node_limit=budget,
+            explicit_groups=explicit,
         )
         melded = sum(1 for g in groups.values() if len(g) > 1)
         t_meld = time.time() - t0
@@ -133,7 +146,11 @@ def main():
     from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
 
     run("mis-100", independent_set(100, edge_prob=0.25, seed=0))
+    run("mis-100 cliques", independent_set(100, edge_prob=0.25, seed=0),
+        budgets=(200000,), cliques=True)
     run("mis-200", independent_set(200, edge_prob=0.15, seed=0))
+    run("mis-200 cliques", independent_set(200, edge_prob=0.15, seed=0),
+        budgets=(200000,), cliques=True)
     run("qap-12", quadratic_assignment(12, seed=0, density=0.3))
     gm = construct_graph_matching_ilp(
         graph_matching(40, 40, seed=0, candidates=5, nr_quadratic=400)

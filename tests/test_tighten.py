@@ -186,3 +186,79 @@ def test_tighten_warm_start_preserves_converged_bound():
     assert cold.lower_bound_with_deferred() <= lb_init + 5e-3
     cold.iteration_block(200)
     assert lb_warm >= cold.lower_bound_with_deferred() - 5e-3
+
+
+def _mis_ilp(n, p, seed):
+    from bdd_tpu.utils.problems import independent_set
+
+    ilp = independent_set(n, edge_prob=p, seed=seed)
+    ilp.reorder_bfs()
+    ilp.normalize()
+    return ilp
+
+
+def test_conflict_cliques_structure():
+    """Clique groups are edge-disjoint C(k,2)-sized bags of at-most-1 BDDs."""
+    from bdd_tpu.solver.tighten import conflict_cliques
+
+    ilp = _mis_ilp(30, 0.3, seed=2)
+    pre = BddPreprocessor(ilp)
+    groups = conflict_cliques(pre.collection)
+    assert groups, "a 0.3-density conflict graph has triangles"
+    seen = set()
+    for g in groups:
+        # C(k,2) edges for some k >= 3
+        m = len(g)
+        k = int((1 + (1 + 8 * m) ** 0.5) / 2)
+        assert k * (k - 1) // 2 == m and k >= 3
+        for b in g:
+            assert b not in seen, "edge BDD melded twice"
+            seen.add(b)
+            assert len(pre.collection.variables(b)) == 2
+
+
+def test_clique_tighten_cuts_triangle_instantly():
+    """Triangle MIS: LP bound -1.5; the melded clique facet gives -1 at the
+    transferred duals BEFORE any re-solve iteration."""
+    ilp = ILPInput()
+    for v in range(3):
+        ilp.add_to_objective(-1.0, f"x_{v}")
+    for a in range(3):
+        for b in range(a + 1, 3):
+            ilp.add_linear_constraint([1, 1], [a, b], Ineq.LEQ, 1)
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    ts, groups = tighten_and_resolve(
+        pre, dict(dtype=jnp.float64), cliques=True
+    )
+    assert ts.lower_bound_with_deferred() == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_clique_tighten_beats_generic_on_mis():
+    """Random MIS: the clique melds close far more of the integrality gap
+    than the generic tight-variable clusters at the same budget (the
+    measured motivation for conflict_cliques — BENCH.md tightening table)."""
+    ilp = _mis_ilp(40, 0.25, seed=1)
+    finals = {}
+    for mode in (False, True):
+        pre = BddPreprocessor(ilp)
+        ts, _ = tighten_and_resolve(pre, dict(dtype=jnp.float64), cliques=mode)
+        run_solver(ts, max_iter=200, verbose=False, block_size=25)
+        finals[mode] = ts.lower_bound_with_deferred()
+    assert finals[True] >= finals[False] + 0.3
+    # validity: any feasible point (greedy independent set by weight)
+    # upper-bounds the optimum, which upper-bounds every dual bound
+    order = np.argsort(ilp.objective())
+    taken, x = set(), [0] * ilp.nr_variables()
+    conflicts = {
+        frozenset(m[0] for m in c.monomials) for c in ilp.constraints()
+    }
+    for v in order:
+        v = int(v)
+        if all(
+            frozenset((v, u)) not in conflicts for u in taken
+        ):
+            taken.add(v)
+            x[v] = 1
+    assert ilp.feasible(x)
+    assert finals[True] <= ilp.evaluate(x) + 1e-6
