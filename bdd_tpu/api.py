@@ -618,6 +618,8 @@ class BddSolver:
             return None
         if cfg.get("split chunk size"):
             return None  # BDD splitting runs in the python pipeline
+        if cfg.get("tighten"):
+            return None  # the tightening phase runs in the python pipeline
         p = cfg.get("perturbation rounding")
         if isinstance(p, dict) and p.get("method", cfg.get(
                 "rounding method", "incremental")) != "incremental":
@@ -824,6 +826,78 @@ class BddSolver:
             results[k] = res
         return results
 
+    def _tighten_phase(self, verbose: bool) -> float:
+        """Optional cut-tightening phase (config key ``"tighten"``: true or
+        {"cliques": bool, "eps": float, "node limit": int}) — meld BDD groups
+        around tight variables (clique facets in conflict graphs with
+        "cliques") and re-solve WARM from the transferred converged duals.
+        The reference implements tightening but never dispatches it
+        (include/bdd_tightening.h); here it is a pipeline phase. Returns the
+        (possibly improved) lower bound; the bound never decreases (warm
+        cost transfer, BENCH.md tightening table)."""
+        from bdd_tpu.solver.tighten import (
+            conflict_cliques,
+            tight_variables,
+            tighten_collection,
+        )
+        from bdd_tpu.solver.uniform_wrapper import UniformSolver
+
+        t_cfg = self.config["tighten"]
+        if not isinstance(t_cfg, dict):
+            t_cfg = {}
+        s = self.solver
+        if not hasattr(s, "export_layer_costs") and hasattr(s, "base"):
+            s = s.base
+        lb0 = float(s.lower_bound_with_deferred())
+        if not all(
+            hasattr(s, a)
+            for a in ("export_layer_costs", "min_marginals", "f")
+        ):
+            bdd_log("[tighten] solver exposes no layer costs — skipped")
+            return lb0
+        s.distribute_delta()
+        m0, m1 = s.min_marginals()
+        tv = tight_variables(s.f, m0, m1, eps=float(t_cfg.get("eps", 1e-4)))
+        costs = s.export_layer_costs()
+        explicit = None
+        if t_cfg.get("cliques", True):
+            explicit = conflict_cliques(self.pre.collection, tv) or None
+        new_col, new_costs, groups = tighten_collection(
+            self.pre.collection,
+            tv,
+            layer_costs=costs,
+            node_limit=int(t_cfg.get("node limit", 200000)),
+            explicit_groups=explicit,
+        )
+        melded = sum(1 for g in groups.values() if len(g) > 1)
+        if melded == 0:
+            bdd_log("[tighten] no groups melded")
+            return lb0
+        bdd_log(
+            f"[tighten] {melded} groups melded "
+            f"({'clique facets' if explicit else 'tight-variable clusters'}),"
+            f" bdds {self.pre.collection.nr_bdds()} -> {new_col.nr_bdds()}"
+        )
+        import jax.numpy as jnp
+
+        dt = (
+            jnp.float64
+            if self.config["precision"] == "double"
+            else jnp.float32
+        )
+        self.solver = UniformSolver(
+            new_col,
+            self.pre.total_nr_variables(),
+            self.pre.objective_vector(),
+            nr_primal_vars=self.pre.nr_primal_variables,
+            layer_costs=new_costs,
+            dtype=dt,
+        )
+        lb = self.solve_dual(verbose=verbose)
+        lb = float(self.solver.lower_bound_with_deferred())
+        bdd_log(f"[tighten] lower bound {lb0:.6f} -> {lb:.6f}")
+        return max(lb, lb0)
+
     def solve(self, verbose: bool = True) -> Dict:
         """Full pipeline; returns result dict."""
         if self._ilp is None and self._lp_text is None:
@@ -849,6 +923,8 @@ class BddSolver:
         lb = self.solver.lower_bound_with_deferred() if hasattr(
             self.solver, "lower_bound_with_deferred"
         ) else lb
+        if self.config.get("tighten") and not self.infeasible:
+            lb = self._tighten_phase(verbose)
         if self.config.get("export difficult core"):
             self.export_difficult_core()
         sol = self.round(verbose=verbose)

@@ -262,3 +262,29 @@ def test_clique_tighten_beats_generic_on_mis():
             x[v] = 1
     assert ilp.feasible(x)
     assert finals[True] <= ilp.evaluate(x) + 1e-6
+
+
+def test_api_tighten_phase_mis():
+    """config 'tighten' runs the clique-cut phase inside the pipeline and
+    improves the MIS bound (the reference never dispatches its tightening)."""
+    from bdd_tpu.api import BddSolver
+    from bdd_tpu.utils.problems import independent_set
+
+    lp = independent_set(30, edge_prob=0.3, seed=2).write_lp()
+    lbs = {}
+    for tighten in (False, True):
+        s = BddSolver(
+            {
+                "relaxation solver": "uniform mma",
+                "precision": "double",
+                "variable order": "bfs",
+                "termination criteria": {"maximum iterations": 500},
+                "tighten": {"cliques": True} if tighten else False,
+                "perturbation rounding": False,
+            }
+        )
+        s.read_ilp(lp_string=lp)
+        r = s.solve(verbose=False)
+        assert r["status"] == "solved"
+        lbs[tighten] = r["lower_bound"]
+    assert lbs[True] >= lbs[False] + 0.2
