@@ -836,7 +836,7 @@ class BddSolver:
         (possibly improved) lower bound; the bound never decreases (warm
         cost transfer, BENCH.md tightening table)."""
         from bdd_tpu.solver.tighten import (
-            conflict_cliques,
+            conflict_cuts,
             tight_variables,
             tighten_collection,
         )
@@ -860,8 +860,16 @@ class BddSolver:
         tv = tight_variables(s.f, m0, m1, eps=float(t_cfg.get("eps", 1e-4)))
         costs = s.export_layer_costs()
         explicit = None
-        if t_cfg.get("cliques", True):
-            explicit = conflict_cliques(self.pre.collection, tv) or None
+        if t_cfg.get("cliques", True) or t_cfg.get("odd cycles", True):
+            explicit = (
+                conflict_cuts(
+                    self.pre.collection,
+                    tv,
+                    cliques=t_cfg.get("cliques", True),
+                    odd_cycles=t_cfg.get("odd cycles", True),
+                )
+                or None
+            )
         new_col, new_costs, groups = tighten_collection(
             self.pre.collection,
             tv,

@@ -51,10 +51,116 @@ def tight_variables(flat_view, m0: np.ndarray, m1: np.ndarray, eps: float = 1e-6
     return np.nonzero(np.abs(sums) <= eps)[0]
 
 
+def _conflict_graph(
+    collection: BddCollection, tight: Optional[set]
+) -> Tuple[Dict[Tuple[int, int], int], Dict[int, set]]:
+    """The pairwise-conflict graph: an edge (u, v) per BDD that is
+    structurally the at-most-1 constraint over exactly {u, v} (3 solutions,
+    both-ones excluded), restricted to tight variables when given."""
+    edge_bdd: Dict[Tuple[int, int], int] = {}
+    adj: Dict[int, set] = {}
+    for b in range(collection.nr_bdds()):
+        vs = collection.variables(b)
+        if len(vs) != 2:
+            continue
+        u, v = int(vs[0]), int(vs[1])
+        if tight is not None and (u not in tight or v not in tight):
+            continue
+        if collection.nr_solutions(b) != 3:
+            continue
+        if collection.nr_solutions(b, positive_variables=[u, v]) != 0:
+            continue
+        e = (u, v) if u < v else (v, u)
+        if e in edge_bdd:
+            continue
+        edge_bdd[e] = b
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return edge_bdd, adj
+
+
+def conflict_odd_cycles(
+    collection: BddCollection,
+    tight_vars: Optional[Sequence[int]] = None,
+    max_len: int = 7,
+    used_edges: Optional[set] = None,
+) -> Tuple[List[List[int]], set]:
+    """Odd-cycle groups (length 5..max_len) in the pairwise-conflict graph.
+
+    A chord-free odd cycle C of length k melds its k edge BDDs into the
+    exact cycle polytope, whose Lagrange subproblem carries the odd-cycle
+    inequality sum <= (k-1)/2 — the facet class BEYOND cliques (a triangle
+    IS a 3-clique; this finds k >= 5). Shortest odd cycle through each
+    vertex via BFS on the bipartite double cover ((v, parity) states: the
+    shortest (s,0)->(s,1) walk is the shortest odd closed walk through s);
+    non-simple walks are discarded, edges are used at most once (and not
+    reused from ``used_edges`` — pass the clique pass's edge set to stack
+    both separations). Returns (groups, used_edges_updated)."""
+    tight = None if tight_vars is None else set(int(v) for v in tight_vars)
+    edge_bdd, adj = _conflict_graph(collection, tight)
+    used: set = set(used_edges or ())
+    groups: List[List[int]] = []
+    from collections import deque
+
+    for s in sorted(adj):
+        # BFS over (vertex, parity), depth-bounded by max_len
+        start = (s, 0)
+        parent: Dict[Tuple[int, int], Tuple[int, int]] = {start: start}
+        depth = {start: 0}
+        q = deque([start])
+        found = None
+        while q and found is None:
+            node = q.popleft()
+            v, p = node
+            if depth[node] >= max_len:
+                break
+            for w in adj[v]:
+                nxt = (w, 1 - p)
+                if nxt in parent:
+                    continue
+                parent[nxt] = node
+                depth[nxt] = depth[node] + 1
+                if nxt == (s, 1):
+                    found = nxt
+                    break
+                q.append(nxt)
+        if found is None:
+            continue
+        # reconstruct the closed odd walk: (s,1) back to (s,0); the (s,1)
+        # endpoint contributes s itself, so the collected vertices are
+        # exactly the cycle (s appears once)
+        walk = []
+        node = found
+        while node != start:
+            walk.append(node[0])
+            node = parent[node]
+        cyc = walk[::-1]  # cycle vertices in order, wraparound implicit
+        k = len(cyc)
+        if k < 5 or k % 2 == 0:
+            continue  # triangles belong to the clique pass
+        if len(set(cyc)) != k:
+            continue  # non-simple shortest odd walk — skip
+        edges = []
+        ok = True
+        for i in range(k):
+            a, b2 = cyc[i], cyc[(i + 1) % k]
+            e = (a, b2) if a < b2 else (b2, a)
+            if e in used or e not in edge_bdd:
+                ok = False
+                break
+            edges.append(e)
+        if not ok:
+            continue
+        used.update(edges)
+        groups.append([edge_bdd[e] for e in edges])
+    return groups, used
+
+
 def conflict_cliques(
     collection: BddCollection,
     tight_vars: Optional[Sequence[int]] = None,
     max_clique: int = 8,
+    used_edges: Optional[set] = None,
 ) -> List[List[int]]:
     """Clique groups in the pairwise-conflict graph (MIS-style models).
 
@@ -75,28 +181,8 @@ def conflict_cliques(
     notion — this is a strengthening the BDD meld machinery makes cheap.)
     """
     tight = None if tight_vars is None else set(int(v) for v in tight_vars)
-    edge_bdd: Dict[Tuple[int, int], int] = {}
-    adj: Dict[int, set] = {}
-    for b in range(collection.nr_bdds()):
-        vs = collection.variables(b)
-        if len(vs) != 2:
-            continue
-        u, v = int(vs[0]), int(vs[1])
-        if tight is not None and (u not in tight or v not in tight):
-            continue
-        # structural at-most-1 check: 3 solutions, both-ones excluded
-        if collection.nr_solutions(b) != 3:
-            continue
-        if collection.nr_solutions(b, positive_variables=[u, v]) != 0:
-            continue
-        e = (u, v) if u < v else (v, u)
-        if e in edge_bdd:
-            continue
-        edge_bdd[e] = b
-        adj.setdefault(u, set()).add(v)
-        adj.setdefault(v, set()).add(u)
-
-    used: set = set()
+    edge_bdd, adj = _conflict_graph(collection, tight)
+    used: set = used_edges if used_edges is not None else set()
     groups: List[List[int]] = []
     for (u, v) in sorted(edge_bdd):
         if (u, v) in used:
@@ -122,6 +208,30 @@ def conflict_cliques(
             continue  # edge-disjoint cliques: each BDD melds once
         used.update(edges)
         groups.append([edge_bdd[e] for e in edges])
+    return groups
+
+
+def conflict_cuts(
+    collection: BddCollection,
+    tight_vars: Optional[Sequence[int]] = None,
+    cliques: bool = True,
+    odd_cycles: bool = True,
+    max_clique: int = 8,
+    max_cycle_len: int = 7,
+) -> List[List[int]]:
+    """Combined conflict-graph separation: clique facets first, then odd
+    cycles over the edges no clique consumed (both edge-disjoint)."""
+    groups: List[List[int]] = []
+    used: set = set()
+    if cliques:
+        groups += conflict_cliques(
+            collection, tight_vars, max_clique, used_edges=used
+        )
+    if odd_cycles:
+        cyc, used = conflict_odd_cycles(
+            collection, tight_vars, max_cycle_len, used_edges=used
+        )
+        groups += cyc
     return groups
 
 
@@ -342,11 +452,11 @@ def tighten_and_resolve(
     costs = base.export_layer_costs() if warm_start else None
     explicit = None
     if cliques:
-        # clique-cut mode (``conflict_cliques``): meld the C(k,2) edge BDDs
-        # of each conflict-graph clique into the facet sum <= 1; fall back
-        # to the generic tight-variable clusters when the model has no
-        # pairwise-conflict structure
-        explicit = conflict_cliques(pre.collection, tv) or None
+        # conflict-graph separation (``conflict_cuts``): meld each clique's
+        # C(k,2) edge BDDs into the facet sum <= 1, then odd cycles (k >= 5)
+        # over the remaining edges; fall back to the generic tight-variable
+        # clusters when the model has no pairwise-conflict structure
+        explicit = conflict_cuts(pre.collection, tv) or None
     new_col, new_costs, groups = tighten_collection(
         pre.collection, tv, layer_costs=costs, explicit_groups=explicit
     )
