@@ -893,6 +893,7 @@ class BddSolver:
             if self.config["precision"] == "double"
             else jnp.float32
         )
+        pre_solver = self.solver
         self.solver = UniformSolver(
             new_col,
             self.pre.total_nr_variables(),
@@ -904,7 +905,14 @@ class BddSolver:
         lb = self.solve_dual(verbose=verbose)
         lb = float(self.solver.lower_bound_with_deferred())
         bdd_log(f"[tighten] lower bound {lb0:.6f} -> {lb:.6f}")
-        return max(lb, lb0)
+        self._tighten_bounds = (lb0, lb)
+        if lb < lb0:
+            # the warm re-solve did not recover the pre-tighten bound in
+            # budget: keep the original solver so the bound we report is the
+            # bound actually held by the state rounding runs on
+            self.solver = pre_solver
+            return lb0
+        return lb
 
     def solve(self, verbose: bool = True) -> Dict:
         """Full pipeline; returns result dict."""
@@ -936,8 +944,16 @@ class BddSolver:
         if self.config.get("export difficult core"):
             self.export_difficult_core()
         sol = self.round(verbose=verbose)
+        if hasattr(self.solver, "close"):
+            self.solver.close()  # hybrid mma: release the worker thread
         result = {"status": "solved", "lower_bound": float(lb),
                   **self.dual_stats}
+        tb = getattr(self, "_tighten_bounds", None)
+        if tb is not None:
+            result["tighten"] = {
+                "pre_lower_bound": float(tb[0]),
+                "post_lower_bound": float(tb[1]),
+            }
         if sol is not None:
             x = [int(v) for v in sol]
             result["solution"] = {

@@ -509,7 +509,8 @@ class HybridSolver:
 
     def iteration_block(self, n: int) -> None:
         if self.host is None:  # degenerate: everything on the host solver
-            self._cs.iterations(n, self.omega)
+            if self._cs is not None:
+                self._cs.iterations(n, self.omega)
             return
         if self.mode == "sync":
             om = jnp.asarray(self.omega, self.dtype)
@@ -544,6 +545,8 @@ class HybridSolver:
         """Bound after (virtually) distributing the COMBINED deferred delta
         on both sides — the reference's lower_bound_after_distribution."""
         if self.host is None:
+            if self._cs is None:  # empty collection on both sides
+                return 0.0
             return self._cs.lower_bound_with_deferred()
         self._join()
         if self.mode == "sync":
@@ -657,5 +660,18 @@ class HybridSolver:
         return cs
 
     def close(self) -> None:
+        """Release the worker pool (idempotent; also invoked by __del__ and
+        the BddSolver pipeline after rounding so each 'hybrid mma' solve
+        does not leak a ThreadPoolExecutor thread until GC)."""
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            return
         self._join()
-        self._pool.shutdown(wait=True)
+        pool.shutdown(wait=True)
+        self._pool = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass

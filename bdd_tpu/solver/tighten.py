@@ -161,7 +161,7 @@ def conflict_cliques(
     tight_vars: Optional[Sequence[int]] = None,
     max_clique: int = 8,
     used_edges: Optional[set] = None,
-) -> List[List[int]]:
+) -> Tuple[List[List[int]], set]:
     """Clique groups in the pairwise-conflict graph (MIS-style models).
 
     On MIS relaxations every edge constraint ``x_u + x_v <= 1`` is its own
@@ -176,13 +176,16 @@ def conflict_cliques(
     max-connectivity; accept at size >= 3. Only BDDs that ARE pairwise
     at-most-1 constraints participate (structural check via nr_solutions).
 
-    Returns explicit meld groups for ``tighten_collection(groups=...)``.
+    Returns ``(groups, used_edges_updated)`` — explicit meld groups for
+    ``tighten_collection(groups=...)`` plus the consumed edge set (same
+    copy-and-return contract as ``conflict_odd_cycles``; the caller's set
+    is never mutated).
     (ref: bdd_tightening.h's variable-grouping heuristic has no clique
     notion — this is a strengthening the BDD meld machinery makes cheap.)
     """
     tight = None if tight_vars is None else set(int(v) for v in tight_vars)
     edge_bdd, adj = _conflict_graph(collection, tight)
-    used: set = used_edges if used_edges is not None else set()
+    used: set = set(used_edges or ())
     groups: List[List[int]] = []
     for (u, v) in sorted(edge_bdd):
         if (u, v) in used:
@@ -208,7 +211,7 @@ def conflict_cliques(
             continue  # edge-disjoint cliques: each BDD melds once
         used.update(edges)
         groups.append([edge_bdd[e] for e in edges])
-    return groups
+    return groups, used
 
 
 def conflict_cuts(
@@ -224,9 +227,10 @@ def conflict_cuts(
     groups: List[List[int]] = []
     used: set = set()
     if cliques:
-        groups += conflict_cliques(
+        grp, used = conflict_cliques(
             collection, tight_vars, max_clique, used_edges=used
         )
+        groups += grp
     if odd_cycles:
         cyc, used = conflict_odd_cycles(
             collection, tight_vars, max_cycle_len, used_edges=used
@@ -345,6 +349,11 @@ def _meld_groups(
     node_limit: int,
 ):
     nb = collection.nr_bdds()
+    # groups must be disjoint: a BDD melded into two groups would have its
+    # transferred layer costs counted twice (the separators guarantee this
+    # via edge-disjointness; guard against future composed callers)
+    _all = [b for members in groups.values() for b in members]
+    assert len(_all) == len(set(_all)), "meld groups must be disjoint"
     out = BddCollection()
     out_costs: Dict[Tuple[int, int], Tuple[float, float]] = {}
     group_of_new: Dict[int, List[int]] = {}

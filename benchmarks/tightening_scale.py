@@ -107,7 +107,7 @@ def run(name, ilp, budgets=(20000, 200000), cliques=False, **solve_kw):
         # clique-cut mode: meld each conflict-graph clique's edge BDDs into
         # the facet sum <= 1 (tighten.conflict_cliques) instead of the
         # generic tight-variable clusters
-        explicit = conflict_cliques(col, tv) or None
+        explicit = conflict_cliques(col, tv)[0] or None
         print(f"[{name}] clique groups: "
               f"{0 if explicit is None else len(explicit)}", flush=True)
     for budget in budgets:

@@ -1425,6 +1425,7 @@ struct CpuSolver {
     // state
     std::vector<double> lo_cost, hi_cost, def_mm;  // per layer
     std::vector<double> cfr, cft;                  // per node
+    std::vector<double> mm_scratch;                // min_marginals fwd scratch
     bool cft_valid = false;
 
     // scratch
@@ -1716,6 +1717,13 @@ struct CpuSolver {
     void min_marginals(double* m0, double* m1) {
         if (!cft_valid) backward_run();
         const double INFD = std::numeric_limits<double>::infinity();
+        // forward pass on a SCRATCH buffer: the persistent cfr holds the
+        // half-sweep forward state that a pending backward half_iteration
+        // (dir=-1) will consume — clobbering it here would corrupt that
+        // sweep. Per-BDD node ranges are disjoint, so one shared scratch
+        // vector is race-free under the parallel-for.
+        std::vector<double>& sfr = mm_scratch;
+        if ((int64_t)sfr.size() != nr_nodes) sfr.assign(nr_nodes, 0.0);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 16)
 #endif
@@ -1723,19 +1731,19 @@ struct CpuSolver {
             const int64_t* lvl = &level_off[lvl_idx[b]];
             const int64_t d = layer_off[b + 1] - layer_off[b];
             const int64_t nb = node_off[b], ne = node_off[b + 1];
-            for (int64_t i = nb; i < ne; ++i) cfr[i] = INFD;
-            cfr[nb] = 0.0;
+            for (int64_t i = nb; i < ne; ++i) sfr[i] = INFD;
+            sfr[nb] = 0.0;
             for (int64_t h = 0; h < d; ++h) {
                 const int64_t l = layer_off[b] + h;
                 const double cl = lo_cost[l], ch = hi_cost[l];
                 double a0 = INFD, a1 = INFD;
                 for (int64_t i = lvl[h]; i < lvl[h + 1]; ++i) {
-                    const double r = cfr[i];
+                    const double r = sfr[i];
                     a0 = std::min(a0, r + cl + term_cft(lo_arc[i], cft.data()));
                     a1 = std::min(a1, r + ch + term_cft(hi_arc[i], cft.data()));
                     const int64_t c0 = lo_arc[i], c1 = hi_arc[i];
-                    if (c0 >= 0) cfr[c0] = std::min(cfr[c0], r + cl);
-                    if (c1 >= 0) cfr[c1] = std::min(cfr[c1], r + ch);
+                    if (c0 >= 0) sfr[c0] = std::min(sfr[c0], r + cl);
+                    if (c1 >= 0) sfr[c1] = std::min(sfr[c1], r + ch);
                 }
                 m0[l] = a0;
                 m1[l] = a1;

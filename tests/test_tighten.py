@@ -203,7 +203,7 @@ def test_conflict_cliques_structure():
 
     ilp = _mis_ilp(30, 0.3, seed=2)
     pre = BddPreprocessor(ilp)
-    groups = conflict_cliques(pre.collection)
+    groups, _ = conflict_cliques(pre.collection)
     assert groups, "a 0.3-density conflict graph has triangles"
     seen = set()
     for g in groups:
