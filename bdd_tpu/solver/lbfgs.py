@@ -346,6 +346,8 @@ class _DeviceLbfgs:
             )
 
         self._step = jax.jit(step_fn)
+        self._step_raw = step_fn
+        self._block_fns: dict = {}
         xs = jax.eval_shape(netc, base.geom, base.state)
         zeros = lambda sd: jnp.zeros(sd.shape, sd.dtype)
         ztree = jax.tree.map(zeros, xs)
@@ -369,6 +371,34 @@ class _DeviceLbfgs:
 
     def iteration(self) -> None:
         state, self.hist, self.aux = self._step(
+            self.base.geom, self.base.state, self.hist, self.aux
+        )
+        self.base.state = state
+
+    def iteration_block(self, n: int) -> None:
+        """n outer iterations as ONE compiled scan — the lb fetch (a host
+        sync: ~0.1-0.5 s over the tunnel) then happens once per block in
+        run_solver instead of once per outer iteration (VERDICT r4 #6; the
+        same treatment run_solver's adaptive period gives plain MMA)."""
+        if n == 1:
+            self.iteration()
+            return
+        fn = self._block_fns.get(n)
+        if fn is None:
+            step = self._step_raw
+
+            def block(geom, state, hist, aux):
+                def body(carry, _):
+                    return step(geom, *carry), None
+
+                carry, _ = lax.scan(
+                    body, (state, hist, aux), None, length=n
+                )
+                return carry
+
+            fn = jax.jit(block)
+            self._block_fns[n] = fn
+        state, self.hist, self.aux = fn(
             self.base.geom, self.base.state, self.hist, self.aux
         )
         self.base.state = state
@@ -414,6 +444,11 @@ class LbfgsSolver:
             not self.ops.sharded
             and os.environ.get("BDD_TPU_LBFGS_HOST") != "1"
         )
+        # device path: outer iterations scan on-device, so run_solver can
+        # amortize its lb host-sync over a block (VERDICT r4 #6). Host /
+        # sharded paths need per-iteration host control flow.
+        if self._use_device:
+            self.default_block_size = 10
 
     # ----------------------------------------------------------- base passthru
     def lower_bound(self) -> float:
@@ -530,6 +565,17 @@ class LbfgsSolver:
         self.num_unsuccessful = 0
 
     # --------------------------------------------------------------- iteration
+    def iteration_block(self, n: int) -> None:
+        """Device path: n outer iterations in one compiled program (no
+        per-iteration lb sync). Elsewhere: a host loop (same semantics)."""
+        if self._use_device:
+            if self._dev is None:
+                self._dev = _DeviceLbfgs(self)
+            self._dev.iteration_block(n)
+            return
+        for _ in range(n):
+            self.iteration()
+
     def iteration(self) -> None:
         if self._use_device:
             if self._dev is None:

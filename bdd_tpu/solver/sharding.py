@@ -79,6 +79,123 @@ def partition_bdds(collection: BddCollection, nr_shards: int) -> List[List[int]]
     return parts
 
 
+def shared_width(
+    collection: BddCollection, parts: List[List[int]]
+) -> int:
+    """Cost of a partition under the split exchange plans: the shared-region
+    width sum_{v shared} max_s cnt[v, s] — each shard's sort must carry one
+    column per shared variable's max-over-shards BDD count (BENCH.md
+    'shared-count-profile floor'). Private variables cost nothing extra."""
+    D = len(parts)
+    V = 0
+    vars_of = []
+    for b in range(collection.nr_bdds()):
+        vs = np.asarray(sorted(collection.level_variables(b)), dtype=np.int64)
+        vars_of.append(vs)
+        if len(vs):
+            V = max(V, int(vs[-1]) + 1)
+    cnt = np.zeros((V, D), dtype=np.int32)
+    for s, p in enumerate(parts):
+        for b in p:
+            cnt[vars_of[b], s] += 1
+    nnz = (cnt > 0).sum(axis=1)
+    return int(cnt.max(axis=1)[nnz >= 2].sum())
+
+
+def refine_partition_mincut(
+    collection: BddCollection,
+    parts: List[List[int]],
+    balance: float = 0.1,
+    max_passes: int = 8,
+) -> List[List[int]]:
+    """KL-style greedy refinement of a BDD partition minimizing the
+    shared-variable width (see ``shared_width``) under a node-count balance
+    constraint (no shard above (1+balance) x average).
+
+    The block partition (``partition_bdds``) is locality-aware only through
+    the variable ORDER; on quadratically-coupled families (QAP, GM) many
+    BDDs straddle any contiguous split. This pass moves boundary BDDs to
+    the shard where most of their variables already live, deterministically
+    (fixed scan order, strict-improvement moves), until a pass makes no
+    move. Cost per pass is O(sum_b |vars(b)| * touched shards) in vectorized
+    numpy. (SURVEY §7 'multi-host BDD partitioning'; the reference's
+    two-way CPU/GPU split, bdd_multi_parallel_mma_base.cu:268-455, has no
+    partitioner to port — it splits by a fixed hop threshold.)"""
+    nb = collection.nr_bdds()
+    D = len(parts)
+    if D <= 1 or nb == 0:
+        return parts
+    vars_of = [
+        np.asarray(sorted(collection.level_variables(b)), dtype=np.int64)
+        for b in range(nb)
+    ]
+    sizes = np.asarray(
+        [collection.nr_bdd_nodes(b) for b in range(nb)], dtype=np.float64
+    )
+    V = max((int(v[-1]) for v in vars_of if len(v)), default=-1) + 1
+    cnt = np.zeros((V, D), dtype=np.int32)
+    shard_of = np.empty(nb, dtype=np.int32)
+    for s, p in enumerate(parts):
+        for b in p:
+            shard_of[b] = s
+            cnt[vars_of[b], s] += 1
+    shard_nodes = np.zeros(D)
+    shard_len = np.zeros(D, dtype=np.int64)
+    for s, p in enumerate(parts):
+        shard_nodes[s] = sizes[list(p)].sum() if len(p) else 0.0
+        shard_len[s] = len(p)
+    hi = (1.0 + balance) * sizes.sum() / D
+
+    def contribs(rows: np.ndarray) -> np.ndarray:
+        # per-variable shared-width contribution of a [k, D] count block
+        return np.where((rows > 0).sum(axis=1) >= 2, rows.max(axis=1), 0)
+
+    # scan order: BDDs with many variables first (largest potential gain)
+    order = sorted(range(nb), key=lambda b: (-len(vars_of[b]), b))
+    for _ in range(max_passes):
+        moved = 0
+        for b in order:
+            vb = vars_of[b]
+            if len(vb) == 0:
+                continue
+            s = int(shard_of[b])
+            if shard_len[s] <= 1:
+                continue  # never empty a shard
+            rows = cnt[vb]
+            base = contribs(rows)
+            if int(base.sum()) == 0:
+                continue  # fully private: no move can help
+            cand = np.nonzero(rows.sum(axis=0) > 0)[0]
+            best_gain, best_t = 0, -1
+            for t in cand:
+                t = int(t)
+                if t == s or shard_nodes[t] + sizes[b] > hi:
+                    continue
+                rows2 = rows.copy()
+                rows2[:, s] -= 1
+                rows2[:, t] += 1
+                gain = int(base.sum() - contribs(rows2).sum())
+                if gain > best_gain or (
+                    gain == best_gain and best_t >= 0 and t < best_t
+                ):
+                    best_gain, best_t = gain, t
+            if best_t >= 0 and best_gain > 0:
+                cnt[vb, s] -= 1
+                cnt[vb, best_t] += 1
+                shard_nodes[s] -= sizes[b]
+                shard_nodes[best_t] += sizes[b]
+                shard_len[s] -= 1
+                shard_len[best_t] += 1
+                shard_of[b] = best_t
+                moved += 1
+        if moved == 0:
+            break
+    return [
+        sorted(int(b) for b in np.nonzero(shard_of == s)[0])
+        for s in range(D)
+    ]
+
+
 def _subcollection(collection: BddCollection, bdd_nrs: List[int]) -> BddCollection:
     out = BddCollection()
     for b in bdd_nrs:

@@ -80,13 +80,40 @@ def build_shard_geoms(
     pack: Optional[bool] = None,
     nr_primal_vars: Optional[int] = None,
     plan_family: str = "auto",
+    partition: str = "auto",
 ):
     """Build the D per-shard uniform geometries (equal shapes across shards:
     global bucket keys, padded column counts, globally-shaped exchange plans).
     Returns (geoms, hosts, layer_bdd_padded, counts). Standalone so the
     multi-chip projection benchmark can measure per-shard compute on one real
-    chip without constructing a mesh."""
+    chip without constructing a mesh.
+
+    ``partition``: 'block' = contiguous median-variable blocks; 'mincut' =
+    block + KL-style refinement minimizing the shared-variable width;
+    'auto' = refine only when the block partition's shared width is a
+    significant fraction of the incidences AND refinement actually shrinks
+    it >= 5% (quadratically-coupled families; grids keep their ideal
+    contiguous windows)."""
+    from bdd_tpu.solver.sharding import (
+        refine_partition_mincut,
+        shared_width,
+    )
+
     parts = partition_bdds(collection, D)
+    if partition not in ("block",) and D > 1:
+        w_block = shared_width(collection, parts)
+        total_inc = sum(
+            len(collection.level_variables(b))
+            for b in range(collection.nr_bdds())
+        )
+        want = partition == "mincut" or (
+            partition == "auto" and w_block > 0.15 * max(total_inc, 1)
+        )
+        if want:
+            refined = refine_partition_mincut(collection, parts)
+            w_ref = shared_width(collection, refined)
+            if partition == "mincut" or w_ref < 0.95 * w_block:
+                parts = refined
     # global counts over all shards
     counts = np.zeros(nr_vars, dtype=np.int32)
     for b in range(collection.nr_bdds()):
@@ -290,6 +317,7 @@ class ShardedUniformSolver:
         omega: float = 0.5,
         pack: Optional[bool] = None,
         plan_family: str = "auto",
+        partition: str = "auto",
     ) -> None:
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("b",))
@@ -303,6 +331,7 @@ class ShardedUniformSolver:
         geoms, hosts, layer_bdd_padded, counts = build_shard_geoms(
             collection, nr_vars, D, dtype=dtype, pack=pack,
             nr_primal_vars=nr_primal_vars, plan_family=plan_family,
+            partition=partition,
         )
         self._shard_hosts = hosts
         all_keys = list(range(len(geoms[0].buckets)))

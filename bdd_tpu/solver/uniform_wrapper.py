@@ -64,6 +64,23 @@ class UniformSolver:
         self.dtype = dtype
         self.f = UniformLayerView(self.host)
 
+    @classmethod
+    def from_host(
+        cls, host, objective, dtype=jnp.float32, omega: float = 0.5
+    ) -> "UniformSolver":
+        """Wrap an ALREADY-FLATTENED uniform host (e.g. from
+        native.NativeHost.make_uniform_host) without re-running the Python
+        flattener — the cheap path for bench/serving code that built the
+        geometry natively."""
+        self = cls.__new__(cls)
+        self.host = host
+        self.geom = host.geom
+        self.state = uf.init_uniform_state(host, objective, dtype=dtype)
+        self.omega = omega
+        self.dtype = dtype
+        self.f = UniformLayerView(host)
+        return self
+
     def export_layer_costs(self) -> dict:
         """Converged duals as {(bdd, var): (lo, hi)} — distribute the
         deferred ledger first so the dict carries the full decomposition

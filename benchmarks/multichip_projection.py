@@ -133,7 +133,17 @@ def t_psum_2host(S, D):
 
 
 def main() -> int:
-    families = sys.argv[1:] or ["grid12", "qap18", "grid24", "gm50k"]
+    # --partition=block|mincut|auto|both (both: one row per partition mode,
+    # for the VERDICT r4 #4 A/B on the quadratically-coupled families)
+    partition = "auto"
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--partition="):
+            partition = a.split("=", 1)[1]
+        else:
+            args.append(a)
+    families = args or ["grid12", "qap18", "grid24", "gm50k"]
+    modes = ["block", "mincut"] if partition == "both" else [partition]
     print(
         f"# model: BW_ICI={BW_ICI/1e9:.0f} GB/s  LAT_HOP={LAT_HOP*1e6:.0f} us  "
         f"BW_DCN={BW_DCN/1e9:.0f} GB/s  LAT_DCN={LAT_DCN*1e6:.0f} us",
@@ -155,31 +165,36 @@ def main() -> int:
             flush=True,
         )
         for D in (2, 4, 8):
-            geoms, hosts, _, counts = us.build_shard_geoms(pre.collection, V, D)
-            g0 = geoms[0]
-            h0 = uf.UniformHost(
-                geom=g0, bdd_of_col=(), depths=(), nr_vars=V,
-                nr_primal_vars=pre.nr_primal_variables, nr_bdds=0,
-            )
-            s0 = uf.init_uniform_state(h0, obj)
-            Ts = time_iteration(g0, s0, n)
-            S = payload_bytes(g0.exchange, V)
-            Es = sum(g.H * g.B for g in g0.buckets)
-            Ns = g0.exchange.key_fwd.shape[0] if g0.exchange else 0
-            tp_ici = t_psum_ici(S, D)
-            tp_dcn = t_psum_2host(S, D)
-            TD = Ts + 2 * tp_ici
-            TD2h = Ts + 2 * tp_dcn
-            eff = T1 / (D * TD)
-            eff2h = T1 / (D * TD2h)
-            print(
-                f"#  D={D}: shard E={Es} N={Ns} T_shard={Ts*1e3:.3f} ms  "
-                f"psum S={S/1024:.0f} KiB t={tp_ici*1e6:.1f} us  "
-                f"-> T_D={TD*1e3:.3f} ms  {1/TD:.1f} it/s  "
-                f"eff={eff*100:.0f}%  (2-host: {1/TD2h:.1f} it/s, "
-                f"eff={eff2h*100:.0f}%)",
-                flush=True,
-            )
+            for mode in modes:
+                geoms, hosts, _, counts = us.build_shard_geoms(
+                    pre.collection, V, D, partition=mode
+                )
+                g0 = geoms[0]
+                h0 = uf.UniformHost(
+                    geom=g0, bdd_of_col=(), depths=(), nr_vars=V,
+                    nr_primal_vars=pre.nr_primal_variables, nr_bdds=0,
+                )
+                s0 = uf.init_uniform_state(h0, obj)
+                Ts = time_iteration(g0, s0, n)
+                S = payload_bytes(g0.exchange, V)
+                Es = sum(g.H * g.B for g in g0.buckets)
+                Ns = g0.exchange.key_fwd.shape[0] if g0.exchange else 0
+                tp_ici = t_psum_ici(S, D)
+                tp_dcn = t_psum_2host(S, D)
+                TD = Ts + 2 * tp_ici
+                TD2h = Ts + 2 * tp_dcn
+                eff = T1 / (D * TD)
+                eff2h = T1 / (D * TD2h)
+                tag = f" [{mode}]" if len(modes) > 1 else ""
+                print(
+                    f"#  D={D}{tag}: shard E={Es} N={Ns} "
+                    f"T_shard={Ts*1e3:.3f} ms  "
+                    f"psum S={S/1024:.0f} KiB t={tp_ici*1e6:.1f} us  "
+                    f"-> T_D={TD*1e3:.3f} ms  {1/TD:.1f} it/s  "
+                    f"eff={eff*100:.0f}%  (2-host: {1/TD2h:.1f} it/s, "
+                    f"eff={eff2h*100:.0f}%)",
+                    flush=True,
+                )
     return 0
 
 

@@ -30,6 +30,7 @@ from bdd_tpu.solver.rounding_device import incremental_mm_rounding_device
 from bdd_tpu.solver.run import run_solver
 from bdd_tpu.solver.tighten import (
     conflict_cliques,
+    conflict_cuts,
     tight_variables,
     tighten_collection,
 )
@@ -70,7 +71,8 @@ def upper_bound(s, ilp):
         return float("inf")
 
 
-def run(name, ilp, budgets=(20000, 200000), cliques=False, **solve_kw):
+def run(name, ilp, budgets=(20000, 200000), cliques=False, cuts=None,
+        **solve_kw):
     t0 = time.time()
     ilp_eval = ilp  # evaluate() needs the pre-normalize objective constant
     ilp.reorder_bfs()
@@ -103,7 +105,17 @@ def run(name, ilp, budgets=(20000, 200000), cliques=False, **solve_kw):
         return
     print(f"[{name}] tight vars: {len(tv)} / {nv}", flush=True)
     explicit = None
-    if cliques:
+    if cuts is not None:
+        # conflict-graph separation (VERDICT r4 #3 A/B): 'cliques' = clique
+        # facets only; 'cliques+odd' = cliques, then odd-cycle inequalities
+        # over the edges no clique consumed (tighten.conflict_cuts — the
+        # stacked pipeline default)
+        explicit = conflict_cuts(
+            col, tv, cliques=True, odd_cycles=(cuts == "cliques+odd")
+        ) or None
+        print(f"[{name}] {cuts} groups: "
+              f"{0 if explicit is None else len(explicit)}", flush=True)
+    elif cliques:
         # clique-cut mode: meld each conflict-graph clique's edge BDDs into
         # the facet sum <= 1 (tighten.conflict_cliques) instead of the
         # generic tight-variable clusters
@@ -145,17 +157,40 @@ def run(name, ilp, budgets=(20000, 200000), cliques=False, **solve_kw):
 def main():
     from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
 
-    run("mis-100", independent_set(100, edge_prob=0.25, seed=0))
-    run("mis-100 cliques", independent_set(100, edge_prob=0.25, seed=0),
-        budgets=(200000,), cliques=True)
-    run("mis-200", independent_set(200, edge_prob=0.15, seed=0))
-    run("mis-200 cliques", independent_set(200, edge_prob=0.15, seed=0),
-        budgets=(200000,), cliques=True)
-    run("qap-12", quadratic_assignment(12, seed=0, density=0.3))
-    gm = construct_graph_matching_ilp(
-        graph_matching(40, 40, seed=0, candidates=5, nr_quadratic=400)
-    )[0]
-    run("graph-matching-40", gm)
+    only = set(sys.argv[1:])
+
+    def want(name):
+        return not only or any(o in name for o in only)
+
+    rows = [
+        ("mis-100", lambda: independent_set(100, edge_prob=0.25, seed=0),
+         dict()),
+        ("mis-100 cliques", lambda: independent_set(100, edge_prob=0.25,
+         seed=0), dict(budgets=(200000,), cuts="cliques")),
+        ("mis-100 cliques+odd", lambda: independent_set(100, edge_prob=0.25,
+         seed=0), dict(budgets=(200000,), cuts="cliques+odd")),
+        ("mis-200", lambda: independent_set(200, edge_prob=0.15, seed=0),
+         dict()),
+        ("mis-200 cliques", lambda: independent_set(200, edge_prob=0.15,
+         seed=0), dict(budgets=(200000,), cuts="cliques")),
+        ("mis-200 cliques+odd", lambda: independent_set(200, edge_prob=0.15,
+         seed=0), dict(budgets=(200000,), cuts="cliques+odd")),
+        # sparse conflict graph: few triangles, many odd holes — the regime
+        # odd-cycle separation exists for (unit-test class, at scale)
+        ("mis-150-sparse cliques", lambda: independent_set(150,
+         edge_prob=0.04, seed=0), dict(budgets=(200000,), cuts="cliques")),
+        ("mis-150-sparse cliques+odd", lambda: independent_set(150,
+         edge_prob=0.04, seed=0),
+         dict(budgets=(200000,), cuts="cliques+odd")),
+        ("qap-12", lambda: quadratic_assignment(12, seed=0, density=0.3),
+         dict()),
+        ("graph-matching-40", lambda: construct_graph_matching_ilp(
+            graph_matching(40, 40, seed=0, candidates=5, nr_quadratic=400)
+        )[0], dict()),
+    ]
+    for name, mk, kw in rows:
+        if want(name):
+            run(name, mk(), **kw)
 
 
 if __name__ == "__main__":

@@ -683,3 +683,67 @@ def test_batched_sharded_doge_training():
     assert all(np.isfinite(losses))
     lbs = tr.run_learned_rounds(2)
     assert all(np.isfinite(lbs)) and lbs[-1] >= lbs[0] - 1e-4
+
+
+def test_mincut_partition_properties():
+    """refine_partition_mincut: disjoint cover of all BDDs, shared width
+    never above the block partition, node balance cap respected."""
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+    from bdd_tpu.solver.sharding import (
+        partition_bdds,
+        refine_partition_mincut,
+        shared_width,
+    )
+    from bdd_tpu.utils.problems import graph_matching
+
+    ilp = construct_graph_matching_ilp(
+        graph_matching(14, 14, seed=5, candidates=4, nr_quadratic=120)
+    )[0]
+    ilp.reorder_bfs()
+    ilp.normalize()
+    pre = BddPreprocessor(ilp)
+    col = pre.collection
+    nb = col.nr_bdds()
+    sizes = [col.nr_bdd_nodes(b) for b in range(nb)]
+    for D in (2, 4):
+        block = partition_bdds(col, D)
+        ref = refine_partition_mincut(col, block)
+        flat = sorted(b for p in ref for b in p)
+        assert flat == list(range(nb))  # disjoint cover
+        assert shared_width(col, ref) <= shared_width(col, block)
+        cap = 1.1 * sum(sizes) / D + max(sizes)
+        assert all(sum(sizes[b] for b in p) <= cap for p in ref)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_mincut_partition_parity(n_dev):
+    """The mincut partition is a drop-in: the sharded trajectory still
+    reproduces the f64 oracle (partition choice must not affect semantics,
+    only the exchange cost)."""
+    from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
+    from bdd_tpu.utils.problems import graph_matching
+
+    ilp = construct_graph_matching_ilp(
+        graph_matching(12, 12, seed=3, candidates=4, nr_quadratic=80)
+    )[0]
+    pre = BddPreprocessor(ilp)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+    s = ShardedUniformSolver(
+        pre.collection,
+        pre.total_nr_variables(),
+        pre.objective_vector(),
+        mesh=mesh,
+        nr_primal_vars=pre.nr_primal_variables,
+        dtype=jnp.float32,
+        partition="mincut",
+    )
+    flat = flatten_collection(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
+    ref = RefSolver(flat, pre.objective_vector())
+    for it in range(8):
+        s.iteration()
+        ref.iteration(0.5)
+        assert s.lower_bound() == pytest.approx(
+            ref.lower_bound_with_deferred(), abs=2e-3
+        ), f"iter {it}"
