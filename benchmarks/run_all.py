@@ -42,7 +42,12 @@ def sync(s):
     return float(jax.tree.leaves(s)[0].ravel()[0])
 
 
-def bench_instance(name, lp, n_iters=200, numpy_iters=10, use_pallas=True):
+def bench_instance(name, lp, n_iters=2000, numpy_iters=10, use_pallas=True):
+    """Warm steady-state it/s. Protocol (round-5 refresh, matching bench.py):
+    500-iteration compiled blocks, >= 2000 iterations per measurement, ONE
+    host sync at the end — the ~25-60 ms per-call dispatch+sync floor
+    through the relay made the old 50x4 measurement under-report fast
+    families by ~40% (BENCH.md round-3 'dispatch floor' section)."""
     saved_pallas = uf.USE_PALLAS
     uf.USE_PALLAS = use_pallas
     t0 = time.time()
@@ -51,18 +56,24 @@ def bench_instance(name, lp, n_iters=200, numpy_iters=10, use_pallas=True):
     state = uf.init_uniform_state(host, nh.objective())
     print(f"[{name}] build+first-compile {time.time() - t0:.1f}s "
           f"({nh.nr_bdds()} bdds)")
-    block = 50
+    block = 500
     s = uf.iterations(host.geom, state, block, 0.5)
     sync(s)  # compile + warm
-    t0 = time.time()
+    rates = []
     out = s
-    for _ in range(n_iters // block):
-        out = uf.iterations(host.geom, out, block, 0.5)
-    sync(out)
-    dt = (time.time() - t0) / n_iters
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(max(1, n_iters // block)):
+            out = uf.iterations(host.geom, out, block, 0.5)
+        sync(out)
+        rates.append(
+            block * max(1, n_iters // block) / (time.time() - t0)
+        )
+    rate = float(np.median(rates))
+    dt = 1.0 / rate
     lb = float(uf.lower_bound_with_deferred(host.geom, out))
-    print(f"[{name}] tpu (pallas={use_pallas}): {1 / dt:.0f} it/s "
-          f"({dt * 1e3:.2f} ms/iter), lb={lb:.4f}")
+    print(f"[{name}] tpu (pallas={use_pallas}): {rate:.0f} it/s "
+          f"({dt * 1e3:.3f} ms/iter, median of 3), lb={lb:.4f}")
 
     col = nh.collection()
     flat = flatten_collection(col, nh.nr_vars())
@@ -89,9 +100,14 @@ def time_to_gap(name, lp, rel=1e-3, max_iters=4000):
     t0 = time.time()
     iters = 0
     reached = False
-    while iters < max_iters:
-        s = uf.iterations(host.geom, s, 50, 0.5)
-        iters += 50
+    period = 1  # doubling check period (run_solver's treatment): the lb
+    while iters < max_iters:  # fetch is a ~60 ms host sync on the tunnel
+        for _ in range(period):
+            if iters >= max_iters:
+                break
+            s = uf.iterations(host.geom, s, 50, 0.5)
+            iters += 50
+        period = min(period * 2, 16)
         if float(uf.lower_bound_with_deferred(host.geom, s)) >= target:
             reached = True
             break

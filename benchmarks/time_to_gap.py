@@ -62,20 +62,30 @@ def converged_bound(nh, mma_iters, lbfgs_iters) -> float:
     cs.iterations(mma_iters, 0.5)
     best = cs.lower_bound_with_deferred()
     ls = LbfgsSolver(make_solver(nh))
-    for _ in range(lbfgs_iters):
-        ls.iteration()
+    for _ in range(max(1, lbfgs_iters // 25)):
+        ls.iteration_block(25)
     return max(best, ls.lower_bound_with_deferred())
 
 
 def time_to(lb_fn, iterate, targets, max_iters, block):
-    """Generic: returns {rel: (secs, iters)} plus the final (lb, iters)."""
+    """Generic: returns {rel: (secs, iters)} plus the final (lb, iters).
+
+    The lb fetch is a ~60 ms host sync on the tunnel, so the check period
+    DOUBLES (cap 8 blocks) like run_solver's — without this the f32 MMA row
+    on fast families measured mostly sync overhead (round-5 refresh;
+    granularity: a target can overshoot by <= 8 blocks)."""
     remaining = dict(targets)
     hit = {}
     t0 = time.time()
     iters = 0
+    period = 1
     while iters < max_iters and remaining:
-        iterate(block)
-        iters += block
+        for _ in range(period):
+            if iters >= max_iters:
+                break
+            iterate(block)
+            iters += block
+        period = min(period * 2, 8)
         lb = lb_fn()
         for rel, tgt in list(remaining.items()):
             if lb >= tgt:
@@ -140,19 +150,15 @@ def run(name, ilp_or_lp, mma_ref=20000, lbfgs_ref=1500, max_iters=40000,
     )
     rows.append(("cpu C++ 4thr", hit, fin))
 
-    # TPU L-BFGS (outer loop; check every 10 outer iterations)
+    # TPU L-BFGS (outer loop; 10-iteration device blocks — the scanned
+    # iteration_block (round 5) removes the former per-iteration host sync
+    # that dominated these rows)
     warm = LbfgsSolver(make_solver(nh))
-    for _ in range(12):
-        warm.iteration()
+    warm.iteration_block(10)
     warm.lower_bound_with_deferred()
     ls = LbfgsSolver(make_solver(nh))
-
-    def lb_iterate(n):
-        for _ in range(n):
-            ls.iteration()
-
     hit, fin = time_to(
-        ls.lower_bound_with_deferred, lb_iterate, targets, 4000, 10
+        ls.lower_bound_with_deferred, ls.iteration_block, targets, 4000, 10
     )
     rows.append(("tpu lbfgs", hit, fin))
 

@@ -55,7 +55,25 @@ def make_ilp(family, seed):
         return construct_graph_matching_ilp(
             graph_matching(80, 80, seed=seed, candidates=5, nr_quadratic=900)
         )[0]
+    if family == "gm120":
+        # the it/s-table scale row (50k BDDs, 168k vars per instance): the
+        # MMA-plateau regime DOGE exists for (VERDICT r4 #2; ref
+        # DOGE/configs/config_gm.py trains GM at dataset scale)
+        from bdd_tpu.frontends.graph_matching import (
+            construct_graph_matching_ilp,
+        )
+        from bdd_tpu.utils.problems import graph_matching
+
+        return construct_graph_matching_ilp(
+            graph_matching(120, 120, seed=seed, candidates=6,
+                           nr_quadratic=2000)
+        )[0]
     raise SystemExit(family)
+
+
+# training batch size per family: gm120 instances are ~25x a qap16 — batch 4
+# keeps the stacked rollout within HBM
+TRAIN_BATCH = {"gm120": 4}
 
 
 def fresh_uniform(pre):
@@ -91,11 +109,12 @@ def main():
         print(f"# loaded {ck} (eval only)", flush=True)
     else:
         t0 = time.time()
+        nb = TRAIN_BATCH.get(family, 8)
         train_inst = Instance.from_ilps(
-            [make_ilp(family, s) for s in range(8)]
+            [make_ilp(family, s) for s in range(nb)]
         )
         print(
-            f"# train batch: 8 x {family} -> {train_inst.host.nr_bdds} bdds, "
+            f"# train batch: {nb} x {family} -> {train_inst.host.nr_bdds} bdds, "
             f"{train_inst.host.nr_vars} vars, E={train_inst.spec.E} "
             f"(build {time.time() - t0:.0f}s)",
             flush=True,
@@ -142,8 +161,8 @@ def main():
         )
         cs.iterations(20000, 0.5)
         ls_ref = LbfgsSolver(fresh_uniform(pre))
-        for _ in range(800):
-            ls_ref.iteration()
+        for _ in range(32):  # 800 outer iterations, block-scanned (no
+            ls_ref.iteration_block(25)  # per-iteration host sync)
         best = max(
             cs.lower_bound_with_deferred(), ls_ref.lower_bound_with_deferred()
         )
@@ -162,12 +181,15 @@ def main():
         met = dual_metrics(lbs, best)
         gap_learned = min(met["best_gap"], met["final_gap"])
 
-        import jax
-
         def gap_of(solver):
             return abs(best - solver.lower_bound_with_deferred()) / max(
                 abs(best), 1e-9
             )
+
+        def sync_state(st):
+            # axon-lazy safe: block_until_ready returns before execution on
+            # the tunnel (CLAUDE.md gotcha 2) — fetch a scalar instead
+            np.asarray(st.lo[0]).ravel()[:1]
 
         def mma_at(budget_s):
             """Gap of plain MMA after `budget_s` seconds of warm solver time
@@ -175,28 +197,27 @@ def main():
             measures dispatch only)."""
             m = fresh_uniform(pre)
             m.iteration_block(100)  # compile the SAME block size outside
-            jax.block_until_ready(m.state.lo)
+            sync_state(m.state)
             m = fresh_uniform(pre)
             t = time.time()
             it = 0
             while time.time() - t < budget_s:
                 m.iteration_block(100)
-                jax.block_until_ready(m.state.lo)
+                sync_state(m.state)
                 it += 100
             return gap_of(m), it
 
         def lbfgs_at(budget_s):
             w = LbfgsSolver(fresh_uniform(pre))
-            for _ in range(3):
-                w.iteration()  # compiles the step programs outside the clock
-            jax.block_until_ready(w.base.state.lo)
+            w.iteration_block(10)  # compiles the block program off-clock
+            sync_state(w.base.state)
             l = LbfgsSolver(fresh_uniform(pre))
             t = time.time()
             it = 0
             while time.time() - t < budget_s:
-                l.iteration()
-                jax.block_until_ready(l.base.state.lo)
-                it += 1
+                l.iteration_block(10)
+                sync_state(l.base.state)
+                it += 10
             return gap_of(l), it
 
         # gap-vs-wall-clock: equal seconds, and 5x/25x for the curve
