@@ -139,7 +139,7 @@ def partition_cost(
 def refine_partition_mincut(
     collection: BddCollection,
     parts: List[List[int]],
-    balance: float = 0.1,
+    balance: float = 0.05,
     max_passes: int = 8,
 ) -> List[List[int]]:
     """KL-style greedy refinement of a BDD partition minimizing the
