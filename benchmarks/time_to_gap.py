@@ -183,7 +183,10 @@ def main():
     gm = construct_graph_matching_ilp(
         graph_matching(120, 120, seed=0, candidates=6, nr_quadratic=2000)
     )[0]
-    run("graph-matching-120", gm, mma_ref=8000, lbfgs_ref=800,
+    # lbfgs_ref 800 -> 2400: with the round-5 direction-fixed + block-scanned
+    # L-BFGS the eval run at 870 iters EXCEEDED the 800-iteration reference
+    # bound (its row read "1e-6 reached" against an under-converged target)
+    run("graph-matching-120", gm, mma_ref=8000, lbfgs_ref=2400,
         max_iters=12000, cpu_max=5000)
 
 
