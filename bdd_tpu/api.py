@@ -334,6 +334,9 @@ class BddSolver:
                 obj,
                 nr_primal_vars=self.pre.nr_primal_variables,
                 dtype=jnp.float64 if double else jnp.float32,
+                # "auto" (default): J-model choice between the contiguous
+                # block partition and the min-cut refinement (BENCH round 5)
+                partition=self.config.get("partition", "auto"),
             )
             if name.startswith("lbfgs"):
                 from bdd_tpu.solver.lbfgs import LbfgsSolver
