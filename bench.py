@@ -93,11 +93,6 @@ def main() -> int:
     os.environ.setdefault("OMP_PROC_BIND", "close")
     os.environ.setdefault("OMP_PLACES", "cores")
 
-    from bdd_tpu.utils.platform import ensure_device
-
-    platform = ensure_device(tpu_retries=8)
-    print(f"# platform: {platform}", file=sys.stderr)
-
     from bdd_tpu import native
     from bdd_tpu.bdd.preprocessor import BddPreprocessor
     from bdd_tpu.frontends.graph_matching import construct_graph_matching_ilp
@@ -119,15 +114,12 @@ def main() -> int:
         f"{flat.nr_layers} layers, build {time.time() - t0:.1f}s",
         file=sys.stderr,
     )
-    from bdd_tpu.solver import uniform as js_uf
-
-    host = js_uf.flatten_uniform(
-        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
-    )
     # honest CPU baseline: native OpenMP parallel MMA on this machine's
-    # cores, measured TWICE — once before and once after the TPU block
-    # (VERDICT r4 #5: the denominator swung +-50% across driver captures
-    # from host contention; the pair bounds the ratio honestly)
+    # cores, measured TWICE — the PRE run before ensure_device (the axon
+    # attach handshake spins client threads for minutes: pre-attach 2.9-3.1k
+    # it/s clean vs 1.4-1.7k mid-attach) and the POST run after the TPU
+    # block (VERDICT r4 #5: the denominator swung +-50% across driver
+    # captures from host contention; the pair bounds the ratio honestly)
     cs = native.cpu_solver_from_collection(
         pre.collection, pre.total_nr_variables(), pre.objective_vector()
     )
@@ -139,6 +131,16 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    from bdd_tpu.utils.platform import ensure_device
+
+    platform = ensure_device(tpu_retries=8)
+    print(f"# platform: {platform}", file=sys.stderr)
+
+    from bdd_tpu.solver import uniform as js_uf
+
+    host = js_uf.flatten_uniform(
+        pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
+    )
     # block*n_blocks iterations per measurement: the per-call dispatch+sync
     # floor through the relay measured ~25 ms (r3 bisect) — at 0.18 ms/iter
     # a 200-iteration measurement under-reported the grid12 rate by ~40%
@@ -212,11 +214,29 @@ def main() -> int:
             gus = UniformSolver.from_host(gm_host, nh.objective())
             for _ in range(4):
                 gus.iteration_block(500)
+            # L-BFGS polish: plain MMA plateaus at ~5e-2 on this family
+            # (time-to-gap table) and rounding from plateau duals found no
+            # solution — the direction-fixed L-BFGS reaches ~1e-3 in ~30
+            # blocks and the incremental rounding then converges
+            from bdd_tpu.solver.lbfgs import LbfgsSolver
+
+            gls = LbfgsSolver(gus)
+            for _ in range(40):
+                gls.iteration_block(25)
             gm_lb_end = gus.lower_bound_with_deferred()
+            # objective_bias 0.5 = the r3 'incremental biased' setting that
+            # repaired the gm120 slack-collapse (symmetric coin flips close
+            # no slack on this family); wedelin fallback if it still fails
+            snap = gus.state
             gsol = incremental_mm_rounding_device(
-                gus, num_rounding_itr=80, verbose=False,
-                objective_bias=0.1, objective=nh.objective(),
+                gus, num_rounding_itr=120, verbose=False,
+                objective_bias=0.5, objective=nh.objective(),
             )
+            if gsol is None:
+                from bdd_tpu.solver.extras import wedelin_rounding
+
+                gus.state = snap
+                gsol = wedelin_rounding(gus, verbose=False)
             if gsol is None:
                 extra["gm50k_quality_error"] = "rounding found no solution"
             else:

@@ -40,24 +40,19 @@ HBM_BYTES = 16 * 2**30  # v5e: 16 GiB HBM
 def build(which):
     t0 = time.time()
     if which.startswith("grid"):
-        from bdd_tpu.bdd.preprocessor import BddPreprocessor
+        from bdd_tpu import native
         from bdd_tpu.utils.problems import grid_mrf
 
         n, labels = {"grid32": (32, 12), "grid40": (40, 16),
                      "grid48": (48, 20)}[which]
         ilp = grid_mrf(n, n, labels, seed=0)
-        ilp.reorder_bfs()
-        ilp.normalize()
-        pre = BddPreprocessor(ilp)
-        host = uf.flatten_uniform(
-            pre.collection, pre.total_nr_variables(), pre.nr_primal_variables
-        )
-        obj = pre.objective_vector()
+        nh = native.NativeHost(ilp.write_lp(), "bfs")
+        host = nh.make_uniform_host()
+        obj = nh.objective()
         nodes = sum(
-            pre.collection.nr_bdd_nodes(b)
-            for b in range(pre.collection.nr_bdds())
+            int(np.asarray(g.node_valid).sum()) for g in host.geom.buckets
         )
-        nbdds = pre.collection.nr_bdds()
+        nbdds = nh.nr_bdds()
     elif which == "gm300":
         from bdd_tpu import native
         from bdd_tpu.frontends.graph_matching import (
