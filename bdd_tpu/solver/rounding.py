@@ -227,5 +227,6 @@ def incremental_mm_rounding(
             bdd_log(
                 f"[incremental primal rounding] lower bound = {s.lower_bound():.6f}"
             )
-    bdd_log("[incremental primal rounding] no solution found")
+    if verbose:
+        bdd_log("[incremental primal rounding] no solution found")
     return None

@@ -154,5 +154,6 @@ def incremental_mm_rounding_device(
             verbose=False,
             block_size=getattr(s, "default_block_size", 25),
         )
-    bdd_log("[device rounding] no solution found")
+    if verbose:
+        bdd_log("[device rounding] no solution found")
     return None
