@@ -141,9 +141,13 @@ def main():
             )
         except Exception as e:
             msg = str(e)
-            oom = "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower()
+            oom = "RESOURCE_EXHAUSTED" in msg
+            # remote_compile HTTP 500s are transient tunnel-side compiler
+            # crashes, not proof of a size ceiling (grid48 at 2x the nodes
+            # compiled fine right after grid40 once failed) — label honestly
             print(
-                f"#  {which}: {'OOM — sharding required' if oom else 'run failed'}: "
+                f"#  {which}: "
+                f"{'OOM - sharding required' if oom else 'run failed (retry: transient remote-compile crashes observed)'}: "
                 f"{msg[:300]}",
                 flush=True,
             )
