@@ -137,7 +137,8 @@ def main():
     # --------------------------------------------- wall-clock-equal evaluation
     lines = [
         "",
-        f"## {family} protocol run, WALL-CLOCK-equal eval (batch 8, "
+        f"## {family} protocol run, WALL-CLOCK-equal eval "
+        f"(batch {TRAIN_BATCH.get(family, 8)}, "
         f"{rounds}x{iters}, replay, {epochs} epochs"
         f"{', FUSED rollout, ckpt re-eval' if eval_only else ''})",
         "",
